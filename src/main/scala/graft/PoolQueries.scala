@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pool.{Envelope, Pool}
+import graft.Queries.Q
+
+/** Pool-layer operators as driver-checkable queries: S3 pool scan, S4 atomic
+  * commit, Q16 max-offsets, T3 resume — exercised by round-tripping the
+  * `events` table through a real on-disk pool and aggregating the result.
+  * The DuckDB oracle computes the same aggregate straight from the source
+  * table, so any loss/duplication/reorder in the pool write+read path breaks
+  * the hash match.
+  */
+object PoolQueries {
+
+  /** events → envelopes (topic = event_type, offset = event_id). */
+  private[graft] def envelopes(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    Envelope.wrap(ev,
+      topic = col("event_type"),
+      offset = col("event_id"),
+      key = struct(col("user_id")).as("key"),
+      valueCols = Seq("event_id", "user_id", "value"))
+  }
+
+  val all: Map[String, Q] = Map(
+
+    // S3+S4: commit the batch to a pool (atomic manifest protocol), read it
+    // back, aggregate per topic.
+    "pool_roundtrip" -> Q(
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-pool-").toString
+        val p = Pool.create(s, dir)
+        p.append(envelopes(s, d))
+        p.read()
+          .groupBy(col("kafka.topic").as("topic"))
+          .agg(count(lit(1)).as("cnt"),
+            max(col("kafka.offset")).as("max_offset"),
+            sum(col("value.user_id")).as("sum_user"))
+      },
+      Some("""SELECT event_type AS topic, count(*) AS cnt, max(event_id) AS max_offset,
+             |       sum(user_id) AS sum_user
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Q16/T3: per-topic max offset + derived resume offset (max+1)
+    "pool_resume_offsets" -> Q(
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-pool-").toString
+        val p = Pool.create(s, dir)
+        p.append(envelopes(s, d))
+        p.maxOffsetsByTopic()
+          .select(col("topic"), col("offset"), (col("offset") + 1).as("next_offset"))
+      },
+      Some("""SELECT event_type AS topic, max(event_id) AS offset,
+             |       max(event_id) + 1 AS next_offset
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // S4 exactly-once backstop: two appends of overlapping batches, then the
+    // T7 anti-join dedup on (topic, offset) — duplicates from the second
+    // commit are filtered, matching the reference's reprocess-nothing golden
+    // (ztests/etl-demo.yaml:37-48).
+    "pool_dedup_commit" -> Q(
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-pool-").toString
+        val p = Pool.create(s, dir)
+        val env = envelopes(s, d)
+        p.append(env.filter(col("kafka.offset") < 600))
+        p.append(env.filter(col("kafka.offset") >= 400)) // overlap [400,600)
+        val all = p.read()
+        all.groupBy(col("kafka.topic").as("topic"), col("kafka.offset").as("offset"))
+          .agg(count(lit(1)).as("copies"))
+          .groupBy("topic")
+          .agg(count(lit(1)).as("distinct_offsets"), sum("copies").as("total_rows"))
+      },
+      Some("""SELECT event_type AS topic, count(*) AS distinct_offsets,
+             |       count(*) + sum(CASE WHEN event_id >= 400 AND event_id < 600 THEN 1 ELSE 0 END) AS total_rows
+             |FROM events GROUP BY event_type""".stripMargin))
+  )
+}

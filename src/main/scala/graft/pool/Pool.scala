@@ -1,0 +1,136 @@
+package graft.pool
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** A pool: a durable table ordered by `kafka.offset`, the Spark-native analog
+  * of the reference's lake pool (fifo/lake.go:22,36-39 — pool key must be
+  * `kafka.offset` asc; etl/pool.go:24,37-40 `ErrBadPoolKey`).
+  *
+  * Storage layout (plain parquet + manifest commit protocol, SURVEY §7.4.5):
+  *
+  * {{{
+  *   <root>/
+  *     MANIFEST            # committed segment names, one per line; the
+  *                         # atomically-renamed manifest IS the commit point
+  *     seg-000001/ *.parquet
+  *     seg-000002/ *.parquet
+  * }}}
+  *
+  * Readers list MANIFEST and read only committed segments, so a crashed or
+  * concurrent writer's half-written segment directory is invisible — this is
+  * the "transactionally consistent batch + markers in one commit" guarantee
+  * (etl/pipeline.go:92-125, fifo/lake.go:58-60). On a real deployment the
+  * same interface maps onto a table format with ACID appends; the manifest
+  * protocol here is self-contained and object-store-safe (one atomic rename).
+  *
+  * Scale design: each committed segment is written sorted by
+  * (kafka.topic, kafka.offset) via repartitionByRange + sortWithinPartitions,
+  * so parquet row-group min/max stats prune both topic-equality and offset-
+  * range predicates (the reference gets this from the lake's pool-key sort,
+  * design.md:63-87). Resume-offset queries (`tail 1` per topic) then read
+  * only segment tails instead of scanning the pool.
+  */
+final class Pool private (val spark: SparkSession, val root: Path) {
+  import Pool._
+
+  private def manifestPath: Path = root.resolve(ManifestFile)
+
+  def committedSegments(): Seq[String] =
+    if (!Files.exists(manifestPath)) Seq.empty
+    else Files.readAllLines(manifestPath, StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+
+  def isEmpty: Boolean = committedSegments().isEmpty
+
+  /** Read the committed pool contents. */
+  def read(): DataFrame = {
+    val segs = committedSegments()
+    require(segs.nonEmpty, s"pool $root is empty")
+    spark.read.parquet(segs.map(s => root.resolve(s).toString): _*)
+  }
+
+  /** Read, or an empty DataFrame of `schema` when the pool has no commits. */
+  def readOr(schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else read()
+
+  /** Atomic append of one batch (fifo/lake.go:58-60 `LoadBatch`).
+    *
+    * Validates the pool-key invariant (`kafka.offset` must exist,
+    * fifo/lake.go:36-39), writes the segment sorted for stats-based pruning,
+    * then commits by atomically replacing MANIFEST.
+    */
+  def append(batch: DataFrame): Unit = {
+    require(hasKafkaOffset(batch), ErrBadPoolKey)
+    val seg = f"seg-${committedSegments().size + 1}%06d-${System.nanoTime()}%x"
+    val segDir = root.resolve(seg)
+    val sorted = batch
+      .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
+      .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+    sorted.write.mode(SaveMode.ErrorIfExists).parquet(segDir.toString)
+    commit(seg)
+  }
+
+  private def commit(seg: String): Unit = synchronized {
+    val lines = committedSegments() :+ seg
+    val tmp = root.resolve(s".manifest.tmp.${System.nanoTime()}")
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Per-topic max offset (etl/pool.go:60-66: `offset:=max(kafka.offset) by
+    * topic:=kafka.topic`) — the next-offset base for Q32 offset assignment.
+    */
+  def maxOffsetsByTopic(): DataFrame =
+    read()
+      .groupBy(col("kafka.topic").as("topic"))
+      .agg(max(col("kafka.offset")).as("offset"))
+
+  /** Resume offset for one topic: committed max + 1, or `earliest` (−2) when
+    * the pool holds nothing for the topic (fifo/lake.go:62-82,
+    * etl/pool.go:20-22). Checkpoint-free recovery: consumer state lives in
+    * the sink itself.
+    */
+  def nextOffset(topic: String): Long =
+    if (isEmpty) KafkaOffsetEarliest
+    else {
+      val rows = read()
+        .filter(col("kafka.topic") === topic)
+        .agg(max(col("kafka.offset")))
+        .collect()
+      if (rows.isEmpty || rows(0).isNullAt(0)) KafkaOffsetEarliest else rows(0).getLong(0) + 1
+    }
+
+  private def hasKafkaOffset(df: DataFrame): Boolean =
+    df.schema.fields.find(_.name == "kafka").exists { f =>
+      f.dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fieldNames.contains("offset") && s.fieldNames.contains("topic")
+        case _ => false
+      }
+    }
+}
+
+object Pool {
+  val ManifestFile = "MANIFEST"
+  val KafkaOffsetEarliest: Long = -2L // etl/pool.go:20-22
+  val ErrBadPoolKey =
+    "pool key must be the ascending kafka.offset (kafka:struct<topic,offset> column required)" // fifo/lake.go:36-39
+
+  def create(spark: SparkSession, path: String): Pool = {
+    val p = Paths.get(path)
+    Files.createDirectories(p)
+    new Pool(spark, p)
+  }
+
+  def open(spark: SparkSession, path: String): Pool = {
+    val p = Paths.get(path)
+    require(Files.isDirectory(p), s"no pool at $path")
+    new Pool(spark, p)
+  }
+}

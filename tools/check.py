@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Driver-mimic correctness check: compare Verify parquet dumps against the
+DuckDB oracle, sorting columns by name and hashing values — run locally
+before every commit so the real gate holds no surprises.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, os, json, hashlib, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest(), len(lines)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{out_dir}/{name}"
+        if not os.path.isdir(spark_dir):
+            results[name] = "MISSING_SPARK_OUTPUT"
+            continue
+        try:
+            sr = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
+            scols = [d[0] for d in sr.description]
+            srows = sr.fetchall()
+            orr = con.execute(sql)
+            ocols = [d[0] for d in orr.description]
+            orows = orr.fetchall()
+        except Exception as e:
+            results[name] = f"ERROR: {e}"
+            continue
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            results[name] = f"SCHEMA_MISMATCH spark={sorted(scols)} oracle={sorted(ocols)}"
+            continue
+        sh, sn = table_hash(scols, srows)
+        oh, on = table_hash(ocols, orows)
+        if sn != on:
+            results[name] = f"ROWCOUNT_MISMATCH spark={sn} oracle={on}"
+        elif sh != oh:
+            # show first diff for debugging
+            sset = set("|".join(norm_cell(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i].lower())) for r in srows)
+            oset = set("|".join(norm_cell(r[i]) for i in sorted(range(len(ocols)), key=lambda i: ocols[i].lower())) for r in orows)
+            ex_s = list(sset - oset)[:2]
+            ex_o = list(oset - sset)[:2]
+            results[name] = f"HASH_MISMATCH rows={sn} spark_only={ex_s} oracle_only={ex_o}"
+        else:
+            results[name] = "OK"
+    n_ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in sorted(results.items()):
+        mark = "✓" if v == "OK" else "✗"
+        print(f"{mark} {name}: {v}")
+    print(f"\n{n_ok}/{len(results)} queries match")
+    return 0 if n_ok == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
