@@ -1,8 +1,70 @@
 package graft
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.codec.{ConfluentAvro, ConnectJson, InMemoryRegistry, SchemaRegistry}
 import graft.Queries.Q
 
-/** Codec-layer queries (C1–C6) — filled in as codecs land. */
+/** Codec layer as driver-checkable queries. Round-trips are compared against
+  * an identity oracle: encode→decode must reproduce the source values
+  * exactly, so any header, schema-translation, or value-mapping bug breaks
+  * the hash match (the Spark analog of connectjson_test.go:12-46's
+  * table-driven round-trip corpus).
+  */
 object CodecQueries {
-  val all: Map[String, Q] = Map.empty
+
+  val all: Map[String, Q] = Map(
+
+    // C5+C6: Connect JSON envelope encode → decode+shape → flatten
+    "codec_connect_roundtrip" -> Q(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+          .select(struct(col("event_id"), col("user_id"), col("value"), col("event_type")).as("v"))
+        val vSchema = ev.schema("v").dataType.asInstanceOf[StructType]
+        val enveloped = ev.select(ConnectJson.encode(col("v"), vSchema).as("env"))
+        // decode side resolves the schema from the envelope text itself
+        // (connectjson.go:191-201): parse it back into a StructType at plan time.
+        val shaped = enveloped.select(ConnectJson.decode(col("env"),
+          ConnectJson.sparkTypeOf(ConnectJson.schemaJson(vSchema)).asInstanceOf[StructType]).as("v"))
+        shaped.select(col("v.event_id").as("event_id"), col("v.user_id").as("user_id"),
+          col("v.value").as("value"), col("v.event_type").as("event_type"))
+      },
+      Some("""SELECT event_id, user_id, value, event_type FROM events""")),
+
+    // C1+C2: Confluent wire-format Avro encode (with registry registration)
+    // → decode (schema resolved by embedded id) → flatten
+    "codec_avro_roundtrip" -> Q(
+      (s, d) => {
+        val registry: SchemaRegistry = new InMemoryRegistry
+        val ev = Tables.load(s, d, "orders")
+          .select(struct(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority")).as("v"))
+        val vSchema = ev.schema("v").dataType.asInstanceOf[StructType]
+        val wire = ConfluentAvro.encodeDF(ev, "v", "bytes", registry).select("bytes")
+        val decoded = ConfluentAvro.decodeDF(wire, "bytes", "v", vSchema, registry)
+        decoded.select(col("v.o_orderkey").as("o_orderkey"), col("v.o_custkey").as("o_custkey"),
+          col("v.o_orderstatus").as("o_orderstatus"), col("v.o_totalprice").as("o_totalprice"),
+          col("v.o_orderpriority").as("o_orderpriority"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+             |FROM orders""".stripMargin)),
+
+    // C1 header handling: schema id round-trips through the 5-byte wire
+    // header (magic 0x00 + BE uint32, decoder.go:39-42).
+    "codec_avro_header" -> Q(
+      (s, d) => {
+        val registry: SchemaRegistry = new InMemoryRegistry
+        val ev = Tables.load(s, d, "events")
+          .select(struct(col("event_id")).as("v"))
+        val wire = ConfluentAvro.encodeDF(ev, "v", "bytes", registry)
+        import org.apache.spark.sql.Encoders
+        wire.select("bytes").map { r =>
+          val b = r.getAs[Array[Byte]](0)
+          (b(0).toInt, ConfluentAvro.schemaIdOf(b))
+        }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
+          .toDF("magic", "schema_id")
+          .groupBy("magic", "schema_id").agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT 0 AS magic, 1 AS schema_id, count(*) AS cnt FROM events"""))
+  )
 }
