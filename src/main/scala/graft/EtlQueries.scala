@@ -1,10 +1,166 @@
 package graft
 
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{DenormRule, Etl, StatelessRule, Transform}
+import graft.pool.Pool
 import graft.Queries.Q
 
-/** ETL-compiler queries (Q20–Q25, Q32, T7 end-to-end) — filled in as the
-  * etl module lands.
+/** The ETL compiler end-to-end, driver-checked: a CDC scenario synthesized
+  * from `orders` as two event topics — "Orders" (op = 'u' for every 10th key
+  * else 'c') and "Statuses" (one status event per order) — through a 1:1
+  * denormalizing join rule + a stateless update rule into output topic
+  * "Enriched". This mirrors demo/invoices.yaml exactly: denorm
+  * Invoices×InvoiceStatus joined on the event keys, where both joined sides
+  * are consumed exactly once (done markers on both, etl/build.go:210-213);
+  * unjoined events stay unmarked until their partner arrives
+  * (README.md:373-389).
+  *
+  * The input pool is heterogeneous (two topics with different `after`
+  * shapes) — a superset schema with nullable absent fields (SURVEY §7.4.1).
   */
 object EtlQueries {
-  val all: Map[String, Q] = Map.empty
+
+  private def cdcEnvelopes(s: SparkSession, d: String): DataFrame = {
+    val nullL = lit(null).cast("bigint")
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    def after(o_orderkey: org.apache.spark.sql.Column, o_custkey: org.apache.spark.sql.Column,
+        o_totalprice: org.apache.spark.sql.Column, status_orderkey: org.apache.spark.sql.Column,
+        status: org.apache.spark.sql.Column) =
+      struct(o_orderkey.as("o_orderkey"), o_custkey.as("o_custkey"),
+        o_totalprice.as("o_totalprice"), status_orderkey.as("status_orderkey"),
+        status.as("status"))
+
+    val orders = Tables.load(s, d, "orders")
+    val ord = orders.select(
+      struct(lit("Orders").as("topic"), lit(0L).as("partition"),
+        col("o_orderkey").cast("long").as("offset")).as("kafka"),
+      struct(col("o_orderkey").as("id")).as("key"),
+      struct(
+        when(col("o_orderkey") % 10 === 0, "u").otherwise("c").as("op"),
+        after(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), nullL, nullS).as("after")).as("value"),
+      lit("record").as("_kind"))
+
+    val stat = orders.select(
+      struct(lit("Statuses").as("topic"), lit(0L).as("partition"),
+        col("o_orderkey").cast("long").as("offset")).as("kafka"),
+      struct(col("o_orderkey").as("id")).as("key"),
+      struct(
+        lit("c").as("op"),
+        after(nullL, nullL, nullD, col("o_orderkey").cast("bigint"), col("o_orderstatus")).as("after")).as("value"),
+      lit("record").as("_kind"))
+
+    ord.unionByName(stat)
+  }
+
+  private val transform = Transform(
+    inputTopics = Seq("Orders", "Statuses"),
+    outputTopic = "Enriched",
+    rules = Seq(
+      DenormRule(
+        leftTopic = "Orders", rightTopic = "Statuses",
+        joinOn = "left.value.after.o_orderkey = right.value.after.status_orderkey",
+        where = Some("in.value.op = 'c'"),
+        outKey = "named_struct('id', left.value.after.o_orderkey)",
+        outValue = "named_struct('id', left.value.after.o_orderkey, 'status', right.value.after.status, 'total', left.value.after.o_totalprice)"),
+      StatelessRule(
+        inTopic = "Orders",
+        where = Some("in.value.op = 'u'"),
+        outKey = "named_struct('id', in.value.after.o_orderkey)",
+        outValue = "named_struct('id', in.value.after.o_orderkey, 'status', cast(null as string), 'total', in.value.after.o_totalprice)")))
+
+  /** Shared oracle CTE prelude mirroring the scenario. */
+  private val oraclePrelude =
+    """WITH ord AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+      |         CASE WHEN o_orderkey % 10 = 0 THEN 'u' ELSE 'c' END AS op
+      |  FROM orders),
+      |joined AS (
+      |  SELECT o_orderkey AS okey, o_orderstatus AS st, o_totalprice AS total
+      |  FROM ord WHERE op = 'c'),
+      |upd AS (SELECT o_orderkey AS okey, CAST(NULL AS VARCHAR) AS st,
+      |               o_totalprice AS total FROM ord WHERE op = 'u')
+      |""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // Single compiled pass (pure plan, empty output state): records get
+    // 0-based offsets in source-kafka order; markers carry source meta.
+    "etl_compile_pass" -> Q(
+      (s, d) => {
+        val out = Etl.compile(s, cdcEnvelopes(s, d), Etl.OutputState(None, Map.empty), transform)
+        out.select(
+          col("_kind"),
+          col("kafka.topic").as("topic"),
+          col("kafka.offset").as("offset"),
+          col("value.id").as("id"),
+          col("value.status").as("status"),
+          col("value.total").as("total"))
+      },
+      Some(oraclePrelude +
+        """, recs AS (SELECT okey, st, total FROM joined UNION ALL SELECT okey, st, total FROM upd)
+          |SELECT 'record' AS _kind, 'Enriched' AS topic,
+          |       row_number() OVER (ORDER BY okey) - 1 AS offset,
+          |       okey AS id, st AS status, total
+          |FROM recs
+          |UNION ALL
+          |SELECT 'done', 'Orders', okey, NULL, NULL, NULL FROM joined
+          |UNION ALL
+          |SELECT 'done', 'Statuses', okey, NULL, NULL, NULL FROM joined
+          |UNION ALL
+          |SELECT 'done', 'Orders', okey, NULL, NULL, NULL FROM upd""".stripMargin)),
+
+    // T7 exactly-once: two full passes through real pools; the second pass
+    // must add nothing (anti-join vs committed done markers), mirroring the
+    // reprocess-nothing golden of ztests/etl-demo.yaml:37-48.
+    "etl_exactly_once" -> Q(
+      (s, d) => {
+        val inPool = Pool.create(s, Files.createTempDirectory("graft-etl-in-").toString)
+        val outPool = Pool.create(s, Files.createTempDirectory("graft-etl-out-").toString)
+        inPool.append(cdcEnvelopes(s, d))
+        Etl.run(s, inPool, outPool, transform)
+        Etl.run(s, inPool, outPool, transform) // must be a no-op
+        outPool.read()
+          .groupBy("_kind")
+          .agg(count(lit(1)).as("cnt"), max(col("kafka.offset")).as("max_offset"))
+      },
+      Some(oraclePrelude +
+        """SELECT 'record' AS _kind,
+          |       (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd) AS cnt,
+          |       (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd) - 1 AS max_offset
+          |UNION ALL
+          |SELECT 'done',
+          |       2 * (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd),
+          |       (SELECT max(o_orderkey) FROM orders)""".stripMargin)),
+
+    // Incremental delivery: pass 1 sees all Orders but only even Statuses —
+    // odd 'c' Orders find no partner, stay unmarked; pass 2 delivers the odd
+    // Statuses and the stragglers join. Two passes must equal one full pass,
+    // with offsets continuing where pass 1 stopped.
+    "etl_incremental" -> Q(
+      (s, d) => {
+        val env = cdcEnvelopes(s, d)
+        val pass1 = env.filter(
+          col("kafka.topic") === "Orders" ||
+            (col("kafka.topic") === "Statuses" && col("kafka.offset") % 2 === 0))
+        val inPool = Pool.create(s, Files.createTempDirectory("graft-etl-in-").toString)
+        val outPool = Pool.create(s, Files.createTempDirectory("graft-etl-out-").toString)
+        inPool.append(pass1)
+        Etl.run(s, inPool, outPool, transform)
+        inPool.append(env.filter(col("kafka.topic") === "Statuses" && col("kafka.offset") % 2 =!= 0))
+        Etl.run(s, inPool, outPool, transform)
+        outPool.read()
+          .filter(col("_kind") === "record")
+          .groupBy()
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("kafka.offset")).as("distinct_offsets"),
+            sum(col("value.id")).as("sum_id"))
+      },
+      Some(oraclePrelude +
+        """SELECT (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd) AS cnt,
+          |       (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd) AS distinct_offsets,
+          |       (SELECT sum(okey) FROM joined) + (SELECT sum(okey) FROM upd) AS sum_id""".stripMargin))
+  )
 }

@@ -1,0 +1,207 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.pool.{Envelope, Pool}
+
+/** The CDC ETL transform model (reference: etl/yaml.go:9-29 `Transform` /
+  * `Rule`; compiler etl/build.go:20-107; executor etl/pipeline.go).
+  *
+  * A transform reads CDC envelopes from an input pool, routes each
+  * not-yet-processed record through the first matching rule (switch/case,
+  * build.go:92-107), applies stateless or denormalizing (join) logic, and
+  * atomically commits output records plus per-input `done` markers —
+  * reprocessing is prevented by an anti-join against those markers
+  * (build.go:111-116; README.md:349-389), so the pipeline is exactly-once
+  * and restart-safe with no state store: state lives in the output pool.
+  *
+  * Spark-first divergence from the reference: instead of generating Zed text
+  * and shipping it to a lake service, rules compile directly into one
+  * DataFrame plan — scans, anti-join, switch branches, the denorm join, and
+  * offset assignment all optimize together under Catalyst (pushdown reaches
+  * the parquet scans; the done-key side of the anti-join broadcasts).
+  *
+  * Rule expression surface: `where`/`out` are SQL text evaluated over the
+  * record bound as a struct column `in` (stateless) or `left`/`right`
+  * (denorm) — the Q11 `yield {left:this}` wrapping from build.go:171,199-200,
+  * which makes joins collision-free by construction.
+  */
+sealed trait Rule {
+  def where: Option[String]
+}
+
+/** Stateless rule (etl/build.go:163-185): one input topic, `out*` SQL over
+  * `in`.
+  */
+final case class StatelessRule(
+    inTopic: String,
+    where: Option[String],
+    outKey: String,
+    outValue: String) extends Rule
+
+/** Denormalizing rule (etl/build.go:187-216): join `leftTopic` × `rightTopic`
+  * on `joinOn` (SQL over `left`/`right`), `out*` SQL over both.
+  */
+final case class DenormRule(
+    leftTopic: String,
+    rightTopic: String,
+    joinOn: String,
+    where: Option[String],
+    outKey: String,
+    outValue: String) extends Rule
+
+/** One output topic's transform (etl/yaml.go:9-18; routes constraint: all
+  * inputs come from one pool, etl/routes.go:66-69).
+  */
+final case class Transform(
+    inputTopics: Seq[String],
+    outputTopic: String,
+    rules: Seq[Rule])
+
+object Etl {
+
+  /** Compile + run one transform pass (the reference's one-shot `zync etl`,
+    * cmd/zync/etl/command.go:82-91): read input pool, drop already-done
+    * records, apply rules, assign output offsets, atomically commit records
+    * + markers. Returns (records, markers) counts.
+    */
+  def run(spark: SparkSession, input: Pool, output: Pool, t: Transform): (Long, Long) = {
+    val batch = compile(spark, input.read(), outputState(output), t)
+    val cached = batch.cache()
+    try {
+      val records = cached.filter(col(Envelope.KindCol) === Envelope.KindRecord).count()
+      val markers = cached.filter(col(Envelope.KindCol) === Envelope.KindDone).count()
+      if (records + markers > 0) output.append(cached)
+      (records, markers)
+    } finally cached.unpersist()
+  }
+
+  /** The output pool's relevant state: done-marker keys (potentially huge —
+    * stays distributed) + per-topic offset bases (tiny — a scalar map, the
+    * reference's own metadata query, etl/pool.go:60-81).
+    */
+  final case class OutputState(doneKeys: Option[DataFrame], baseOffsets: Map[String, Long])
+
+  def outputState(output: Pool): OutputState =
+    if (output.isEmpty) OutputState(None, Map.empty)
+    else {
+      val all = output.read()
+      val done = all.filter(col(Envelope.KindCol) === Envelope.KindDone)
+        .select(col("kafka.topic").as("_done_topic"), col("kafka.offset").as("_done_offset"))
+      val base = all.filter(col(Envelope.KindCol) === Envelope.KindRecord)
+        .groupBy(col("kafka.topic").as("_base_topic"))
+        .agg(max(col("kafka.offset")).as("_base_offset"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      OutputState(Some(done), base)
+    }
+
+  /** Pure plan compiler — testable without pools on any envelope DataFrame. */
+  def compile(spark: SparkSession, input: DataFrame, state: OutputState, t: Transform): DataFrame = {
+    // 1. Source per input topic with T7 anti-join vs done markers
+    //    (build.go:111-116 fromTemplate). Single unioned scan + join on
+    //    (topic, offset) — the reference scans per topic because each
+    //    generated scan is already topic-filtered; one scan + pushdown is
+    //    the Spark-shaped equivalent (SURVEY Q21 note).
+    val scoped = input
+      .filter(col("kafka.topic").isin(t.inputTopics: _*))
+      .filter(col(Envelope.KindCol) === Envelope.KindRecord)
+    // Join strategy intentionally left to AQE: the done-key side is small
+    // early on (broadcast) but grows with processed history — at scale it
+    // must be allowed to fall back to a shuffled join.
+    val fresh = state.doneKeys match {
+      case None => scoped
+      case Some(done) =>
+        scoped.join(done,
+          col("kafka.topic") === col("_done_topic") &&
+            col("kafka.offset") === col("_done_offset"),
+          "left_anti")
+    }
+
+    // 2. Switch routing with strict first-match parity (build.go:92-107):
+    //    each rule's branch predicate excludes all earlier rules' matches.
+    val in = fresh.select(struct(col("*")).as("in"))
+    val matches: Seq[Column] = t.rules.map {
+      case r: StatelessRule =>
+        val base = col("in.kafka.topic") === r.inTopic
+        r.where.map(w => base && expr(w)).getOrElse(base)
+      case r: DenormRule =>
+        val base = col("in.kafka.topic").isin(r.leftTopic, r.rightTopic)
+        r.where.map(w => base && expr(w)).getOrElse(base)
+    }
+    def branchInput(i: Int): DataFrame = {
+      val notEarlier = matches.take(i).foldLeft(matches(i))((acc, m) => acc && !coalesce(m, lit(false)))
+      in.filter(notEarlier)
+    }
+
+    // 3. Per-rule outputs: (out-records, done-markers)
+    val branches: Seq[(DataFrame, DataFrame)] = t.rules.zipWithIndex.map {
+      case (r: StatelessRule, i) =>
+        val b = branchInput(i)
+        val outs = b.select(
+          col("in.kafka").as("_src_kafka"),
+          expr(r.outKey).as("key"),
+          expr(r.outValue).as("value"))
+        val dones = b.select(col("in.kafka").as("_done_kafka"))
+        (outs, dones)
+      case (r: DenormRule, i) =>
+        val b = branchInput(i)
+        val left = b.filter(col("in.kafka.topic") === r.leftTopic).select(col("in").as("left"))
+        val right = b.filter(col("in.kafka.topic") === r.rightTopic).select(col("in").as("right"))
+        // build.go:202: inner equi-join; both sides wrapped → collision-free.
+        val joined = left.join(right, expr(r.joinOn), "inner")
+        val outs = joined.select(
+          col("left.kafka").as("_src_kafka"), // out.kafka := left in.kafka (build.go:207-209)
+          expr(r.outKey).as("key"),
+          expr(r.outValue).as("value"))
+        // done markers for BOTH joined sides (build.go:210-213); unjoined
+        // records stay unmarked → picked up when their partner arrives.
+        val dones = joined.select(col("left.kafka").as("_done_kafka"))
+          .unionByName(joined.select(col("right.kafka").as("_done_kafka")))
+          .distinct()
+        (outs, dones)
+    }
+
+    // 4. Merge branches (Q25 union), assign output offsets (Q32,
+    //    etl/pipeline.go:127-164): consecutive per output topic, ordered by
+    //    source kafka meta, continuing from the output pool's max.
+    //
+    //    Scale note: globally-consecutive numbering is inherently ordered,
+    //    but it does NOT need a single-partition window — range-partition by
+    //    the ordering key, sort within partitions, then zipWithIndex (which
+    //    only collects per-partition counts). The reference holds the whole
+    //    update in driver memory here (pipeline.go:87-91, a known TODO);
+    //    this stays fully distributed.
+    val allOuts = branches.map(_._1).reduce(_ unionByName _)
+    val allDones = branches.map(_._2).reduce(_ unionByName _)
+
+    val baseOffset = state.baseOffsets.getOrElse(t.outputTopic, -1L)
+    val sorted = allOuts
+      .repartitionByRange(col("_src_kafka.topic"), col("_src_kafka.offset"))
+      .sortWithinPartitions(col("_src_kafka.topic"), col("_src_kafka.offset"))
+    val sortedSchema = sorted.schema
+    val outTopic = t.outputTopic
+    val indexedRows = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (baseOffset + idx + 1))
+    }
+    val records = spark
+      .createDataFrame(indexedRows,
+        sortedSchema.add("_offset", org.apache.spark.sql.types.LongType, nullable = false))
+      .select(
+        struct(
+          lit(outTopic).as("topic"),
+          lit(0L).as("partition"),
+          col("_offset").as("offset")).as("kafka"),
+        col("key"), col("value"),
+        lit(Envelope.KindRecord).as(Envelope.KindCol))
+
+    val markers = allDones.select(
+      col("_done_kafka").as("kafka"),
+      lit(null).cast(records.schema("key").dataType).as("key"),
+      lit(null).cast(records.schema("value").dataType).as("value"),
+      lit(Envelope.KindDone).as(Envelope.KindCol))
+
+    records.unionByName(markers)
+  }
+}
