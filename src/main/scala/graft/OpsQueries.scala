@@ -1,10 +1,236 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.Queries.Q
 
-/** LLM-data-pipeline operators (dedup, similarity, text, multimodal) —
-  * filled in as the ops module lands.
+/** LLM-data-pipeline operators, driver-checked. Dedup/text corpora are
+  * salted with synthetic duplicates (exact copies at id+200000, near-copies
+  * with appended words at id+100000; embedding near-copies scaled ×1.01) so
+  * every detector provably *finds* something — the oracle mirrors the same
+  * salting in SQL.
   */
 object OpsQueries {
-  val all: Map[String, Q] = Map.empty
+
+  // --- shared corpora (Spark side) -----------------------------------------
+
+  private def textCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("id") % 5 === 0)
+        .select((col("id") + 100000).as("id"),
+          concat(col("text"), lit(" extra words appended")).as("text")))
+      .unionByName(docs.filter(col("id") % 7 === 0)
+        .select((col("id") + 200000).as("id"), col("text")))
+  }
+
+  private def embBase(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings").select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def embCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = embBase(s, d)
+    base.unionByName(base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"),
+        transform(col("v"), x => x * 1.01).as("v")))
+  }
+
+  // --- shared corpora (oracle side) ----------------------------------------
+
+  private val textCorpusSql =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text || ' extra words appended'
+      |    FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 7 = 0)
+      |""".stripMargin
+
+  private val embBaseSql =
+    """WITH base AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)
+      |""".stripMargin
+
+  private val embCorpusSql = embBaseSql +
+    """, corpus AS (
+      |  SELECT * FROM base
+      |  UNION ALL SELECT vec_id + 100000, label, list_transform(v, x -> x * 1.01)
+      |    FROM base WHERE vec_id % 5 = 0)
+      |""".stripMargin
+
+  private val cosSql =
+    "list_sum(list_transform(list_zip(%A, %B), p -> p[1]*p[2])) / " +
+      "(sqrt(list_sum(list_transform(%A, x -> x*x))) * sqrt(list_sum(list_transform(%B, x -> x*x))))"
+  private def cos(a: String, b: String): String =
+    cosSql.replace("%A", a).replace("%B", b)
+
+  // DuckDB shingle expansion of corpus → (id, sh) distinct 3-grams
+  private val shinglesSql =
+    """words AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+      |sh0 AS (SELECT DISTINCT id,
+      |          unnest(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+      |        FROM words)
+      |""".stripMargin
+
+  // DuckDB 16-bit simhash mirror of Dedup.simhash
+  private val simhashOracle: String = {
+    val value = (0 until 16).map { b =>
+      val bit = s"((strpos('0123456789abcdef', substr(h, ${1 + b / 4}, 1)) - 1) >> ${3 - b % 4} & 1)"
+      s"CASE WHEN sum(2 * $bit - 1) > 0 THEN ${1 << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hx AS (SELECT id, substr(md5(tok), 1, 4) AS h FROM toks)
+       |SELECT id, ($value) AS simhash FROM hx GROUP BY id""".stripMargin
+  }
+
+  private val langCase: String = {
+    val scores = TextOps.profiles.map { case (l, ws) =>
+      l -> s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val whens = scores.map { case (l, e) => s"WHEN $e = $best AND $e > 0 THEN '$l'" }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
+  val all: Map[String, Q] = Map(
+
+    // ---------------- dedup ----------------
+
+    "dedup_exact" -> Q(
+      (s, d) => Dedup.exactGroups(textCorpus(s, d), "id", "text"),
+      Some(textCorpusSql +
+        """SELECT md5(text) AS fp, count(*) AS cnt, min(id) AS canonical
+          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin)),
+
+    "dedup_minhash_lsh" -> Q(
+      (s, d) => Dedup.lshCandidatePairs(textCorpus(s, d), "id", "text",
+        n = 3, numPerms = 16, bands = 4),
+      Some(textCorpusSql + "," + shinglesSql +
+        """, perms AS (SELECT id, sh, unnest(range(16)) AS p FROM sh0),
+          |mh AS (SELECT id, p, min(md5(concat(p, '|', sh))) AS mv FROM perms GROUP BY 1, 2),
+          |bands AS (SELECT id, p // 4 AS band, md5(string_agg(mv, ',' ORDER BY p)) AS bk
+          |          FROM mh GROUP BY 1, 2)
+          |SELECT DISTINCT a.id AS d1, b.id AS d2
+          |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id""".stripMargin),
+      headline = true),
+
+    "dedup_simhash" -> Q(
+      (s, d) => Dedup.simhash(
+        Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text")),
+        "id", "text"),
+      Some(simhashOracle)),
+
+    "dedup_ngram_jaccard" -> Q(
+      (s, d) => Dedup.jaccardPairs(textCorpus(s, d), "id", "text",
+        n = 3, threshold = 0.5, maxDf = 100),
+      Some(textCorpusSql + "," + shinglesSql +
+        """, freq AS (SELECT sh, count(*) AS c FROM sh0 GROUP BY sh),
+          |sh AS (SELECT s.id, s.sh FROM sh0 s JOIN freq f ON s.sh = f.sh WHERE f.c <= 100),
+          |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          |inters AS (SELECT a.id AS d1, b.id AS d2, count(*) AS inter
+          |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+          |SELECT d1, d2, inter, jaccard FROM (
+          |  SELECT d1, d2, inter,
+          |         inter * 1.0 / (s1.sz + s2.sz - inter) AS jaccard
+          |  FROM inters JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id)
+          |WHERE jaccard >= 0.5""".stripMargin)),
+
+    "dedup_embedding_cosine" -> Q(
+      (s, d) => Dedup.embeddingCosinePairs(embCorpus(s, d), "vec_id", "v", "label", 0.9),
+      Some(embCorpusSql +
+        s"""SELECT a.vec_id AS d1, b.vec_id AS d2
+           |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ${cos("a.v", "b.v")} >= 0.9""".stripMargin)),
+
+    // ---------------- similarity search ----------------
+
+    "sim_topk_brute" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        Similarity.bruteForceTopK(base, base.filter(col("vec_id") < 5), "vec_id", "v", k = 3)
+      },
+      Some(embBaseSql +
+        s""", q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+           |pairs AS (
+           |  SELECT query_id, vec_id AS neighbor_id, ${cos("qv", "v")} AS cos
+           |  FROM q JOIN base ON vec_id <> query_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin),
+      headline = true),
+
+    "sim_ivf_assign" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        Similarity.ivfAssign(base, base.filter(col("vec_id") < 8), "vec_id", "v")
+          .groupBy("centroid_id")
+          .agg(count(lit(1)).as("cnt"), sum("vec_id").as("sum_id"))
+      },
+      Some(embBaseSql +
+        s""", cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base WHERE vec_id < 8),
+           |scored AS (
+           |  SELECT b.vec_id, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN cent c)
+           |SELECT centroid_id, count(*) AS cnt, sum(vec_id) AS sum_id
+           |FROM scored WHERE rn = 1 GROUP BY centroid_id""".stripMargin)),
+
+    // ---------------- text analysis ----------------
+
+    "text_langid" -> Q(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
+      Some(s"""SELECT doc_id, $langCase AS lang_pred FROM documents""")),
+
+    "text_quality" -> Q(
+      (s, d) => TextOps.quality(
+        Tables.load(s, d, "documents"), "doc_id", "text"),
+      Some {
+        val stops = TextOps.profiles.head._2.map(w => s"'$w'").mkString(",")
+        s"""SELECT doc_id,
+           |  len(string_split(lower(text), ' ')) AS n_tokens,
+           |  length(text) * 1.0 / len(string_split(lower(text), ' ')) AS mean_tok_len,
+           |  len(list_filter(string_split(lower(text), ' '), x -> x IN ($stops))) * 1.0
+           |    / len(string_split(lower(text), ' ')) AS stopword_ratio,
+           |  len(list_distinct(string_split(lower(text), ' '))) * 1.0
+           |    / len(string_split(lower(text), ' ')) AS uniq_ratio,
+           |  (len(list_filter(string_split(lower(text), ' '), x -> x IN ($stops))) * 1.0
+           |    / len(string_split(lower(text), ' '))) * 0.5
+           |  + (len(list_distinct(string_split(lower(text), ' '))) * 1.0
+           |    / len(string_split(lower(text), ' '))) * 0.5 AS quality_score
+           |FROM documents""".stripMargin
+      }),
+
+    "text_tokens" -> Q(
+      (s, d) => TextOps.tokenCounts(Tables.load(s, d, "documents"), "doc_id", "text"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS ws_tokens,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS re_tokens
+             |FROM documents""".stripMargin)),
+
+    "text_fingerprint" -> Q(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+             |FROM documents""".stripMargin)),
+
+    // ---------------- multimodal ----------------
+
+    "mm_decode_stub" -> Q(
+      (s, d) => {
+        val media = Multimodal.attachPayload(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        Multimodal.decodeFeatures(media, "payload")
+          .select(col("doc_id"), col("n_bytes"),
+            col("meta.mime").as("mime"), col("meta.n_chars").as("n_chars"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             |       'text/plain' AS mime, length(text) AS n_chars
+             |FROM documents""".stripMargin))
+  )
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All operators are pure DataFrame transforms — shuffle-conscious,
+  * collect-free, and deterministic (hash functions are md5-based so results
+  * are engine-independent and reproducible across runs/engines):
+  *
+  *  - exact: one hash-aggregation, fully map-side-combinable.
+  *  - MinHash+LSH: the 100 TB near-dup path — signatures are a narrow
+  *    (id, perm, minhash) aggregation; candidate generation is a self-join
+  *    on (band, bandKey) buckets, i.e. shuffle keyed on tiny hashes, never
+  *    an all-pairs product.
+  *  - n-gram Jaccard: exact pairwise similarity via an inverted shingle
+  *    index join; `maxDf` caps hot shingles (stop-shingles) which otherwise
+  *    create quadratic skew — the classic scale hazard of this operator.
+  *  - SimHash: 16-bit signature per doc in a single aggregation.
+  *  - Embedding cosine: blocked pairwise (by a partition column, e.g. a
+  *    cluster/label id) so the join never goes all-pairs global.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5 fingerprint → (fp, cnt, canonical id). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical"))
+      .filter(col("cnt") > 1)
+
+  /** Distinct word n-gram shingles: (id, sh). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), explode(grams).as("sh")).distinct()
+  }
+
+  /** MinHash signatures over md5-string permutations: (id, p, mv).
+    * Permutation p's hash of shingle s is md5(p || '|' || s); the signature
+    * entry is the lexicographic min — a total order identical in any engine,
+    * no numeric hash needed.
+    */
+  def minhashSignatures(sh: DataFrame, numPerms: Int): DataFrame =
+    sh.withColumn("p", explode(sequence(lit(0), lit(numPerms - 1))))
+      .groupBy("id", "p")
+      .agg(min(md5(concat(col("p"), lit("|"), col("sh")))).as("mv"))
+
+  /** LSH banding: signature rows grouped into `bands` bands, each hashed to
+    * a band key; docs sharing any (band, key) bucket are candidate pairs.
+    */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numPerms / bands
+    val sig = minhashSignatures(shingles(df, idCol, textCol, n), numPerms)
+    val banded = sig
+      .groupBy(col("id"), floor(col("p") / rows).as("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("p"), col("mv")))),
+          x => x.getField("mv")),
+        ",")).as("bk"))
+    val a = banded.select(col("id").as("d1"), col("band"), col("bk"))
+    val b = banded.select(col("id").as("d2"), col("band"), col("bk"))
+    a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted shingle index.
+    * `maxDf` drops shingles appearing in more than that many docs — both a
+    * skew guard and a noise filter (mirrors stopword removal).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val rare = sh.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= maxDf).drop("df")
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = rare.select(col("id").as("d1"), col("sh"))
+      .join(rare.select(col("id").as("d2"), col("sh")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("d1", "d2", "inter", "jaccard")
+  }
+
+  /** 16-bit SimHash per document over distinct word tokens. Bit b of a
+    * token's hash comes from the first 4 hex chars of its md5; the simhash
+    * bit is the sign of the ±1 token votes — all integer arithmetic, so
+    * engine-portable.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .distinct()
+      .withColumn("h", substring(md5(col("tok")), 1, 4))
+    val votes: Seq[Column] = (0 until 16).map { b =>
+      val hexChar = s"substr(h, ${1 + b / 4}, 1)"
+      val bit = s"(shiftright(instr('0123456789abcdef', $hexChar) - 1, ${3 - b % 4}) & 1)"
+      sum(expr(s"2 * $bit - 1")).as(s"s$b")
+    }
+    val sums = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    val value = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0)))
+      .reduce(_ + _)
+    sums.select(col("id"), value.as("simhash"))
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold, blocked by `blockCol`
+    * so the pairwise join is bounded per block (use a cluster/LSH bucket id
+    * at scale — never all-pairs).
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("d1"), col(blockCol).as("blk"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("d2"), col(blockCol).as("blk"), col(vecCol).as("vb"))
+    a.join(b, Seq("blk")).filter(col("d1") < col("d2"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select("d1", "d2")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over embedding columns
+  * (`Array[Float]` / `Array[Double]`).
+  *
+  * - `bruteForceTopK`: the correctness baseline — broadcast the (small)
+  *   query set against the corpus, fold the dot product inside codegen'd
+  *   higher-order functions (`zip_with` + `aggregate`), distributed top-k
+  *   per query via window rank. Linear in corpus size, embarrassingly
+  *   parallel: this IS the right plan when queries are few.
+  * - `ivfAssign` / `ivfTopK`: the scale path — partition the corpus into
+  *   Voronoi cells of K centroids (inverted file); a query searches only
+  *   its cell (or nprobe cells), cutting scanned vectors by ~K×.
+  */
+object Similarity {
+
+  /** Elementwise-fold cosine similarity, deterministic left-to-right sums. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
+    val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbors per query vector (self-match excluded).
+    * Output: (query_id, rank, neighbor_id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id")) // broadcast(q) chosen by AQE
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
+    * id). Centroids must be small (broadcast); at scale they come from a
+    * k-means sample. Output: corpus columns + `centroid_id`.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_cos").desc, col("centroid_id"))
+    corpus.join(broadcast(c))
+      .withColumn("_cos", cosine(col(vecCol), col("centv")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_cos", "_rn", "centv")
+  }
+
+  /** IVF search: assign corpus + queries to cells, then brute-force only
+    * within the query's cell. Output: (query_id, rank, neighbor_id).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val ac = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    val aq = ivfAssign(queries, centroids, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    aq.join(ac, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

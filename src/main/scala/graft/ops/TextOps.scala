@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language ID, quality scoring,
+  * token counting, document fingerprinting. All codegen'd column
+  * expressions — no UDFs, no shuffles beyond the caller's.
+  */
+object TextOps {
+
+  /** Tiny stopword profiles for the n-gram/stopword language heuristic.
+    * (Real pipelines plug fastText-style models in via the same shape.)
+    */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "los", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"))
+
+  private def toks(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** Per-language stopword hit count. */
+  def langScore(textCol: Column, stopwords: Seq[String]): Column =
+    size(filter(toks(textCol), t => t.isInCollection(stopwords)))
+
+  /** Predicted language: highest stopword count, preference order on ties,
+    * `und` (undetermined) when nothing matches.
+    */
+  def langId(textCol: Column): Column = {
+    val scores = profiles.map { case (l, words) => l -> langScore(textCol, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(s === best && s > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * unique-token ratio, and a blended score. Ratios are single divisions
+    * of integers — bit-deterministic across engines.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t)
+    val nUniq = size(array_distinct(t))
+    val stops = langScore(col(textCol), profiles.head._2)
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      (length(col(textCol)) * lit(1.0) / nTok).as("mean_tok_len"),
+      (stops * lit(1.0) / nTok).as("stopword_ratio"),
+      (nUniq * lit(1.0) / nTok).as("uniq_ratio"))
+      .withColumn("quality_score",
+        col("stopword_ratio") * lit(0.5) + col("uniq_ratio") * lit(0.5))
+  }
+
+  /** Token counts: whitespace tokens + BPE-ish word/number/punct pieces. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(split(col(textCol), " ")).as("ws_tokens"),
+      size(expr(s"regexp_extract_all(lower($textCol), '[a-z]+|[0-9]+', 0)")).as("re_tokens"))
+
+  /** Content fingerprint: md5 of the sorted distinct token set — catches
+    * word-order-shuffled duplicates that exact hashing misses.
+    */
+  def fingerprint(textCol: Column): Column =
+    md5(array_join(array_sort(array_distinct(toks(textCol))), " "))
+}
