@@ -1,0 +1,91 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.codec.SchemaRegistry
+import graft.etl.{Etl, EtlYaml}
+import graft.pool.Pool
+
+/** Subcommand parity with the reference CLI (cmd/zync/main.go:7-16):
+  * consume, produce, etl, info, ls (from-kafka/to-kafka live in
+  * graft.streaming). Kept as library functions + a thin main so they are
+  * callable programmatically and testable offline.
+  */
+object Commands {
+
+  /** `consume`: read a pool (optionally from an offset) and print/return as
+    * JSON lines (cmd/zync/consume/command.go:71-107).
+    */
+  def consume(pool: Pool, topic: Option[String] = None, fromOffset: Long = 0L): Seq[String] = {
+    val base = pool.read()
+    val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
+    scoped.filter(col("kafka.offset") >= fromOffset)
+      .orderBy(col("kafka.topic"), col("kafka.offset"))
+      .toJSON.collect().toSeq
+  }
+
+  /** `produce`: load a file of records into a pool as enveloped values
+    * (cmd/zync/produce/command.go:72-81).
+    */
+  def produce(spark: SparkSession, pool: Pool, path: String, topic: String): Long = {
+    val df = if (path.endsWith(".json")) spark.read.json(path) else spark.read.parquet(path)
+    val off = pool.nextOffset(topic) max 0L
+    val withOffsets = df.withColumn("_row", monotonically_increasing_id())
+    val w = org.apache.spark.sql.expressions.Window.orderBy("_row")
+    val env = withOffsets
+      .withColumn("_off", row_number().over(w).cast("long") + off - 1)
+      .select(
+        struct(lit(topic).as("topic"), lit(0L).as("partition"), col("_off").as("offset")).as("kafka"),
+        lit(null).cast("string").as("key"),
+        struct(df.columns.map(col): _*).as("value"),
+        lit("record").as("_kind"))
+    pool.append(env)
+    env.count()
+  }
+
+  /** `info`: per-topic low/high watermarks of a pool
+    * (cmd/zync/info/command.go:58-63 over Kafka; here over the pool).
+    */
+  def info(pool: Pool): DataFrame =
+    pool.read().groupBy(col("kafka.topic").as("topic"))
+      .agg(min(col("kafka.offset")).as("low"), max(col("kafka.offset")).as("high"),
+        count(lit(1)).as("records"))
+
+  /** `ls`: registry subjects (cmd/zync/ls/command.go:42-64). */
+  def ls(registry: SchemaRegistry, ids: Seq[Int]): Seq[(Int, String)] =
+    ids.map(id => id -> registry.schemaById(id))
+
+  /** `etl`: one-shot YAML-configured transform pass
+    * (cmd/zync/etl/command.go:53-91).
+    */
+  def etl(spark: SparkSession, yamlText: String, poolRoot: String): (Long, Long) = {
+    val cfg = EtlYaml.parse(yamlText)
+    val in = Pool.open(spark, s"$poolRoot/${cfg.inputPool}")
+    val out = Pool.create(spark, s"$poolRoot/${cfg.outputPool}")
+    Etl.run(spark, in, out, cfg.transform)
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "consume" :: path :: rest =>
+      val spark = GraftSession.get()
+      consume(Pool.open(spark, path), rest.headOption).foreach(println)
+    case "info" :: path :: Nil =>
+      val spark = GraftSession.get()
+      info(Pool.open(spark, path)).show(truncate = false)
+    case "produce" :: poolPath :: file :: topic :: Nil =>
+      val spark = GraftSession.get()
+      println(produce(spark, Pool.create(spark, poolPath), file, topic))
+    case "etl" :: yamlPath :: poolRoot :: Nil =>
+      val spark = GraftSession.get()
+      val (r, m) = etl(spark, new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(yamlPath))), poolRoot)
+      println(s"records=$r markers=$m")
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage: consume <pool> [topic] | info <pool> |
+           |       produce <pool> <file> <topic> | etl <yaml> <poolRoot>""".stripMargin)
+      sys.exit(1)
+  }
+}

@@ -117,7 +117,9 @@ object ConfluentAvro {
       case (ByteType, v: Integer)  => v.toByte
       case (ShortType, v: Integer) => v.toShort
       case (StringType, v)         => v.toString // Utf8 → String
-      case (TimestampType, v: java.lang.Long)    => java.time.Instant.ofEpochSecond(v / 1000000L, (v % 1000000L) * 1000L)
+      case (TimestampType, v: java.lang.Long) =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
       case (TimestampNTZType, v: java.lang.Long) =>
         java.time.LocalDateTime.ofEpochSecond(v / 1000000L, ((v % 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
       case (DateType, v: Integer) => java.time.LocalDate.ofEpochDay(v.toLong)

@@ -87,7 +87,7 @@ object Multimodal {
     */
   def sampleFrames(df: DataFrame, payloadCol: String, every: Int): DataFrame =
     df.withColumn("frame_idx",
-      explode(sequence(lit(0), (octet_length(col(payloadCol)) - 1) / every)))
+      explode(sequence(lit(0), floor((octet_length(col(payloadCol)) - 1) / every).cast("int"))))
       .withColumn("frame_byte",
-        expr(s"get($payloadCol, frame_idx * $every)"))
+        expr(s"substring($payloadCol, frame_idx * $every + 1, 1)"))
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+class OpsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava,
+      StructType.fromDDL("id bigint, text string"))
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy dog again and again today",      // exact dup of 1
+      3L -> "the quick brown fox jumps over the lazy dog again and again yesterday", // near dup
+      4L -> "completely different content about spark query engines and columnar io")
+    val pairs = Dedup.lshCandidatePairs(df, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs equal, unrelated docs differ") {
+    val df = docs(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "totally unrelated words about something else entirely different here")
+    val m = Dedup.simhash(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("jaccard pairs: exact dup scores 1.0") {
+    val df = docs(
+      1L -> "one two three four five six seven eight nine ten eleven twelve",
+      2L -> "one two three four five six seven eight nine ten eleven twelve",
+      3L -> "unrelated garbage text with no overlap at all whatsoever in shingles")
+    val rows = Dedup.jaccardPairs(df, "id", "text").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+    assert(rows(0).getDouble(3) == 1.0)
+  }
+
+  test("brute-force topk finds the planted nearest neighbor first") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.99, 0.1, 0.0)), // closest to 0
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)))
+    val df = spark.createDataFrame(
+      vecs.map(v => Row(v._1, v._2)).asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0), "vec_id", "v", 2)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(2) == 1L)
+  }
+
+  test("language id picks the profile language") {
+    val df = docs(
+      1L -> "the cat is in the house and the dog is of the yard",
+      2L -> "der hund ist das tier und die katze ist ein tier",
+      3L -> "xyzzy plugh qwerty")
+    val m = df.select(col("id"), TextOps.langId(col("text")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("multimodal decode: batched features are deterministic and correct") {
+    val df = docs(1L -> "hello", 2L -> "world!!")
+    val media = Multimodal.attachPayload(df, "id", "text")
+    val feats = Multimodal.decodeFeatures(media, "payload")
+      .select("id", "n_bytes", "checksum", "features").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getLong(1) == 5L)
+    assert(feats(2L).getLong(1) == 7L)
+    // checksum matches a direct computation
+    val expected = "hello".getBytes("UTF-8").foldLeft(0L)((c, b) => (c * 31 + (b & 0xff)) & 0xffffffffL)
+    assert(feats(1L).getLong(2) == expected)
+    // histogram features sum to byte count
+    assert(feats(2L).getSeq[Float](3).sum == 7f)
+  }
+
+  test("frame sampling emits every k-th byte") {
+    val df = docs(1L -> "abcdefghij")
+    val media = Multimodal.attachPayload(df, "id", "text")
+    val frames = Multimodal.sampleFrames(media, "payload", every = 3)
+      .select("frame_idx", "frame_byte").orderBy("frame_idx").collect()
+    assert(frames.length == 4) // bytes 0,3,6,9
+    assert(frames.map(_.getAs[Array[Byte]](1)(0)).toSeq ==
+      Seq('a'.toByte, 'd'.toByte, 'g'.toByte, 'j'.toByte))
+  }
+}

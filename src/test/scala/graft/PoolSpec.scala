@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pool.{Envelope, Pool}
+
+class PoolSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def envelopes() = {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    Envelope.wrap(ev, col("event_type"), col("event_id"),
+      struct(col("user_id")).as("key"), Seq("event_id", "user_id", "value"))
+  }
+
+  test("append + read round-trips all rows") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val env = envelopes()
+    p.append(env)
+    assert(p.read().count() == env.count())
+  }
+
+  test("rejects batches without the kafka.offset pool key") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val bad = Tables.load(spark, TestSpark.sf, "events")
+    val e = intercept[IllegalArgumentException](p.append(bad))
+    assert(e.getMessage.contains("pool key"))
+  }
+
+  test("uncommitted segment directories are invisible to readers") {
+    val dir = Files.createTempDirectory("pool")
+    val p = Pool.create(spark, dir.toString)
+    p.append(envelopes().filter(col("kafka.offset") < 100))
+    val before = p.read().count()
+    // simulate a crashed writer: parquet data present, no manifest entry
+    envelopes().filter(col("kafka.offset") >= 100)
+      .write.parquet(dir.resolve("seg-zombie").toString)
+    assert(p.read().count() == before)
+  }
+
+  test("nextOffset resumes at per-topic max+1, earliest when unseen") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    assert(p.nextOffset("purchase") == Pool.KafkaOffsetEarliest)
+    p.append(envelopes())
+    val expected = Tables.load(spark, TestSpark.sf, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(max("event_id")).collect()(0).getLong(0) + 1
+    assert(p.nextOffset("purchase") == expected)
+    assert(p.nextOffset("no-such-topic") == Pool.KafkaOffsetEarliest)
+  }
+
+  test("maxOffsetsByTopic matches a direct aggregation") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    p.append(envelopes())
+    val got = p.maxOffsetsByTopic().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.load(spark, TestSpark.sf, "events")
+      .groupBy("event_type").agg(max("event_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}

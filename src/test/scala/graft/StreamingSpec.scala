@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pool.Pool
+import graft.streaming.{FileTopicSource, StreamSync}
+
+/** End-to-end Structured Streaming through the sync layer with a file-backed
+  * topic source — the offline analog of ztests/from-kafka.yaml.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private val wire = StructType.fromDDL(
+    "topic string, partition long, offset long, key binary, value binary")
+
+  private def wireRows(topic: String, offsets: Range): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = offsets.map(o =>
+      Row(topic, 0L, o.toLong, null, s"""{"n":$o}""".getBytes("UTF-8"))).asJava
+    spark.createDataFrame(rows, wire)
+  }
+
+  /** decode: wire → envelope (JSON value payload → typed struct). */
+  private def decode(batch: DataFrame): DataFrame =
+    batch.select(
+      struct(col("topic"), col("partition"), col("offset")).as("kafka"),
+      lit(null).cast("string").as("key"),
+      from_json(col("value").cast("string"), StructType.fromDDL("n long")).as("value"),
+      lit("record").as("_kind"))
+
+  test("from-topics streams micro-batches into the pool and resumes from sink state") {
+    val inDir = Files.createTempDirectory("wire").toString
+    val poolDir = Files.createTempDirectory("pool").toString
+    val ckpt1 = Files.createTempDirectory("ckpt").toString
+    val pool = Pool.create(spark, poolDir)
+
+    wireRows("T", 0 until 50).write.mode("append").parquet(inDir)
+    val q1 = StreamSync.fromTopics(spark, new FileTopicSource(inDir), Seq("T"),
+      pool, decode, checkpoint = ckpt1, interval = "1 seconds")
+    q1.processAllAvailable()
+    q1.stop()
+    assert(pool.read().count() == 50)
+    assert(pool.nextOffset("T") == 50)
+
+    // restart with a FRESH checkpoint: resume must come from the pool itself
+    // (T3 — fifo/lake.go:62-82), not Spark state.
+    wireRows("T", 50 until 80).write.mode("append").parquet(inDir)
+    val ckpt2 = Files.createTempDirectory("ckpt").toString
+    val q2 = StreamSync.fromTopics(spark, new FileTopicSource(inDir), Seq("T"),
+      pool, decode, checkpoint = ckpt2, interval = "1 seconds")
+    q2.processAllAvailable()
+    q2.stop()
+    val contents = pool.read()
+    assert(contents.count() == 80) // no duplicates of 0..49
+    assert(contents.select(countDistinct(col("kafka.offset"))).collect()(0).getLong(0) == 80)
+  }
+
+  test("shaper SQL applies per micro-batch") {
+    val inDir = Files.createTempDirectory("wire").toString
+    val pool = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    wireRows("T", 0 until 10).write.mode("append").parquet(inDir)
+    val q = StreamSync.fromTopics(spark, new FileTopicSource(inDir), Seq("T"), pool, decode,
+      shaper = Some(
+        "SELECT kafka, key, named_struct('n', value.n * 10) AS value, _kind FROM this_"),
+      checkpoint = Files.createTempDirectory("ckpt").toString, interval = "1 seconds")
+    q.processAllAvailable(); q.stop()
+    assert(pool.read().agg(sum("value.n")).collect()(0).getLong(0) == (0 until 10).map(_ * 10).sum)
+  }
+
+  test("to-topic drains the pool in offset-ordered batches from the high-water mark") {
+    val pool = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val env = decode(wireRows("T", 0 until 500))
+    pool.append(env)
+    val produced = scala.collection.mutable.ArrayBuffer[Long]()
+    val n = StreamSync.toTopic(pool, "T", highWaterMark = 100,
+      encode = identity,
+      sink = df => produced ++= df.select(col("kafka.offset")).collect().map(_.getLong(0)),
+      batchSize = 200)
+    assert(n == 400) // offsets 100..499
+    assert(produced.toSeq == (100L until 500L)) // strict order across batches
+  }
+}
