@@ -70,8 +70,10 @@ object Etl {
     val batch = compile(spark, input.read(), outputState(output), t)
     val cached = batch.cache()
     try {
-      val records = cached.filter(col(Envelope.KindCol) === Envelope.KindRecord).count()
-      val markers = cached.filter(col(Envelope.KindCol) === Envelope.KindDone).count()
+      val counts = cached.groupBy(Envelope.KindCol).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val records = counts.getOrElse(Envelope.KindRecord, 0L)
+      val markers = counts.getOrElse(Envelope.KindDone, 0L)
       if (records + markers > 0) output.append(cached)
       (records, markers)
     } finally cached.unpersist()
@@ -121,7 +123,11 @@ object Etl {
 
     // 2. Switch routing with strict first-match parity (build.go:92-107):
     //    each rule's branch predicate excludes all earlier rules' matches.
+    //    The post-anti-join input feeds every branch (the reference's `fork`
+    //    shares one scan) — persist it so branches filter materialized data
+    //    instead of each recomputing the scan + anti-join subtree.
     val in = fresh.select(struct(col("*")).as("in"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches: Seq[Column] = t.rules.map {
       case r: StatelessRule =>
         val base = col("in.kafka.topic") === r.inTopic

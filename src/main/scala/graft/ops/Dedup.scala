@@ -51,17 +51,25 @@ object Dedup {
 
   /** LSH banding: signature rows grouped into `bands` bands, each hashed to
     * a band key; docs sharing any (band, key) bucket are candidate pairs.
+    *
+    * Implementation is wide-form for scale: all `numPerms` minhashes are
+    * computed as parallel aggregate expressions over the (id, shingle) rows
+    * — no permutation explode, so the shuffled row count is the shingle
+    * count, not shingles × perms. Results are identical to the narrow form.
     */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numPerms / bands
-    val sig = minhashSignatures(shingles(df, idCol, textCol, n), numPerms)
-    val banded = sig
-      .groupBy(col("id"), floor(col("p") / rows).as("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("p"), col("mv")))),
-          x => x.getField("mv")),
-        ",")).as("bk"))
+    val sh = shingles(df, idCol, textCol, n)
+    val mins = (0 until numPerms).map(p =>
+      min(md5(concat(lit(p.toString), lit("|"), col("sh")))).as(s"m$p"))
+    val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (b * rows until (b + 1) * rows).map(p => col(s"m$p")): _*)).as("bk"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("x.band").as("band"), col("x.bk").as("bk"))
     val a = banded.select(col("id").as("d1"), col("band"), col("bk"))
     val b = banded.select(col("id").as("d2"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
