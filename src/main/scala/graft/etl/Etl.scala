@@ -80,10 +80,24 @@ object Etl {
   }
 
   /** The output pool's relevant state: done-marker keys (potentially huge —
-    * stays distributed) + per-topic offset bases (tiny — a scalar map, the
-    * reference's own metadata query, etl/pool.go:60-81).
+    * stays distributed), per-topic offset bases (tiny — a scalar map, the
+    * reference's own metadata query, etl/pool.go:60-81), and per-topic
+    * cursors.
+    *
+    * Cursor (T9, design.md:89-161 — designed in the reference, left
+    * unimplemented there as "brute force… scan the entire range",
+    * etl/build.go:9-18): the bound below which every input offset is known
+    * done. Detected cheaply: markers are distinct by construction, so a
+    * topic whose done-count equals done-max+1 has a contiguous [0, max]
+    * prefix → cursor = max+1. Both the input scan and the anti-join's
+    * done-key side are then pruned to `offset >= cursor`, turning the
+    * re-scan from O(full history) into O(unprocessed tail) — the win that
+    * matters when the input pool is 100 TB of history.
     */
-  final case class OutputState(doneKeys: Option[DataFrame], baseOffsets: Map[String, Long])
+  final case class OutputState(
+      doneKeys: Option[DataFrame],
+      baseOffsets: Map[String, Long],
+      cursors: Map[String, Long] = Map.empty)
 
   def outputState(output: Pool): OutputState =
     if (output.isEmpty) OutputState(None, Map.empty)
@@ -96,7 +110,14 @@ object Etl {
         .agg(max(col("kafka.offset")).as("_base_offset"))
         .collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      OutputState(Some(done), base)
+      val cursors = done
+        .groupBy(col("_done_topic"))
+        .agg(count(lit(1)).as("n"), max(col("_done_offset")).as("mx"), min(col("_done_offset")).as("mn"))
+        .collect()
+        .collect { case r if r.getLong(3) == 0L && r.getLong(1) == r.getLong(2) + 1 =>
+          r.getString(0) -> (r.getLong(2) + 1)
+        }.toMap
+      OutputState(Some(done), base, cursors)
     }
 
   /** Pure plan compiler — testable without pools on any envelope DataFrame. */
@@ -106,16 +127,26 @@ object Etl {
     //    (topic, offset) — the reference scans per topic because each
     //    generated scan is already topic-filtered; one scan + pushdown is
     //    the Spark-shaped equivalent (SURVEY Q21 note).
-    val scoped = input
-      .filter(col("kafka.topic").isin(t.inputTopics: _*))
-      .filter(col(Envelope.KindCol) === Envelope.KindRecord)
+    // T9 cursor pruning: offsets below the contiguously-done prefix can be
+    // skipped on BOTH sides — these predicates reach the parquet row-group
+    // stats of pools sorted by (topic, offset).
+    def cursorPrune(df: DataFrame, topicCol: Column, offsetCol: Column): DataFrame =
+      state.cursors.foldLeft(df) { case (acc, (topic, cur)) =>
+        acc.filter(!(topicCol === topic) || offsetCol >= cur)
+      }
+    val scoped = cursorPrune(
+      input
+        .filter(col("kafka.topic").isin(t.inputTopics: _*))
+        .filter(col(Envelope.KindCol) === Envelope.KindRecord),
+      col("kafka.topic"), col("kafka.offset"))
     // Join strategy intentionally left to AQE: the done-key side is small
     // early on (broadcast) but grows with processed history — at scale it
     // must be allowed to fall back to a shuffled join.
     val fresh = state.doneKeys match {
       case None => scoped
       case Some(done) =>
-        scoped.join(done,
+        scoped.join(
+          cursorPrune(done, col("_done_topic"), col("_done_offset")),
           col("kafka.topic") === col("_done_topic") &&
             col("kafka.offset") === col("_done_offset"),
           "left_anti")
