@@ -179,6 +179,32 @@ object OpsQueries {
            |SELECT centroid_id, count(*) AS cnt, sum(vec_id) AS sum_id
            |FROM scored WHERE rn = 1 GROUP BY centroid_id""".stripMargin)),
 
+    "sim_ivf_topk" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        Similarity.ivfTopK(base, base.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+          base.filter(col("vec_id") < 8), "vec_id", "v", k = 3)
+      },
+      Some(embBaseSql +
+        s""", cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT vec_id, v, centroid_id FROM (
+           |    SELECT b.vec_id, b.v, c.centroid_id,
+           |           row_number() OVER (PARTITION BY b.vec_id
+           |                              ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |         ${cos("q.v", "n.v")} AS cos
+           |  FROM assigned q JOIN assigned n
+           |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+           |  WHERE q.vec_id >= 100 AND q.vec_id < 110)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin)),
+
     // ---------------- text analysis ----------------
 
     "text_langid" -> Q(

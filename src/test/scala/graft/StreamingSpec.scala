@@ -71,6 +71,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(pool.read().agg(sum("value.n")).collect()(0).getLong(0) == (0 until 10).map(_ * 10).sum)
   }
 
+  test("fan-out: one wire stream feeds many pools, each scoped to its topics (T5)") {
+    val inDir = Files.createTempDirectory("wire").toString
+    val poolA = Pool.create(spark, Files.createTempDirectory("poolA").toString)
+    val poolB = Pool.create(spark, Files.createTempDirectory("poolB").toString)
+    wireRows("A", 0 until 30).write.mode("append").parquet(inDir)
+    wireRows("B", 0 until 20).write.mode("append").parquet(inDir)
+    val qa = StreamSync.fromTopics(spark, new FileTopicSource(inDir), Seq("A"), poolA,
+      decode, checkpoint = Files.createTempDirectory("ckpt").toString, interval = "1 seconds")
+    val qb = StreamSync.fromTopics(spark, new FileTopicSource(inDir), Seq("B"), poolB,
+      decode, checkpoint = Files.createTempDirectory("ckpt").toString, interval = "1 seconds")
+    qa.processAllAvailable(); qb.processAllAvailable()
+    qa.stop(); qb.stop()
+    assert(poolA.read().count() == 30)
+    assert(poolA.read().select(countDistinct(col("kafka.topic"))).collect()(0).getLong(0) == 1)
+    assert(poolB.read().count() == 20)
+  }
+
   test("to-topic drains the pool in offset-ordered batches from the high-water mark") {
     val pool = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val env = decode(wireRows("T", 0 until 500))
