@@ -50,21 +50,20 @@ object CodecQueries {
              |FROM orders""".stripMargin)),
 
     // C1 header handling: schema id round-trips through the 5-byte wire
-    // header (magic 0x00 + BE uint32, decoder.go:39-42).
+    // header (magic 0x00 + BE uint32, decoder.go:39-42), read back by the
+    // native codegen expression (plans/ConfluentExpressions).
     "codec_avro_header" -> Q(
       (s, d) => {
         val registry: SchemaRegistry = new InMemoryRegistry
         val ev = Tables.load(s, d, "events")
           .select(struct(col("event_id")).as("v"))
         val wire = ConfluentAvro.encodeDF(ev, "v", "bytes", registry)
-        import org.apache.spark.sql.Encoders
-        wire.select("bytes").map { r =>
-          val b = r.getAs[Array[Byte]](0)
-          (b(0).toInt, ConfluentAvro.schemaIdOf(b))
-        }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt))
-          .toDF("magic", "schema_id")
-          .groupBy("magic", "schema_id").agg(count(lit(1)).as("cnt"))
+        wire.select(
+          graft.plans.ConfluentFunctions.confluent_schema_id(col("bytes")).as("schema_id"),
+          (octet_length(graft.plans.ConfluentFunctions.confluent_body(col("bytes")))
+            - octet_length(col("bytes")) + 5).as("hdr_delta"))
+          .groupBy("schema_id", "hdr_delta").agg(count(lit(1)).as("cnt"))
       },
-      Some("""SELECT 0 AS magic, 1 AS schema_id, count(*) AS cnt FROM events"""))
+      Some("""SELECT 1 AS schema_id, 0 AS hdr_delta, count(*) AS cnt FROM events"""))
   )
 }

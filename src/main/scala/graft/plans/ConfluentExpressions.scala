@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graft.{ConfluentBody, ConfluentSchemaId, GraftColumnsBridge}
+
+/** Public surface for the native Confluent wire-header expressions (the
+  * expressions themselves live in the sql-package bridge,
+  * org.apache.spark.sql.graft, because they use `private[sql]` Catalyst
+  * types). See SURVEY §4: header parsing is the one custom Catalyst work
+  * item — these run inside whole-stage codegen.
+  */
+object ConfluentFunctions {
+  def confluent_schema_id(c: Column): Column =
+    GraftColumnsBridge.of(ConfluentSchemaId(GraftColumnsBridge.expr(c)))
+  def confluent_body(c: Column): Column =
+    GraftColumnsBridge.of(ConfluentBody(GraftColumnsBridge.expr(c)))
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `builder.withExtensions(new GraftExtensions)`) registers the SQL names
+  * `confluent_schema_id` / `confluent_body`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("confluent_schema_id"),
+      new ExpressionInfo(classOf[ConfluentSchemaId].getName, "confluent_schema_id"),
+      (children: Seq[Expression]) => ConfluentSchemaId(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("confluent_body"),
+      new ExpressionInfo(classOf[ConfluentBody].getName, "confluent_body"),
+      (children: Seq[Expression]) => ConfluentBody(children.head)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.ConfluentFunctions._
+
+class ExpressionSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def wireDF(rows: Array[Byte]*) =
+    spark.createDataFrame(rows.map(Row(_)).asJava,
+      StructType(Seq(StructField("b", BinaryType))))
+
+  test("confluent_schema_id decodes big-endian ids inside codegen") {
+    val df = wireDF(
+      Array[Byte](0, 0, 0, 0, 1, 9),
+      Array[Byte](0, 0, 1, 0, 0, 9),       // 65536
+      Array[Byte](0, 0x12, 0x34, 0x56, 0x78, 9),
+      null)
+    val got = df.select(confluent_schema_id(col("b")).as("id")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(got.toSeq == Seq(Some(1), Some(65536), Some(0x12345678), None))
+  }
+
+  test("confluent_body strips exactly the 5-byte header") {
+    val df = wireDF(Array[Byte](0, 0, 0, 0, 1, 10, 20, 30))
+    val body = df.select(confluent_body(col("b"))).collect()(0).getAs[Array[Byte]](0)
+    assert(body.toSeq == Seq[Byte](10, 20, 30))
+  }
+
+  test("bad magic / short input raise the wire-format error") {
+    val bad = wireDF(Array[Byte](1, 0, 0, 0, 1, 9))
+    val e = intercept[Exception](bad.select(confluent_schema_id(col("b"))).collect())
+    assert(e.getMessage.contains("Confluent wire header") ||
+      e.getCause.getMessage.contains("Confluent wire header"))
+  }
+
+  test("SQL names registered via GraftExtensions") {
+    wireDF(Array[Byte](0, 0, 0, 0, 7, 1)).createOrReplaceTempView("wire")
+    val r = spark.sql("SELECT confluent_schema_id(b) AS id, octet_length(confluent_body(b)) AS n FROM wire")
+      .collect()(0)
+    assert(r.getInt(0) == 7 && r.getInt(1) == 1)
+  }
+}
