@@ -67,7 +67,7 @@ object Etl {
     * + markers. Returns (records, markers) counts.
     */
   def run(spark: SparkSession, input: Pool, output: Pool, t: Transform): (Long, Long) = {
-    val batch = compile(spark, input.read(), outputState(output), t)
+    val (batch, persisted) = compilePlan(spark, input.read(), outputState(output), t)
     val cached = batch.cache()
     try {
       val counts = cached.groupBy(Envelope.KindCol).count().collect()
@@ -76,7 +76,10 @@ object Etl {
       val markers = counts.getOrElse(Envelope.KindDone, 0L)
       if (records + markers > 0) output.append(cached)
       (records, markers)
-    } finally cached.unpersist()
+    } finally {
+      cached.unpersist()
+      persisted.foreach(_.unpersist())
+    }
   }
 
   /** The output pool's relevant state: done-marker keys (potentially huge —
@@ -105,23 +108,32 @@ object Etl {
       val all = output.read()
       val done = all.filter(col(Envelope.KindCol) === Envelope.KindDone)
         .select(col("kafka.topic").as("_done_topic"), col("kafka.offset").as("_done_offset"))
-      val base = all.filter(col(Envelope.KindCol) === Envelope.KindRecord)
-        .groupBy(col("kafka.topic").as("_base_topic"))
-        .agg(max(col("kafka.offset")).as("_base_offset"))
+      // one metadata pass: per (topic, kind) count/min/max serves both the
+      // record offset bases and the done-prefix cursor detection
+      val stats = all
+        .groupBy(col("kafka.topic").as("t"), col(Envelope.KindCol).as("k"))
+        .agg(count(lit(1)).as("n"), min(col("kafka.offset")).as("mn"), max(col("kafka.offset")).as("mx"))
         .collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val cursors = done
-        .groupBy(col("_done_topic"))
-        .agg(count(lit(1)).as("n"), max(col("_done_offset")).as("mx"), min(col("_done_offset")).as("mn"))
-        .collect()
-        .collect { case r if r.getLong(3) == 0L && r.getLong(1) == r.getLong(2) + 1 =>
-          r.getString(0) -> (r.getLong(2) + 1)
-        }.toMap
+      val base = stats.collect {
+        case r if r.getString(1) == Envelope.KindRecord => r.getString(0) -> r.getLong(4)
+      }.toMap
+      val cursors = stats.collect {
+        case r if r.getString(1) == Envelope.KindDone &&
+            r.getLong(3) == 0L && r.getLong(2) == r.getLong(4) + 1 =>
+          r.getString(0) -> (r.getLong(4) + 1)
+      }.toMap
       OutputState(Some(done), base, cursors)
     }
 
-  /** Pure plan compiler — testable without pools on any envelope DataFrame. */
-  def compile(spark: SparkSession, input: DataFrame, state: OutputState, t: Transform): DataFrame = {
+  /** Plan compiler — testable without pools on any envelope DataFrame. */
+  def compile(spark: SparkSession, input: DataFrame, state: OutputState, t: Transform): DataFrame =
+    compilePlan(spark, input, state, t)._1
+
+  /** As [[compile]], also returning the intermediate persisted DataFrames so
+    * callers can unpersist after the batch is committed.
+    */
+  def compilePlan(spark: SparkSession, input: DataFrame, state: OutputState,
+      t: Transform): (DataFrame, Seq[DataFrame]) = {
     // 1. Source per input topic with T7 anti-join vs done markers
     //    (build.go:111-116 fromTemplate). Single unioned scan + join on
     //    (topic, offset) — the reference scans per topic because each
@@ -214,9 +226,13 @@ object Etl {
     val allDones = branches.map(_._2).reduce(_ unionByName _)
 
     val baseOffset = state.baseOffsets.getOrElse(t.outputTopic, -1L)
+    // persisted because zipWithIndex materializes its input eagerly (its
+    // per-partition count job) — without this the whole upstream pipeline
+    // would run once for the counts and again for the data pass
     val sorted = allOuts
       .repartitionByRange(col("_src_kafka.topic"), col("_src_kafka.offset"))
       .sortWithinPartitions(col("_src_kafka.topic"), col("_src_kafka.offset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sortedSchema = sorted.schema
     val outTopic = t.outputTopic
     val indexedRows = sorted.rdd.zipWithIndex.map { case (row, idx) =>
@@ -239,6 +255,6 @@ object Etl {
       lit(null).cast(records.schema("value").dataType).as("value"),
       lit(Envelope.KindDone).as(Envelope.KindCol))
 
-    records.unionByName(markers)
+    (records.unionByName(markers), Seq(in, sorted))
   }
 }
