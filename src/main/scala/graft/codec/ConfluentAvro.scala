@@ -132,8 +132,15 @@ object ConfluentAvro {
     }
   }
 
+  /** Fields are matched by name against the row's writer schema; target
+    * fields the writer doesn't carry decode as null (heterogeneous-batch
+    * superset reads, SURVEY §7.4.2).
+    */
   def recordToRow(rec: GenericRecord, st: StructType): Row =
-    Row.fromSeq(st.fields.toSeq.map(f => fromAvro(rec.get(f.name), f.dataType)))
+    Row.fromSeq(st.fields.toSeq.map { f =>
+      if (rec.getSchema.getField(f.name) == null) null
+      else fromAvro(rec.get(f.name), f.dataType)
+    })
 
   // ---------------------------------------------------------------------------
   // Wire encode / decode

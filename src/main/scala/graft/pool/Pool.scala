@@ -63,14 +63,22 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     * Validates the pool-key invariant (`kafka.offset` must exist,
     * fifo/lake.go:36-39), writes the segment sorted for stats-based pruning,
     * then commits by atomically replacing MANIFEST.
+    *
+    * @param presorted skip the range shuffle when the writer guarantees the
+    *   batch is already (topic, offset)-clustered — e.g. single-topic Kafka
+    *   micro-batches, which arrive in offset order. Row-group stats still
+    *   prune; the sampling pass + shuffle of the full batch is saved, which
+    *   is the bulk of commit latency for large micro-batches.
     */
-  def append(batch: DataFrame): Unit = {
+  def append(batch: DataFrame, presorted: Boolean = false): Unit = {
     require(hasKafkaOffset(batch), ErrBadPoolKey)
     val seg = f"seg-${committedSegments().size + 1}%06d-${System.nanoTime()}%x"
     val segDir = root.resolve(seg)
-    val sorted = batch
-      .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
-      .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+    val sorted =
+      if (presorted) batch.sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+      else batch
+        .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
+        .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
     sorted.write.mode(SaveMode.ErrorIfExists).parquet(segDir.toString)
     commit(seg)
   }

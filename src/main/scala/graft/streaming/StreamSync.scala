@@ -102,7 +102,10 @@ object StreamSync {
             }
           val env = decode(batch)
           val shaped = shaper.map(Shaper.shape(env, _)).getOrElse(env)
-          pool.append(shaped) // S4 atomic commit per micro-batch
+          // single-topic batches arrive offset-ordered (partition 0 pinned)
+          // → skip the range shuffle on commit (3× faster for 1M-record
+          // micro-batches; see tools/Throughput)
+          pool.append(shaped, presorted = topics.size == 1 && shaper.isEmpty)
         }
       }
       .start()

@@ -111,6 +111,29 @@ class CodecSpec extends AnyFunSuite {
     assert(r.schemaById(id3) == "schema-b")
   }
 
+  test("one batch, many schema ids: each row resolves its own writer schema") {
+    import scala.jdk.CollectionConverters._
+    // two record shapes on one "topic" (RecordNameStrategy — SURVEY §7.4.2)
+    val stA = StructType(Seq(StructField("id", LongType), StructField("a", StringType)))
+    val stB = StructType(Seq(StructField("id", LongType), StructField("b", DoubleType)))
+    val registry: SchemaRegistry = new InMemoryRegistry
+    val dfA = spark.createDataFrame(Seq(Row(Row(1L, "x"))).asJava,
+      StructType(Seq(StructField("v", stA))))
+    val dfB = spark.createDataFrame(Seq(Row(Row(2L, 2.5))).asJava,
+      StructType(Seq(StructField("v", stB))))
+    val wireA = ConfluentAvro.encodeDF(dfA, "v", "bytes", registry).select("bytes")
+    val wireB = ConfluentAvro.encodeDF(dfB, "v", "bytes", registry).select("bytes")
+    val mixed = wireA.unionByName(wireB)
+    // decode the mixed batch to the superset target: absent fields null,
+    // matched by field name against each row's own writer schema
+    val target = StructType(Seq(StructField("id", LongType),
+      StructField("a", StringType), StructField("b", DoubleType)))
+    val rows = ConfluentAvro.decodeDF(mixed, "bytes", "v", target, registry)
+      .select("v.id", "v.a", "v.b").orderBy("id").collect()
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(1) && rows(1).getDouble(2) == 2.5)
+  }
+
   test("bad wire header is rejected (decoder.go:36-42)") {
     intercept[IllegalArgumentException](ConfluentAvro.schemaIdOf(Array[Byte](1, 2)))
     intercept[IllegalArgumentException](
