@@ -143,6 +143,26 @@ object OpsQueries {
            |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
            |WHERE ${cos("a.v", "b.v")} >= 0.9""".stripMargin)),
 
+    "dedup_canonical" -> Q(
+      (s, d) => {
+        val corpus = textCorpus(s, d)
+        val withFp = corpus.select(col("id"), md5(col("text")).as("fp"))
+        val pairs = withFp.select(col("id").as("d1"), col("fp"))
+          .join(withFp.select(col("id").as("d2"), col("fp")), Seq("fp"))
+          .filter(col("d1") < col("d2"))
+          .select("d1", "d2")
+        Dedup.canonicalIds(corpus, "id", pairs)
+      },
+      Some(textCorpusSql +
+        """, pairs AS (
+          |  SELECT a.id AS d1, b.id AS d2 FROM corpus a JOIN corpus b
+          |  ON md5(a.text) = md5(b.text) AND a.id < b.id),
+          |nb AS (SELECT id, min(nb) AS nbmin FROM (
+          |  SELECT d1 AS id, d2 AS nb FROM pairs
+          |  UNION ALL SELECT d2, d1 FROM pairs) GROUP BY id)
+          |SELECT c.id, least(c.id, coalesce(nb.nbmin, c.id)) AS canonical
+          |FROM corpus c LEFT JOIN nb ON c.id = nb.id""".stripMargin)),
+
     // ---------------- similarity search ----------------
 
     "sim_topk_brute" -> Q(
@@ -244,6 +264,12 @@ object OpsQueries {
       Some("""SELECT doc_id,
              |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
              |FROM documents""".stripMargin)),
+
+    "text_vocab" -> Q(
+      (s, d) => TextOps.vocabulary(Tables.load(s, d, "documents"), "doc_id", "text", k = 100),
+      Some("""SELECT tok, count(DISTINCT doc_id) AS doc_freq, count(*) AS total
+             |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+             |GROUP BY tok ORDER BY total DESC, tok LIMIT 100""".stripMargin)),
 
     // ---------------- multimodal ----------------
 

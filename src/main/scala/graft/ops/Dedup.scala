@@ -122,6 +122,22 @@ object Dedup {
     sums.select(col("id"), value.as("simhash"))
   }
 
+  /** Canonical-id assignment from candidate pairs: every doc in a duplicate
+    * group maps to the group's minimum id (the kept copy). One round of
+    * min-propagation — exact for the clique-shaped groups LSH/exact dedup
+    * emit (every member pairs with the group minimum); deep chain topologies
+    * would need iterating, which is a driver-side loop of the same step.
+    * Docs in no pair keep their own id.
+    */
+  def canonicalIds(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val neighborMin = pairs.select(col("d1").as("id"), col("d2").as("nb"))
+      .unionByName(pairs.select(col("d2").as("id"), col("d1").as("nb")))
+      .groupBy("id").agg(min("nb").as("nbmin"))
+    df.select(col(idCol).as("id"))
+      .join(neighborMin, Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nbmin"), col("id"))).as("canonical"))
+  }
+
   /** Embedding near-dup pairs: cosine >= threshold, blocked by `blockCol`
     * so the pairwise join is bounded per block (use a cluster/LSH bucket id
     * at scale — never all-pairs).

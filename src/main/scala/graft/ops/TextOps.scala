@@ -66,4 +66,16 @@ object TextOps {
     */
   def fingerprint(textCol: Column): Column =
     md5(array_join(array_sort(array_distinct(toks(textCol))), " "))
+
+  /** Corpus vocabulary: token → (document frequency, total count), top-k by
+    * count. One explode + one aggregation — map-side combinable, the shape
+    * that survives 100 TB (the shuffle carries one row per distinct token
+    * per partition, not per occurrence).
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct("id").as("doc_freq"), count(lit(1)).as("total"))
+      .orderBy(col("total").desc, col("tok"))
+      .limit(k)
 }
