@@ -134,7 +134,9 @@ object StreamSync {
         val n = batch.count()
         if (n == 0) done = true
         else {
-          sink(encode(batch).orderBy(col("kafka.offset"))) // ordered produce (README.md:141-152)
+          // order BEFORE encoding: encoders may project the kafka meta away,
+          // and the row-codec map preserves partition order (README.md:141-152)
+          sink(encode(batch.orderBy(col("kafka.offset"))))
           val maxOff = batch.agg(max(col("kafka.offset"))).collect()(0).getLong(0)
           hwm = maxOff + 1
           produced += n
