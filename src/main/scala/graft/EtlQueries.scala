@@ -22,7 +22,7 @@ import graft.Queries.Q
   */
 object EtlQueries {
 
-  private def cdcEnvelopes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def cdcEnvelopes(s: SparkSession, d: String): DataFrame = {
     val nullL = lit(null).cast("bigint")
     val nullD = lit(null).cast("double")
     val nullS = lit(null).cast("string")
@@ -55,7 +55,7 @@ object EtlQueries {
     ord.unionByName(stat)
   }
 
-  private val transform = Transform(
+  private[graft] val transform = Transform(
     inputTopics = Seq("Orders", "Statuses"),
     outputTopic = "Enriched",
     rules = Seq(
