@@ -397,9 +397,27 @@ object Queries {
              |FROM fresh f LEFT JOIN base b ON f.event_type = b.event_type""".stripMargin))
   )
 
+  /** Beyond-reference streaming extension (SURVEY T8 notes the reference has
+    * no event-time windows; Structured Streaming gives them for free): the
+    * batch form of a tumbling event-time window. `ts` reads as raw ns longs
+    * (nanosAsLong), so the hour bucket is integer division — engine-exact.
+    */
+  val extensions: Map[String, Q] = Map(
+    "q33_time_window" -> Q(
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,2)")).as("total")),
+      Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
+             |       event_type, count(*) AS cnt,
+             |       sum(CAST(value AS DECIMAL(18,2))) AS total
+             |FROM events GROUP BY 1, 2""".stripMargin)))
+
   /** Full registry; extended by other modules' query packs. */
   def all: Map[String, Q] =
-    relational ++ PoolQueries.all ++ CodecQueries.all ++ EtlQueries.all ++ OpsQueries.all
+    relational ++ extensions ++ PoolQueries.all ++ CodecQueries.all ++
+      EtlQueries.all ++ OpsQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

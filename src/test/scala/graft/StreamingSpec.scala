@@ -88,6 +88,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(poolB.read().count() == 20)
   }
 
+  test("event-time tumbling window with watermark (beyond-reference T8 extension)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("win").toString
+    val schema = StructType.fromDDL("ts timestamp, k string, v double")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def rows(minOffsetMinutes: Int*) = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        minOffsetMinutes.map(m =>
+          Row(new java.sql.Timestamp(base.getTime + m * 60000L), "k1", 1.0)).asJava, schema)
+    }
+    rows(1, 5, 12, 61, 65).write.mode("append").parquet(inDir)
+    val agg = spark.readStream.schema(schema).parquet(inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("win_agg").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT window.start, cnt FROM win_agg ORDER BY 1").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L)) // hour 0: 3 events, hour 1: 2
+  }
+
   test("to-topic drains the pool in offset-ordered batches from the high-water mark") {
     val pool = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val env = decode(wireRows("T", 0 until 500))
