@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.pool.{Envelope, Pool}
 
@@ -20,7 +19,7 @@ import graft.pool.{Envelope, Pool}
   * and shipping it to a lake service, rules compile directly into one
   * DataFrame plan — scans, anti-join, switch branches, the denorm join, and
   * offset assignment all optimize together under Catalyst (pushdown reaches
-  * the parquet scans; the done-key side of the anti-join broadcasts).
+  * the parquet scans; AQE sizes the anti-join strategy).
   *
   * Rule expression surface: `where`/`out` are SQL text evaluated over the
   * record bound as a struct column `in` (stateless) or `left`/`right`
