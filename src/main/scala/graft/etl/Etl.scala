@@ -183,8 +183,8 @@ object Etl {
       in.filter(notEarlier)
     }
 
-    // 3. Per-rule outputs: (out-records, done-markers)
-    val branches: Seq[(DataFrame, DataFrame)] = t.rules.zipWithIndex.map {
+    // 3. Per-rule outputs: (out-records, done-markers, persisted handles)
+    val branches: Seq[(DataFrame, DataFrame, Seq[DataFrame])] = t.rules.zipWithIndex.map {
       case (r: StatelessRule, i) =>
         val b = branchInput(i)
         val outs = b.select(
@@ -192,23 +192,28 @@ object Etl {
           expr(r.outKey).as("key"),
           expr(r.outValue).as("value"))
         val dones = b.select(col("in.kafka").as("_done_kafka"))
-        (outs, dones)
+        (outs, dones, Seq.empty[DataFrame])
       case (r: DenormRule, i) =>
         val b = branchInput(i)
         val left = b.filter(col("in.kafka.topic") === r.leftTopic).select(col("in").as("left"))
         val right = b.filter(col("in.kafka.topic") === r.rightTopic).select(col("in").as("right"))
         // build.go:202: inner equi-join; both sides wrapped → collision-free.
+        // Projected + persisted immediately: the join feeds both the output
+        // records and BOTH marker legs — one execution instead of three.
         val joined = left.join(right, expr(r.joinOn), "inner")
-        val outs = joined.select(
-          col("left.kafka").as("_src_kafka"), // out.kafka := left in.kafka (build.go:207-209)
-          expr(r.outKey).as("key"),
-          expr(r.outValue).as("value"))
+          .select(
+            col("left.kafka").as("_src_kafka"), // out.kafka := left in.kafka (build.go:207-209)
+            col("right.kafka").as("_right_kafka"),
+            expr(r.outKey).as("key"),
+            expr(r.outValue).as("value"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val outs = joined.select(col("_src_kafka"), col("key"), col("value"))
         // done markers for BOTH joined sides (build.go:210-213); unjoined
         // records stay unmarked → picked up when their partner arrives.
-        val dones = joined.select(col("left.kafka").as("_done_kafka"))
-          .unionByName(joined.select(col("right.kafka").as("_done_kafka")))
+        val dones = joined.select(col("_src_kafka").as("_done_kafka"))
+          .unionByName(joined.select(col("_right_kafka").as("_done_kafka")))
           .distinct()
-        (outs, dones)
+        (outs, dones, Seq(joined))
     }
 
     // 4. Merge branches (Q25 union), assign output offsets (Q32,
@@ -223,6 +228,7 @@ object Etl {
     //    this stays fully distributed.
     val allOuts = branches.map(_._1).reduce(_ unionByName _)
     val allDones = branches.map(_._2).reduce(_ unionByName _)
+    val branchPersists = branches.flatMap(_._3)
 
     val baseOffset = state.baseOffsets.getOrElse(t.outputTopic, -1L)
     // persisted because zipWithIndex materializes its input eagerly (its
@@ -254,6 +260,6 @@ object Etl {
       lit(null).cast(records.schema("value").dataType).as("value"),
       lit(Envelope.KindDone).as(Envelope.KindCol))
 
-    (records.unionByName(markers), Seq(in, sorted))
+    (records.unionByName(markers), Seq(in, sorted) ++ branchPersists)
   }
 }
