@@ -412,7 +412,59 @@ object Queries {
       Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
              |       event_type, count(*) AS cnt,
              |       sum(CAST(value AS DECIMAL(18,2))) AS total
-             |FROM events GROUP BY 1, 2""".stripMargin)))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Sliding windows (1 h length, 30 min slide): every event belongs to
+    // exactly two windows — explode the two slide buckets. Integral ns
+    // arithmetic end-to-end.
+    "q34_sliding_window" -> Q(
+      (s, d) => {
+        val slide = 1800000000000L // 30 min in ns
+        t(s, d, "events")
+          .withColumn("k", explode(array(
+            expr(s"ts div ${slide}L - 1"), expr(s"ts div ${slide}L"))))
+          .groupBy((col("k") * slide).as("window_start_ns"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT k * 1800000000000 AS window_start_ns, event_type, count(*) AS cnt
+             |FROM (SELECT event_type,
+             |             unnest([epoch_ns(ts) // 1800000000000 - 1,
+             |                     epoch_ns(ts) // 1800000000000]) AS k
+             |      FROM events)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Session windows (30 min inactivity gap) per user: gaps-and-islands —
+    // a new session starts where the gap from the previous event exceeds
+    // the threshold; session id is the running count of session starts.
+    "q35_session_window" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000000L, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("cnt"),
+            ((max(col("ts")) - min(col("ts"))) / lit(1000000000L)).cast("long").as("duration_sec"))
+      },
+      Some("""WITH marked AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) AS tns,
+             |         CASE WHEN lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |                   > 1800000000000
+             |              THEN 1 ELSE 0 END AS new_session
+             |  FROM events),
+             |sess AS (
+             |  SELECT user_id, tns,
+             |         sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+             |                                ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM marked)
+             |SELECT user_id, session_id, count(*) AS cnt,
+             |       CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_sec
+             |FROM sess GROUP BY 1, 2""".stripMargin)))
 
   /** Full registry; extended by other modules' query packs. */
   def all: Map[String, Q] =
