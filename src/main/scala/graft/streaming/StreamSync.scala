@@ -111,6 +111,38 @@ object StreamSync {
       .start()
   }
 
+  /** Streaming CDC ETL (beyond-reference: the reference's `etl` is a
+    * cron-style one-shot, cmd/zync/etl/command.go:82-91): ingest wire
+    * batches into the input pool and run the transform per micro-batch.
+    * Exactly-once holds across arbitrary batch boundaries because the
+    * anti-join + atomic marker commit is the dedup mechanism, not the
+    * trigger — a restart or replay changes batching, not results.
+    */
+  def etlPipeline(
+      spark: SparkSession,
+      source: TopicSource,
+      topics: Seq[String],
+      inputPool: Pool,
+      outputPool: Pool,
+      transform: graft.etl.Transform,
+      decode: DataFrame => DataFrame,
+      checkpoint: String,
+      interval: String = "5 seconds"): StreamingQuery = {
+    val starts = topics.map(t => t -> inputPool.nextOffset(t)).toMap
+    source.readStream(spark, topics, starts)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          inputPool.append(decode(batch))
+          graft.etl.Etl.run(spark, inputPool, outputPool, transform)
+          ()
+        }
+      }
+      .start()
+  }
+
   /** `to-kafka` (3.2): pool → topic from the sink's high-water mark, batched
     * reads in offset order (fifo/to.go:31-55). Returns records produced.
     */

@@ -88,6 +88,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(poolB.read().count() == 20)
   }
 
+  test("streaming CDC ETL: micro-batched ingest + transform equals one-shot result") {
+    import graft.etl.{Etl, StatelessRule, Transform}
+    val t = Transform(Seq("T"), "Out", Seq(
+      StatelessRule("T", None,
+        "named_struct('id', in.value.n)",
+        "named_struct('id', in.value.n, 'doubled', in.value.n * 2)")))
+    val inDir = Files.createTempDirectory("wire").toString
+    val inPool = Pool.create(spark, Files.createTempDirectory("ip").toString)
+    val outPool = Pool.create(spark, Files.createTempDirectory("op").toString)
+    // wave 1 available before start; wave 2 lands mid-stream
+    wireRows("T", 0 until 40).write.mode("append").parquet(inDir)
+    val q = graft.streaming.StreamSync.etlPipeline(spark, new FileTopicSource(inDir),
+      Seq("T"), inPool, outPool, t, decode,
+      checkpoint = Files.createTempDirectory("ckpt").toString, interval = "1 seconds")
+    q.processAllAvailable()
+    wireRows("T", 40 until 100).write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+    val recs = outPool.read().filter(col("_kind") === "record")
+    assert(recs.count() == 100)
+    assert(recs.select(countDistinct(col("kafka.offset"))).collect()(0).getLong(0) == 100)
+    assert(recs.agg(sum("value.doubled")).collect()(0).getLong(0) == (0 until 100).map(_ * 2).sum)
+    // second pass over the same input adds nothing (exactly-once)
+    assert(Etl.run(spark, inPool, outPool, t) == (0L, 0L))
+  }
+
   test("event-time tumbling window with watermark (beyond-reference T8 extension)") {
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("win").toString
