@@ -49,6 +49,16 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(3) == 1.0)
   }
 
+  test("canonical ids collapse dup groups to the minimum, singletons keep their id") {
+    val df = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    val pairs = spark.createDataFrame(
+      Seq(Row(1L, 3L), Row(1L, 4L), Row(3L, 4L)).asJava, // clique {1,3,4}
+      StructType.fromDDL("d1 bigint, d2 bigint"))
+    val m = Dedup.canonicalIds(df, "id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("brute-force topk finds the planted nearest neighbor first") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0)),
