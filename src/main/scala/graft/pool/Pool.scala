@@ -20,12 +20,18 @@ import scala.jdk.CollectionConverters._
   *     seg-000002/ *.parquet
   * }}}
   *
-  * Readers list MANIFEST and read only committed segments, so a crashed or
-  * concurrent writer's half-written segment directory is invisible — this is
-  * the "transactionally consistent batch + markers in one commit" guarantee
+  * Readers list MANIFEST and read only committed segments, so a crashed
+  * writer's half-written segment directory is invisible — this is the
+  * "transactionally consistent batch + markers in one commit" guarantee
   * (etl/pipeline.go:92-125, fifo/lake.go:58-60). On a real deployment the
   * same interface maps onto a table format with ACID appends; the manifest
   * protocol here is self-contained and object-store-safe (one atomic rename).
+  *
+  * Concurrency: ONE writer per pool (commit is synchronized in-process;
+  * cross-process concurrent writers would race the manifest rewrite). The
+  * reference carries the same single-writer requirement (README.md:141-152
+  * ordering guarantees assume a single loader); multi-writer pools belong to
+  * an ACID table format, not this protocol. Any number of readers is safe.
   *
   * Scale design: each committed segment is written sorted by
   * (kafka.topic, kafka.offset) via repartitionByRange + sortWithinPartitions,
