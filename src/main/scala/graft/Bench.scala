@@ -1,28 +1,57 @@
 package graft
+
+import java.io.{FileDescriptor, FileOutputStream, PrintStream}
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE machine-parseable JSON line on stdout.
+  * Everything else (Spark logs, codegen warnings, stack traces) is forced to
+  * stderr so the driver's parser never sees it; per-query failures are
+  * recorded in an "errors" map instead of being swallowed.
+  */
 object Bench {
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
+
   def main(args: Array[String]): Unit = {
+    val realOut = System.out
+    val toErr = new PrintStream(new FileOutputStream(FileDescriptor.err), true)
+    System.setOut(toErr) // Java-side printers (Janino, log fallbacks)
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Console.withOut covers Scala-side println (scala.Console snapshots
+    // System.out at classload, so setOut alone isn't enough).
+    Console.withOut(toErr) {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+
+      val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => errors(name) = e.toString.linesIterator.next().take(300) }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
+      val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      spark.stop()
+      realOut.println(line)
+      realOut.flush()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

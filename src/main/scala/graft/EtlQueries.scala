@@ -161,6 +161,6 @@ object EtlQueries {
       Some(oraclePrelude +
         """SELECT (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd) AS cnt,
           |       (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd) AS distinct_offsets,
-          |       (SELECT sum(okey) FROM joined) + (SELECT sum(okey) FROM upd) AS sum_id""".stripMargin))
+          |       CAST((SELECT sum(okey) FROM joined) + (SELECT sum(okey) FROM upd) AS BIGINT) AS sum_id""".stripMargin))
   )
 }

@@ -196,7 +196,7 @@ object OpsQueries {
            |         row_number() OVER (PARTITION BY b.vec_id
            |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
            |  FROM base b CROSS JOIN cent c)
-           |SELECT centroid_id, count(*) AS cnt, sum(vec_id) AS sum_id
+           |SELECT centroid_id, count(*) AS cnt, CAST(sum(vec_id) AS BIGINT) AS sum_id
            |FROM scored WHERE rn = 1 GROUP BY centroid_id""".stripMargin)),
 
     "sim_ivf_topk" -> Q(

@@ -41,7 +41,7 @@ object PoolQueries {
             sum(col("value.user_id")).as("sum_user"))
       },
       Some("""SELECT event_type AS topic, count(*) AS cnt, max(event_id) AS max_offset,
-             |       sum(user_id) AS sum_user
+             |       CAST(sum(user_id) AS BIGINT) AS sum_user
              |FROM events GROUP BY event_type""".stripMargin)),
 
     // Q16/T3: per-topic max offset + derived resume offset (max+1)
@@ -75,7 +75,7 @@ object PoolQueries {
           .agg(count(lit(1)).as("distinct_offsets"), sum("copies").as("total_rows"))
       },
       Some("""SELECT event_type AS topic, count(*) AS distinct_offsets,
-             |       count(*) + sum(CASE WHEN event_id >= 400 AND event_id < 600 THEN 1 ELSE 0 END) AS total_rows
+             |       CAST(count(*) + sum(CASE WHEN event_id >= 400 AND event_id < 600 THEN 1 ELSE 0 END) AS BIGINT) AS total_rows
              |FROM events GROUP BY event_type""".stripMargin))
   )
 }

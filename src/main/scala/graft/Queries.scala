@@ -221,9 +221,10 @@ object Queries {
           .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("cnt"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).as("total")),
+            // exact decimal sum, then DOUBLE for engine-identical rendering
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total")),
       Some("""SELECT c_mktsegment, count(*) AS cnt,
-             |       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+             |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment""".stripMargin)),
 
@@ -351,13 +352,16 @@ object Queries {
         t(s, d, "lineitem")
           .groupBy("l_returnflag")
           .agg(
-            sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+            // exact decimal sums, then DOUBLE so Spark's DECIMAL(28,2) and
+            // DuckDB's DECIMAL(38,2) render identically for the hash compare
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
             sum(col("l_extendedprice").cast("decimal(18,2)") *
-              (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))).as("revenue")),
+              (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+              .cast("double").as("revenue")),
       Some("""SELECT l_returnflag,
-             |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       headline = true),
 
@@ -408,10 +412,10 @@ object Queries {
         t(s, d, "events")
           .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("value").cast("decimal(18,2)")).as("total")),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total")),
       Some("""SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket,
              |       event_type, count(*) AS cnt,
-             |       sum(CAST(value AS DECIMAL(18,2))) AS total
+             |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
     // Sliding windows (1 h length, 30 min slide): every event belongs to
@@ -459,8 +463,8 @@ object Queries {
              |  FROM events),
              |sess AS (
              |  SELECT user_id, tns,
-             |         sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
-             |                                ROWS UNBOUNDED PRECEDING) AS session_id
+             |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tns, event_id
+             |                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM marked)
              |SELECT user_id, session_id, count(*) AS cnt,
              |       CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_sec

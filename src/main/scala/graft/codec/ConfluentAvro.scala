@@ -2,11 +2,12 @@ package graft.codec
 
 import java.io.ByteArrayOutputStream
 import java.nio.ByteBuffer
+import java.security.MessageDigest
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.{LogicalType, LogicalTypes, Schema}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types._
 
@@ -16,16 +17,28 @@ import org.apache.spark.sql.types._
   * 4-byte big-endian schema id, Avro binary body.
   *
   * Schema translation (zavro/schema.go:35-71): every record field is encoded
-  * as a `[null, T]` union — i.e. Spark nullability — and time maps to
-  * `timestamp-micros` longs (encoder.go:153-156), which is exactly Spark's
-  * native µs TimestampType.
+  * as a `[null, T]` union — i.e. Spark nullability — except fields whose type
+  * IS null (schema.go:45-51); time maps to `timestamp-micros` longs
+  * (encoder.go:153-156), which is exactly Spark's native µs TimestampType.
+  * Record names are `zng_<md5(canonical type)>` (schema.go:58-62), so a
+  * repeated record type re-uses one definition and later occurrences render
+  * as named references (schema.go:36-37 `RecursiveSchema`; golden behavior
+  * zavro/schema_test.go:80-117).
+  *
+  * Decode direction (zavro/schema.go:174-244): optional `[null, T]` unions
+  * collapse to nullable T; a non-optional union becomes a tag struct
+  * `{tag:int, b0:…, b1:…}` (the Spark rendering of decoder.go:156-160's
+  * tagged container, SURVEY §1.2); enums stringify (connectjson.go:87-89);
+  * Avro maps become `map<string, T>`.
   *
   * No spark-avro module ships in this environment, so the converter is
   * implemented directly on org.apache.avro (same library Spark itself
-  * vendors). Encode runs as a codegen-compatible UDF over a struct column;
-  * decode maps with a Row encoder. Per-id parsed-schema caches live in
-  * executor statics — the Spark analog of the reference's caches
-  * (zavro/decoder.go:54-72, encoder.go:37-57).
+  * vendors). Both codec directions run as `mapPartitions` with per-partition
+  * reuse of the decoder/reader/encoder machinery (the cost model of the
+  * reference's streaming decoder, zavro/decoder.go:74-221) — allocation per
+  * row is limited to the output Row itself. Per-id parsed-schema caches live
+  * in executor statics, the Spark analog of zavro/decoder.go:54-72 and
+  * encoder.go:37-57.
   */
 object ConfluentAvro {
 
@@ -35,21 +48,71 @@ object ConfluentAvro {
   // Spark StructType → Avro schema (zavro/schema.go:35-71 semantics)
   // ---------------------------------------------------------------------------
 
-  def avroSchema(st: StructType, name: String): Schema = structSchema(st, name, new java.util.HashSet[String])
+  /** Canonical type string hashed into the record name — rendered zed-style
+    * (`{a:int64,b:{…}}`, zson.FormatType analog) so structurally identical
+    * record types get identical names regardless of field position. For the
+    * types both systems share, the md5 therefore matches the reference's
+    * (zavro/schema_test.go golden hashes).
+    */
+  def canonicalType(dt: DataType): String = dt match {
+    case st: StructType =>
+      st.fields.map(f => s"${f.name}:${canonicalType(f.dataType)}").mkString("{", ",", "}")
+    case ArrayType(et, _) => s"[${canonicalType(et)}]"
+    case MapType(kt, vt, _) => s"|{${canonicalType(kt)}:${canonicalType(vt)}}|"
+    case ByteType => "int8"
+    case ShortType => "int16"
+    case IntegerType => "int32"
+    case LongType => "int64"
+    case FloatType => "float32"
+    case DoubleType => "float64"
+    case BooleanType => "bool"
+    case StringType => "string"
+    case BinaryType => "bytes"
+    case TimestampType | TimestampNTZType => "time"
+    case DateType => "date"
+    case NullType => "null"
+    case other => other.simpleString
+  }
 
-  private def structSchema(st: StructType, name: String, seen: java.util.HashSet[String]): Schema = {
-    val rec = Schema.createRecord(name, null, "graft", false)
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def recordName(st: StructType): String = s"zng_${md5Hex(canonicalType(st))}"
+
+  def avroSchema(st: StructType, name: String): Schema =
+    avroSchema(st, Some(name))
+
+  /** Derive the Avro schema; with no explicit name, records are named by
+    * content hash (`zng_<md5>`) like the reference, and a record type that
+    * appears more than once is emitted once and referenced by name thereafter
+    * (Avro renders a reused Schema instance as a name reference).
+    */
+  def avroSchema(st: StructType, name: Option[String] = None): Schema =
+    structSchema(st, name, new java.util.HashMap[String, Schema])
+
+  private def structSchema(st: StructType, name: Option[String],
+      defined: java.util.HashMap[String, Schema]): Schema = {
+    val recName = name.getOrElse(recordName(st))
+    val existing = defined.get(recName)
+    if (existing != null) return existing // named reference (schema.go:36-37)
+    val rec = Schema.createRecord(recName, null, "graft", false)
+    defined.put(recName, rec)
     val fields = st.fields.map { f =>
-      val base = fieldSchema(f.dataType, s"${name}_${f.name}", seen)
-      // nullable union wrap, matching schema.go:45-51
-      val union = Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
-      new Schema.Field(f.name, union, null, Schema.Field.NULL_DEFAULT_VALUE)
+      val base = fieldSchema(f.dataType, defined)
+      // nullable union wrap, matching schema.go:45-51 — except a field whose
+      // type IS null stays bare null (can't union null with null)
+      val fieldType =
+        if (base.getType == Schema.Type.NULL) base
+        else Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
+      new Schema.Field(f.name, fieldType, null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     rec.setFields(java.util.List.of(fields: _*))
     rec
   }
 
-  private def fieldSchema(dt: DataType, name: String, seen: java.util.HashSet[String]): Schema = dt match {
+  private def fieldSchema(dt: DataType,
+      defined: java.util.HashMap[String, Schema]): Schema = dt match {
     case ByteType | ShortType | IntegerType => Schema.create(Schema.Type.INT)
     case LongType    => Schema.create(Schema.Type.LONG)
     case FloatType   => Schema.create(Schema.Type.FLOAT)
@@ -57,14 +120,77 @@ object ConfluentAvro {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case StringType  => Schema.create(Schema.Type.STRING)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case NullType    => Schema.create(Schema.Type.NULL)
     case TimestampType | TimestampNTZType =>
       // ns→µs truncation caveat documented at encoder.go:149-156
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case DateType => Schema.create(Schema.Type.INT)
-    case ArrayType(et, _) => Schema.createArray(fieldSchema(et, name, seen))
-    case st: StructType => structSchema(st, name, seen)
+    case ArrayType(et, _) => Schema.createArray(fieldSchema(et, defined))
+    case MapType(StringType, vt, _) => Schema.createMap(fieldSchema(vt, defined))
+    case st: StructType => structSchema(st, None, defined)
     case other => throw new IllegalArgumentException(s"Avro codec: unsupported type $other")
   }
+
+  // ---------------------------------------------------------------------------
+  // Avro schema → Spark DataType (zavro/schema.go:174-244 semantics)
+  // ---------------------------------------------------------------------------
+
+  /** Optional-union detection (schema.go:195-209): `[null, T]` (either
+    * order) → Some(T); anything else None.
+    */
+  def optionalBranch(s: Schema): Option[Schema] =
+    if (s.getType != Schema.Type.UNION) None
+    else s.getTypes.asScala.toList match {
+      case a :: b :: Nil if a.getType == Schema.Type.NULL => Some(b)
+      case a :: b :: Nil if b.getType == Schema.Type.NULL => Some(a)
+      case _ => None
+    }
+
+  /** Avro → Spark type. Non-optional unions become the tag struct
+    * `{tag:int, b0, b1, …}` (SURVEY §1.2, mirroring the reference's tagged
+    * union container, decoder.go:156-160); enums stringify; maps keep string
+    * keys. A genuinely recursive schema (a record containing itself) cannot
+    * map onto Spark's finite tree schemas and is rejected with a clear error.
+    */
+  def sparkType(schema: Schema): DataType = sparkType(schema, Set.empty)
+
+  private def sparkType(schema: Schema, opened: Set[String]): DataType =
+    schema.getType match {
+      case Schema.Type.NULL => NullType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.INT =>
+        if (schema.getLogicalType != null && schema.getLogicalType.getName == "date") DateType
+        else IntegerType
+      case Schema.Type.LONG =>
+        val lt: LogicalType = schema.getLogicalType
+        if (lt != null && lt.getName == "timestamp-micros") TimestampType else LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.STRING | Schema.Type.ENUM => StringType
+      case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+      case Schema.Type.ARRAY => ArrayType(sparkType(schema.getElementType, opened))
+      case Schema.Type.MAP => MapType(StringType, sparkType(schema.getValueType, opened))
+      case Schema.Type.RECORD =>
+        val full = schema.getFullName
+        if (opened.contains(full))
+          throw new IllegalArgumentException(
+            s"recursive Avro schema $full cannot map onto a Spark schema; unroll or project a finite depth first")
+        val inner = opened + full
+        StructType(schema.getFields.asScala.toSeq.map { f =>
+          val ft = optionalBranch(f.schema()).getOrElse(f.schema())
+          StructField(f.name(), sparkType(ft, inner), nullable = true)
+        })
+      case Schema.Type.UNION =>
+        optionalBranch(schema) match {
+          case Some(b) => sparkType(b, opened)
+          case None =>
+            // tag struct: selector + one nullable field per branch
+            StructType(StructField("tag", IntegerType, nullable = true) +:
+              schema.getTypes.asScala.toSeq.zipWithIndex.map { case (b, i) =>
+                StructField(s"b$i", sparkType(b, opened), nullable = true)
+              })
+        }
+    }
 
   // ---------------------------------------------------------------------------
   // Row ↔ GenericRecord
@@ -93,6 +219,10 @@ object ConfluentAvro {
         val out = new java.util.ArrayList[Any](v.length)
         v.foreach(x => out.add(toAvro(x, et, s.getElementType)))
         out
+      case (MapType(StringType, vt, _), m: scala.collection.Map[_, _]) =>
+        val out = new java.util.HashMap[String, Any](m.size)
+        m.foreach { case (k, x) => out.put(k.toString, toAvro(x, vt, s.getValueType)) }
+        out
       case (st: StructType, r: Row) => rowToRecord(r, st, s)
       case (_, v) => v
     }
@@ -111,12 +241,38 @@ object ConfluentAvro {
     rec
   }
 
-  private def fromAvro(value: Any, dt: DataType): Any = {
+  /** Decoded Avro datum → Spark value, guided by the target Spark type and
+    * (when available) the writer field schema for union/enum dispatch.
+    * Numeric writer→reader promotions (int→long, int/long/float→double,
+    * int→float) match Avro schema-resolution widening — the superset reads
+    * SchemaUnion.merge produces for heterogeneous pools.
+    */
+  private def fromAvro(value: Any, dt: DataType, schema: Schema): Any = {
     if (value == null) return null
+    // union handling against the writer schema (decoder.go:141-161)
+    if (schema != null && schema.getType == Schema.Type.UNION) {
+      optionalBranch(schema) match {
+        case Some(b) => return fromAvro(value, dt, b)
+        case None =>
+          val selector = GenericData.get().resolveUnion(schema, value)
+          val st = dt.asInstanceOf[StructType] // tag struct by construction
+          val vals = new Array[Any](st.fields.length)
+          vals(0) = selector
+          val branchField = st.fieldIndex(s"b$selector")
+          vals(branchField) =
+            fromAvro(value, st.fields(branchField).dataType, schema.getTypes.get(selector))
+          return Row.fromSeq(vals.toSeq)
+      }
+    }
     (dt, value) match {
       case (ByteType, v: Integer)  => v.toByte
       case (ShortType, v: Integer) => v.toShort
-      case (StringType, v)         => v.toString // Utf8 → String
+      case (StringType, v)         => v.toString // Utf8 / enum symbol → String
+      case (LongType, v: Integer)  => v.toLong
+      case (DoubleType, v: Integer) => v.toDouble
+      case (DoubleType, v: java.lang.Long) => v.toDouble
+      case (DoubleType, v: java.lang.Float) => v.toDouble
+      case (FloatType, v: Integer) => v.toFloat
       case (TimestampType, v: java.lang.Long) =>
         java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
           Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
@@ -125,8 +281,13 @@ object ConfluentAvro {
       case (DateType, v: Integer) => java.time.LocalDate.ofEpochDay(v.toLong)
       case (BinaryType, v: ByteBuffer) =>
         val arr = new Array[Byte](v.remaining()); v.duplicate().get(arr); arr
+      case (BinaryType, v: org.apache.avro.generic.GenericFixed) => v.bytes().clone()
       case (ArrayType(et, _), v: java.util.Collection[_]) =>
-        v.asScala.map(x => fromAvro(x, et)).toSeq
+        val es = if (schema != null && schema.getType == Schema.Type.ARRAY) schema.getElementType else null
+        v.asScala.map(x => fromAvro(x, et, es)).toSeq
+      case (MapType(StringType, vt, _), m: java.util.Map[_, _]) =>
+        val vs = if (schema != null && schema.getType == Schema.Type.MAP) schema.getValueType else null
+        m.asScala.map { case (k, x) => k.toString -> fromAvro(x, vt, vs) }.toMap
       case (st: StructType, r: GenericRecord) => recordToRow(r, st)
       case (_, v) => v
     }
@@ -138,8 +299,9 @@ object ConfluentAvro {
     */
   def recordToRow(rec: GenericRecord, st: StructType): Row =
     Row.fromSeq(st.fields.toSeq.map { f =>
-      if (rec.getSchema.getField(f.name) == null) null
-      else fromAvro(rec.get(f.name), f.dataType)
+      val wf = rec.getSchema.getField(f.name)
+      if (wf == null) null
+      else fromAvro(rec.get(f.name), f.dataType, wf.schema())
     })
 
   // ---------------------------------------------------------------------------
@@ -167,16 +329,26 @@ object ConfluentAvro {
     new GenericDatumReader[GenericRecord](schema).read(null, dec)
   }
 
-  // executor-local parsed-schema cache (decoder.go:54-72 analog)
+  // Executor-static caches (decoder.go:54-72, encoder.go:37-57 analogs):
+  // parse results keyed by schema JSON, and id→parsed-Schema keyed by
+  // (registry cache key, id) so an HttpSchemaRegistry is consulted once per
+  // (executor, id) — not once per row, and never poisoned across distinct
+  // registries (each in-memory test registry numbers ids from 1).
   @transient private lazy val parseCache =
     new scala.collection.concurrent.TrieMap[String, Schema]
   private def parsed(json: String): Schema =
     parseCache.getOrElseUpdate(json, new Schema.Parser().parse(json))
 
+  @transient private lazy val idCache =
+    new scala.collection.concurrent.TrieMap[(String, Int), Schema]
+  private def writerSchema(registry: SchemaRegistry, id: Int): Schema =
+    idCache.getOrElseUpdate((registry.cacheKey, id), parsed(registry.schemaById(id)))
+
   /** C2: struct column → Confluent wire bytes appended as `outCol`;
     * registers the derived schema under its RecordNameStrategy subject
     * (encoder.go:29-66). Registration happens once, on the driver, at plan
-    * time — executors only serialize.
+    * time — executors only serialize. Per-partition reuse: one datum writer,
+    * one buffer, one encoder for the whole partition.
     */
   def encodeDF(df: DataFrame, structCol: String, outCol: String,
       registry: SchemaRegistry, recordName: String = "value"): DataFrame = {
@@ -185,32 +357,61 @@ object ConfluentAvro {
     val id = registry.register(SchemaRegistry.subjectFor(schemaJson), schemaJson)
     val idx = df.schema.fieldIndex(structCol)
     val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
-    df.map { row =>
-      val bytes =
-        if (row.isNullAt(idx)) null
-        else encodeBytes(rowToRecord(row.getStruct(idx), st, parsed(schemaJson)),
-          parsed(schemaJson), id)
-      Row.fromSeq(row.toSeq :+ bytes)
+    df.mapPartitions { it =>
+      val schema = parsed(schemaJson)
+      val writer = new GenericDatumWriter[GenericRecord](schema)
+      val buf = new ByteArrayOutputStream(256)
+      val header = ByteBuffer.allocate(4).putInt(id).array()
+      var enc: BinaryEncoder = null
+      it.map { row =>
+        val bytes =
+          if (row.isNullAt(idx)) null
+          else {
+            buf.reset()
+            buf.write(MagicByte)
+            buf.write(header)
+            enc = EncoderFactory.get().directBinaryEncoder(buf, enc)
+            writer.write(rowToRecord(row.getStruct(idx), st, schema), enc)
+            enc.flush()
+            buf.toByteArray
+          }
+        Row.fromSeq(row.toSeq :+ bytes)
+      }
     }(Encoders.row(outSchema))
   }
 
-  /** C1: wire bytes column → decoded struct appended as `outCol`. The
-    * registry is consulted per schema id per executor (cached); a single
-    * batch may carry many ids (SURVEY §7.4.2) — each row resolves its own.
+  /** C1: wire bytes column → decoded struct appended as `outCol`. A single
+    * batch may carry many schema ids (SURVEY §7.4.2) — each row resolves its
+    * own writer schema through the executor-static id cache. Per-partition
+    * reuse: one BinaryDecoder and, per writer id, one DatumReader plus a
+    * reusable GenericRecord (zavro/decoder.go:74-221 cost model).
     */
   def decodeDF(df: DataFrame, bytesCol: String, outCol: String,
       schema: StructType, registry: SchemaRegistry): DataFrame = {
     val idx = df.schema.fieldIndex(bytesCol)
     val outSchema = df.schema.add(outCol, schema, nullable = true)
-    df.map { row =>
-      val bytes = row.getAs[Array[Byte]](idx)
-      val decoded =
-        if (bytes == null) null
-        else {
-          val writer = parsed(registry.schemaById(schemaIdOf(bytes)))
-          recordToRow(decodeBytes(bytes, writer), schema)
-        }
-      Row.fromSeq(row.toSeq :+ decoded)
+    df.mapPartitions { it =>
+      val readers = new java.util.HashMap[Integer, GenericDatumReader[GenericRecord]]()
+      val reusable = new java.util.HashMap[Integer, GenericRecord]()
+      var dec: BinaryDecoder = null
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val decoded =
+          if (bytes == null) null
+          else {
+            val id = Integer.valueOf(schemaIdOf(bytes))
+            var reader = readers.get(id)
+            if (reader == null) {
+              reader = new GenericDatumReader[GenericRecord](writerSchema(registry, id))
+              readers.put(id, reader)
+            }
+            dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
+            val rec = reader.read(reusable.get(id), dec)
+            reusable.put(id, rec)
+            recordToRow(rec, schema)
+          }
+        Row.fromSeq(row.toSeq :+ decoded)
+      }
     }(Encoders.row(outSchema))
   }
 }

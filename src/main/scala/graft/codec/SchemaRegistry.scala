@@ -1,5 +1,8 @@
 package graft.codec
 
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import scala.collection.concurrent.TrieMap
 
@@ -8,17 +11,25 @@ import scala.collection.concurrent.TrieMap
   * register+cache; subject naming `zng_<md5(type)>` per encoder.go:45-50 —
   * RecordNameStrategy, so many schemas can coexist on one topic).
   *
-  * `HttpSchemaRegistry` is the production implementation point (thin REST
-  * client, injected at the edge); `InMemoryRegistry` backs tests and local
-  * runs. Executors hold per-id caches in the codec itself, so the registry
-  * is consulted once per (executor, schema-id) — the Spark analog of the
-  * reference's in-process caches.
+  * `HttpSchemaRegistry` is the production implementation (thin REST client
+  * over the Confluent Schema Registry HTTP API); `InMemoryRegistry` backs
+  * tests and local runs. Executors hold per-(cacheKey, id) caches in the
+  * codec itself, so a registry is consulted once per (executor, schema-id).
   */
 trait SchemaRegistry extends Serializable {
   /** Avro schema JSON by registry id. */
   def schemaById(id: Int): String
   /** Register (idempotently) and return the id. */
   def register(subject: String, schemaJson: String): Int
+  /** All registered subject names (cmd/zync/ls/command.go:42-64). */
+  def subjects(): Seq[String]
+
+  /** Key for the codec's executor-static id→schema cache. The default is
+    * per-instance (safe for in-memory registries, which number ids from 1
+    * independently); network-backed implementations override with a stable
+    * endpoint key so the cache survives task-closure re-deserialization.
+    */
+  def cacheKey: String = s"${getClass.getName}@${Integer.toHexString(System.identityHashCode(this))}"
 }
 
 object SchemaRegistry {
@@ -41,15 +52,179 @@ object SchemaRegistry {
 final class InMemoryRegistry extends SchemaRegistry {
   private val byId = new TrieMap[Int, String]
   private val bySchema = new TrieMap[String, Int]
+  private val subjectNames = new TrieMap[String, Unit]
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(1)
 
   def schemaById(id: Int): String =
     byId.getOrElse(id, throw new NoSuchElementException(s"schema id $id not registered"))
 
-  def register(subject: String, schemaJson: String): Int =
+  def register(subject: String, schemaJson: String): Int = {
+    subjectNames.put(subject, ())
     bySchema.getOrElseUpdate(schemaJson, {
       val id = nextId.getAndIncrement()
       byId.put(id, schemaJson)
       id
     })
+  }
+
+  def subjects(): Seq[String] = subjectNames.keySet.toSeq.sorted
+}
+
+/** Thin REST client over the Confluent Schema Registry API — the semantics
+  * the reference's client exercises (zavro/decoder.go:54-72 fetch-by-id;
+  * encoder.go:37-57 register):
+  *
+  *   - `GET /schemas/ids/{id}`            → `{"schema": "<json-escaped avro>"}`
+  *   - `POST /subjects/{subject}/versions` body `{"schema": "..."}` → `{"id": N}`
+  *   - `GET /subjects`                    → `["subject", …]`
+  *
+  * Responses are parsed with a purpose-built minimal JSON reader (the only
+  * shapes on this API are the three above) — no library dependency, no
+  * reflection in the executor hot path. The instance is Serializable: only
+  * the base URL ships to executors; the HttpClient is rebuilt lazily per JVM.
+  */
+final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  override def cacheKey: String = s"http:$baseUrl"
+
+  private def url(path: String) = URI.create(baseUrl.stripSuffix("/") + path)
+
+  private def send(req: HttpRequest): String = {
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(
+        s"schema registry ${req.method()} ${req.uri()} → HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+    resp.body()
+  }
+
+  def schemaById(id: Int): String = {
+    val body = send(HttpRequest.newBuilder(url(s"/schemas/ids/$id")).GET().build())
+    MiniJson.stringField(body, "schema")
+      .getOrElse(throw new java.io.IOException(s"no \"schema\" field in registry response: ${body.take(200)}"))
+  }
+
+  def register(subject: String, schemaJson: String): Int = {
+    val payload = s"""{"schema":${MiniJson.quote(schemaJson)}}"""
+    val req = HttpRequest.newBuilder(url(s"/subjects/$subject/versions"))
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+      .POST(HttpRequest.BodyPublishers.ofString(payload, StandardCharsets.UTF_8))
+      .build()
+    val body = send(req)
+    MiniJson.intField(body, "id")
+      .getOrElse(throw new java.io.IOException(s"no \"id\" field in registry response: ${body.take(200)}"))
+  }
+
+  def subjects(): Seq[String] = {
+    val body = send(HttpRequest.newBuilder(url("/subjects")).GET().build())
+    MiniJson.stringArray(body)
+  }
+}
+
+/** Minimal JSON helpers for the three registry response shapes. Handles the
+  * full JSON string escape set; deliberately NOT a general parser.
+  */
+private[codec] object MiniJson {
+
+  def quote(s: String): String = {
+    val b = new StringBuilder(s.length + 16)
+    b.append('"')
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"')
+    b.toString
+  }
+
+  /** Parse the JSON string starting at `i` (which must point at `"`).
+    * Returns (decoded value, index just past the closing quote).
+    */
+  private def parseString(s: String, i0: Int): (String, Int) = {
+    require(s.charAt(i0) == '"', s"expected string at $i0")
+    val b = new StringBuilder
+    var i = i0 + 1
+    while (s.charAt(i) != '"') {
+      s.charAt(i) match {
+        case '\\' =>
+          s.charAt(i + 1) match {
+            case '"' => b.append('"'); i += 2
+            case '\\' => b.append('\\'); i += 2
+            case '/' => b.append('/'); i += 2
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'b' => b.append('\b'); i += 2
+            case 'f' => b.append('\f'); i += 2
+            case 'u' =>
+              b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+            case c => throw new java.io.IOException(s"bad JSON escape \\$c")
+          }
+        case c => b.append(c); i += 1
+      }
+    }
+    (b.toString, i + 1)
+  }
+
+  /** Value of the top-level string field `name` in a JSON object. */
+  def stringField(json: String, name: String): Option[String] = {
+    var i = 0
+    val key = "\"" + name + "\""
+    while (i >= 0) {
+      i = json.indexOf(key, i)
+      if (i < 0) return None
+      var j = i + key.length
+      while (j < json.length && json.charAt(j).isWhitespace) j += 1
+      if (j < json.length && json.charAt(j) == ':') {
+        var k = j + 1
+        while (k < json.length && json.charAt(k).isWhitespace) k += 1
+        if (k < json.length && json.charAt(k) == '"') return Some(parseString(json, k)._1)
+      }
+      i += key.length
+    }
+    None
+  }
+
+  /** Value of the top-level integer field `name` in a JSON object. */
+  def intField(json: String, name: String): Option[Int] = {
+    val key = "\"" + name + "\""
+    var i = json.indexOf(key)
+    while (i >= 0) {
+      var j = i + key.length
+      while (j < json.length && json.charAt(j).isWhitespace) j += 1
+      if (j < json.length && json.charAt(j) == ':') {
+        var k = j + 1
+        while (k < json.length && json.charAt(k).isWhitespace) k += 1
+        val start = k
+        while (k < json.length && (json.charAt(k).isDigit || json.charAt(k) == '-')) k += 1
+        if (k > start) return Some(json.substring(start, k).toInt)
+      }
+      i = json.indexOf(key, i + key.length)
+    }
+    None
+  }
+
+  /** A top-level JSON array of strings → decoded values. */
+  def stringArray(json: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = json.indexOf('[')
+    require(i >= 0, s"expected JSON array: ${json.take(80)}")
+    i += 1
+    while (i < json.length && json.charAt(i) != ']') {
+      json.charAt(i) match {
+        case '"' =>
+          val (v, next) = parseString(json, i)
+          out += v
+          i = next
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
 }

@@ -17,11 +17,19 @@ object Shaper {
   /** Bind `df` as the view `this_` and apply the shaper SQL to it.
     * (`this` is the reference's implicit input; SQL identifiers can't be a
     * Scala keyword-free `this`, so the view is named `this_`.)
+    *
+    * The SQL's `this_` token is rewritten to a unique per-call view name, so
+    * concurrent streams on one SparkSession (the fan-out pattern) can't race
+    * on a shared view between micro-batches; the view is dropped right after
+    * analysis (spark.sql resolves it eagerly, the returned plan doesn't need
+    * it anymore).
     */
   def shape(df: DataFrame, sql: String): DataFrame = {
-    val name = s"this_"
+    val name = "this_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val bound = sql.replaceAll("\\bthis_\\b", name)
     df.createOrReplaceTempView(name)
-    df.sparkSession.sql(sql)
+    try df.sparkSession.sql(bound)
+    finally df.sparkSession.catalog.dropTempView(name)
   }
 
   /** Functional shaper variant — zero-cost composition into the plan. */

@@ -24,25 +24,41 @@ trait TopicSource extends Serializable {
 
 /** Kafka-backed source (S1). `maxPerTrigger` mirrors `-thresh`
   * (from-kafka/command.go:79): bounds records per micro-batch.
+  *
+  * @param clientOptions extra reader options passed straight to the Kafka
+  *   DSv2 source — TLS/SASL deployments set `kafka.security.protocol`,
+  *   `kafka.ssl.truststore.location`, `kafka.sasl.mechanism`,
+  *   `kafka.sasl.jaas.config`, … (the `kafka.`-prefixed analogs of the
+  *   reference's flags, cli/flags.go:95-139). The structural options
+  *   (subscribe, startingOffsets, bootstrap) are applied after and win.
   */
-final class KafkaTopicSource(bootstrap: String, maxPerTrigger: Long = 1L << 20)
+final class KafkaTopicSource(bootstrap: String, maxPerTrigger: Long = 1L << 20,
+    clientOptions: Map[String, String] = Map.empty)
     extends TopicSource {
-  def readStream(spark: SparkSession, topics: Seq[String],
-      startingOffsets: Map[String, Long]): DataFrame = {
+
+  /** The full option map handed to the DataStreamReader — factored out so
+    * offline specs can assert TLS/SASL pass-through without a broker.
+    */
+  def readerOptions(topics: Seq[String], startingOffsets: Map[String, Long]): Map[String, String] = {
     // per-topic start offsets, partition 0 pinned (fifo/consumer.go:59-63)
     val so = topics.map { t =>
       val off = startingOffsets.getOrElse(t, Pool.KafkaOffsetEarliest)
       s""""$t":{"0":$off}"""
     }.mkString("{", ",", "}")
+    clientOptions ++ Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> so,
+      "maxOffsetsPerTrigger" -> maxPerTrigger.toString)
+  }
+
+  def readStream(spark: SparkSession, topics: Seq[String],
+      startingOffsets: Map[String, Long]): DataFrame =
     spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topics.mkString(","))
-      .option("startingOffsets", so)
-      .option("maxOffsetsPerTrigger", maxPerTrigger)
+      .options(readerOptions(topics, startingOffsets))
       .load()
       .select(col("topic"), col("partition").cast("long").as("partition"),
         col("offset"), col("key"), col("value"))
-  }
 }
 
 /** File-backed source for offline tests: reads parquet files appearing under
@@ -65,8 +81,16 @@ object StreamSync {
 
   /** `from-kafka` (3.1): stream topics into a pool with crash-free resume —
     * starting offsets come from the sink pool itself (T3, fifo/lake.go:62-82),
-    * no Spark checkpoint state needed for correctness (the anti-dup assert +
-    * sink-derived offsets make restarts self-healing).
+    * no Spark checkpoint state needed for correctness.
+    *
+    * Replay handling (T4): foreachBatch is at-least-once — after a crash
+    * between `pool.append` and the checkpoint commit, Spark replays the same
+    * micro-batch (and with an existing checkpoint it ignores the sink-derived
+    * `startingOffsets`). Each batch is therefore filtered to offsets strictly
+    * above the per-topic high-water mark before appending: the
+    * already-committed prefix is skipped, the remainder lands exactly once.
+    * The reference's consumer enforces the same monotonic-offset contract by
+    * construction (fifo/consumer.go:117-122).
     *
     * @param decode   wire batch → envelope batch (codec layer, C1/C6)
     * @param shaper   optional SQL applied per micro-batch (Q31)
@@ -90,23 +114,26 @@ object StreamSync {
       .trigger(Trigger.ProcessingTime(interval)) // T1 latency bound
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          // T4: monotonic offset enforcement per topic (fifo/consumer.go:117-122)
-          batch.groupBy("topic").agg(min("offset").as("lo"), max("offset").as("hi"))
-            .collect().foreach { r =>
-              val t = r.getString(0)
-              val last = lastSeen.getOrDefault(t, Long.MinValue)
-              require(r.getLong(1) > last,
-                s"offset went backwards on $t: ${r.getLong(1)} <= $last")
-              lastSeen.put(t, r.getLong(2))
-            }
-          val env = decode(batch)
-          val shaped = shaper.map(Shaper.shape(env, _)).getOrElse(env)
-          // single-topic batches arrive offset-ordered (partition 0 pinned)
-          // → skip the range shuffle on commit (3× faster for 1M-record
-          // micro-batches; see tools/Throughput)
-          pool.append(shaped, presorted = topics.size == 1 && shaper.isEmpty)
-        }
+        import scala.jdk.CollectionConverters._
+        // Drop the already-committed prefix (checkpoint replay after a crash
+        // mid-commit) instead of failing — a `require` here would crash-loop
+        // on every restart until the checkpoint was deleted by hand.
+        val fresh = lastSeen.asScala.foldLeft(batch) { case (df, (t, last)) =>
+          df.filter(!(col("topic") === t) || col("offset") > last)
+        }.persist()
+        try {
+          if (!fresh.isEmpty) {
+            fresh.groupBy("topic").agg(max("offset").as("hi")).collect()
+              .foreach(r => lastSeen.put(r.getString(0), r.getLong(1)))
+            val env = decode(fresh)
+            val shaped = shaper.map(Shaper.shape(env, _)).getOrElse(env)
+            // single-topic batches arrive offset-ordered (partition 0 pinned)
+            // → skip the range shuffle on commit (3× faster for 1M-record
+            // micro-batches; see tools/Throughput)
+            pool.append(shaped, presorted = topics.size == 1 && shaper.isEmpty)
+          }
+        } finally fresh.unpersist()
+        ()
       }
       .start()
   }
@@ -117,6 +144,14 @@ object StreamSync {
     * Exactly-once holds across arbitrary batch boundaries because the
     * anti-join + atomic marker commit is the dedup mechanism, not the
     * trigger — a restart or replay changes batching, not results.
+    *
+    * Replay guard: a crash between `inputPool.append` and the checkpoint
+    * commit replays the micro-batch; an unguarded second append would put two
+    * unmarked copies of each (topic, offset) in the input pool, and both
+    * would pass the done-marker anti-join → duplicate output. Each batch is
+    * filtered to offsets at or above the input pool's own per-topic resume
+    * point (a segment-tail read, pruned by the pool's (topic, offset) sort)
+    * before appending.
     */
   def etlPipeline(
       spark: SparkSession,
@@ -135,8 +170,15 @@ object StreamSync {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          inputPool.append(decode(batch))
-          graft.etl.Etl.run(spark, inputPool, outputPool, transform)
+          val next = topics.map(t => t -> inputPool.nextOffset(t)).toMap
+          val fresh = next.foldLeft(batch) { case (df, (t, off)) =>
+            if (off == Pool.KafkaOffsetEarliest) df
+            else df.filter(!(col("topic") === t) || col("offset") >= off)
+          }
+          if (!fresh.isEmpty) {
+            inputPool.append(decode(fresh))
+            graft.etl.Etl.run(spark, inputPool, outputPool, transform)
+          }
           ()
         }
       }
@@ -144,7 +186,13 @@ object StreamSync {
   }
 
   /** `to-kafka` (3.2): pool → topic from the sink's high-water mark, batched
-    * reads in offset order (fifo/to.go:31-55). Returns records produced.
+    * produce in offset order (fifo/to.go:31-55). Returns records produced.
+    *
+    * ONE ordered scan of the pool: `toLocalIterator` streams the sorted
+    * result partition-by-partition into the producer loop, preserving the
+    * reference's 200-record produce batching (fifo/to.go:29) without the
+    * r1 loop's re-read + re-sort of the pool per batch (O(N²/batchSize)
+    * scan work on a drain-from-zero).
     */
   def toTopic(
       pool: Pool,
@@ -153,28 +201,19 @@ object StreamSync {
       encode: DataFrame => DataFrame,
       sink: DataFrame => Unit,
       batchSize: Int = 200): Long = { // fifo/to.go:29 BatchSize
+    import scala.jdk.CollectionConverters._
+    val spark = pool.spark
+    // order BEFORE encoding: encoders may project the kafka meta away,
+    // and the row-codec map preserves partition order (README.md:141-152)
+    val ordered = pool.read()
+      .filter(col("kafka.topic") === topic && col("kafka.offset") >= highWaterMark)
+      .orderBy(col("kafka.offset"))
+    val encoded = encode(ordered)
+    val schema = encoded.schema
     var produced = 0L
-    var hwm = highWaterMark
-    var done = false
-    while (!done) {
-      val batch = pool.read()
-        .filter(col("kafka.topic") === topic && col("kafka.offset") >= hwm)
-        .orderBy(col("kafka.offset"))
-        .limit(batchSize)
-        .cache()
-      try {
-        val n = batch.count()
-        if (n == 0) done = true
-        else {
-          // order BEFORE encoding: encoders may project the kafka meta away,
-          // and the row-codec map preserves partition order (README.md:141-152)
-          sink(encode(batch.orderBy(col("kafka.offset"))))
-          val maxOff = batch.agg(max(col("kafka.offset"))).collect()(0).getLong(0)
-          hwm = maxOff + 1
-          produced += n
-          if (n < batchSize) done = true
-        }
-      } finally batch.unpersist()
+    encoded.toLocalIterator().asScala.grouped(batchSize).foreach { rows =>
+      sink(spark.createDataFrame(rows.asJava, schema))
+      produced += rows.size
     }
     produced
   }

@@ -47,8 +47,7 @@ case class ConfluentSchemaId(child: Expression) extends UnaryExpression with Exp
       |if ($b.length < 6 || $b[0] != 0) {
       |  org.apache.spark.sql.graft.ConfluentHeaderError.badHeader($b.length);
       |}
-      |${ev.value} = (($b[1] & 0xff) << 24) | (($b[2] & 0xff) << 16)
-      |  | (($b[3] & 0xff) << 8) | ($b[4] & 0xff);
+      |${ev.value} = (($b[1] & 0xff) << 24) | (($b[2] & 0xff) << 16) | (($b[3] & 0xff) << 8) | ($b[4] & 0xff);
       |""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ConfluentSchemaId =

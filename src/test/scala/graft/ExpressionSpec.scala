@@ -25,6 +25,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(1), Some(65536), Some(0x12345678), None))
   }
 
+  test("header expressions compile under codegen with fallback disabled") {
+    // Guards the regression where the stripMargin template ate a line-leading
+    // `|` OR-operator and Janino silently fell back to interpreted eval.
+    val conf = spark.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = wireDF(Array[Byte](0, 0x12, 0x34, 0x56, 0x78, 9, 9))
+      val r = df.select(
+        confluent_schema_id(col("b")).as("id"),
+        octet_length(confluent_body(col("b"))).as("n")).collect()(0)
+      assert(r.getInt(0) == 0x12345678 && r.getInt(1) == 2)
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("confluent_body strips exactly the 5-byte header") {
     val df = wireDF(Array[Byte](0, 0, 0, 0, 1, 10, 20, 30))
     val body = df.select(confluent_body(col("b"))).collect()(0).getAs[Array[Byte]](0)

@@ -114,6 +114,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(Etl.run(spark, inPool, outPool, t) == (0L, 0L))
   }
 
+  /** Force a genuine at-least-once replay: delete the checkpoint's commit
+    * marker for the last batch, so on restart Spark re-executes it against a
+    * sink that already holds its rows — the exact "crash between pool.append
+    * and checkpoint commit" window.
+    */
+  import scala.jdk.CollectionConverters._
+  private def dropLastCommit(ckpt: String): Unit = {
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = Files.list(commits).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    Files.delete(last)
+    // the local ChecksumFs shadows each log file with .N.crc; a real crash
+    // leaves neither, so drop it too or the replayed rename trips on it
+    Files.deleteIfExists(commits.resolve("." + last.getFileName.toString + ".crc"))
+  }
+
+  test("from-topics survives a checkpoint replay without duplicating or crash-looping") {
+    val inDir = Files.createTempDirectory("wire").toString
+    val pool = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    wireRows("T", 0 until 50).write.mode("append").parquet(inDir)
+    val q1 = StreamSync.fromTopics(spark, new FileTopicSource(inDir), Seq("T"),
+      pool, decode, checkpoint = ckpt, interval = "1 seconds")
+    q1.processAllAvailable(); q1.stop()
+    assert(pool.read().count() == 50)
+
+    dropLastCommit(ckpt) // crash happened after append, before checkpoint commit
+    wireRows("T", 50 until 70).write.mode("append").parquet(inDir)
+    val q2 = StreamSync.fromTopics(spark, new FileTopicSource(inDir), Seq("T"),
+      pool, decode, checkpoint = ckpt, interval = "1 seconds")
+    q2.processAllAvailable(); q2.stop() // replayed batch must be filtered, not fail
+    val contents = pool.read()
+    assert(contents.count() == 70)
+    assert(contents.select(countDistinct(col("kafka.offset"))).collect()(0).getLong(0) == 70)
+  }
+
+  test("etl pipeline survives a checkpoint replay with exactly-once output") {
+    import graft.etl.{Etl, StatelessRule, Transform}
+    val t = Transform(Seq("T"), "Out", Seq(
+      StatelessRule("T", None,
+        "named_struct('id', in.value.n)",
+        "named_struct('id', in.value.n, 'doubled', in.value.n * 2)")))
+    val inDir = Files.createTempDirectory("wire").toString
+    val inPool = Pool.create(spark, Files.createTempDirectory("ip").toString)
+    val outPool = Pool.create(spark, Files.createTempDirectory("op").toString)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    wireRows("T", 0 until 40).write.mode("append").parquet(inDir)
+    val q1 = graft.streaming.StreamSync.etlPipeline(spark, new FileTopicSource(inDir),
+      Seq("T"), inPool, outPool, t, decode, checkpoint = ckpt, interval = "1 seconds")
+    q1.processAllAvailable(); q1.stop()
+
+    dropLastCommit(ckpt) // replay the ingest batch against an already-updated input pool
+    val q2 = graft.streaming.StreamSync.etlPipeline(spark, new FileTopicSource(inDir),
+      Seq("T"), inPool, outPool, t, decode, checkpoint = ckpt, interval = "1 seconds")
+    q2.processAllAvailable(); q2.stop()
+
+    val inRecs = inPool.read()
+    assert(inRecs.count() == 40) // no second unmarked copy in the input pool
+    val recs = outPool.read().filter(col("_kind") === "record")
+    assert(recs.count() == 40)
+    assert(recs.select(countDistinct(col("kafka.offset"))).collect()(0).getLong(0) == 40)
+    assert(Etl.run(spark, inPool, outPool, t) == (0L, 0L))
+  }
+
+  test("kafka reader options pass TLS/SASL client config through") {
+    val src = new graft.streaming.KafkaTopicSource("broker:9093", maxPerTrigger = 1000,
+      clientOptions = Map(
+        "kafka.security.protocol" -> "SASL_SSL",
+        "kafka.sasl.mechanism" -> "PLAIN",
+        "kafka.ssl.truststore.location" -> "/etc/tls/trust.jks"))
+    val opts = src.readerOptions(Seq("A", "B"), Map("A" -> 7L))
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") == "PLAIN")
+    assert(opts("kafka.ssl.truststore.location") == "/etc/tls/trust.jks")
+    assert(opts("kafka.bootstrap.servers") == "broker:9093")
+    assert(opts("subscribe") == "A,B")
+    assert(opts("startingOffsets") == """{"A":{"0":7},"B":{"0":-2}}""")
+  }
+
   test("event-time tumbling window with watermark (beyond-reference T8 extension)") {
     import org.apache.spark.sql.streaming.Trigger
     val inDir = Files.createTempDirectory("win").toString

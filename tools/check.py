@@ -5,8 +5,9 @@ before every commit so the real gate holds no surprises.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, hashlib, math
+import sys, os, json, hashlib, math, glob
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -23,7 +24,24 @@ def norm_cell(v):
         return "0x" + v.hex()
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in v.items()) + "}"
     return str(v)
+
+
+def read_spark(spark_dir):
+    """Read Spark's parquet output directly via pyarrow — NOT through DuckDB,
+    whose type coercion (HUGEINT/DECIMAL widening) masks exactly the
+    rendering differences the driver's hash catches."""
+    files = sorted(glob.glob(f"{spark_dir}/*.parquet"))
+    cols, rows = None, []
+    for f in files:
+        tbl = pq.read_table(f)
+        if cols is None:
+            cols = tbl.column_names
+        for r in tbl.to_pylist():
+            rows.append([r[c] for c in cols])
+    return cols or [], rows
 
 
 def table_hash(cols, rows):
@@ -50,9 +68,7 @@ def main(sf_dir, out_dir):
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
         try:
-            sr = con.execute(f"SELECT * FROM '{spark_dir}/*.parquet'")
-            scols = [d[0] for d in sr.description]
-            srows = sr.fetchall()
+            scols, srows = read_spark(spark_dir)
             orr = con.execute(sql)
             ocols = [d[0] for d in orr.description]
             orows = orr.fetchall()
