@@ -27,21 +27,34 @@ object Commands {
 
   /** `produce`: load a file of records into a pool as enveloped values
     * (cmd/zync/produce/command.go:72-81).
+    *
+    * Offsets are assigned distributed: range-partition on the file order key,
+    * sort within partitions, zipWithIndex (only per-partition counts touch
+    * the driver) — the same path as ETL offset assignment. The r1 version
+    * used a global `Window.orderBy` with no partitioning, which funneled the
+    * whole file through one task.
     */
   def produce(spark: SparkSession, pool: Pool, path: String, topic: String): Long = {
     val df = if (path.endsWith(".json")) spark.read.json(path) else spark.read.parquet(path)
     val off = pool.nextOffset(topic) max 0L
-    val withOffsets = df.withColumn("_row", monotonically_increasing_id())
-    val w = org.apache.spark.sql.expressions.Window.orderBy("_row")
-    val env = withOffsets
-      .withColumn("_off", row_number().over(w).cast("long") + off - 1)
-      .select(
-        struct(lit(topic).as("topic"), lit(0L).as("partition"), col("_off").as("offset")).as("kafka"),
-        lit(null).cast("string").as("key"),
-        struct(df.columns.map(col): _*).as("value"),
-        lit("record").as("_kind"))
-    pool.append(env)
-    env.count()
+    val sorted = df.withColumn("_row", monotonically_increasing_id())
+      .repartitionByRange(col("_row"))
+      .sortWithinPartitions("_row")
+      .persist() // zipWithIndex runs its count job eagerly
+    try {
+      val indexed = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (off + idx))
+      }
+      val env = spark.createDataFrame(indexed,
+          sorted.schema.add("_off", org.apache.spark.sql.types.LongType, nullable = false))
+        .select(
+          struct(lit(topic).as("topic"), lit(0L).as("partition"), col("_off").as("offset")).as("kafka"),
+          lit(null).cast("string").as("key"),
+          struct(df.columns.map(col): _*).as("value"),
+          lit("record").as("_kind"))
+      pool.append(env)
+      sorted.count()
+    } finally sorted.unpersist()
   }
 
   /** `info`: per-topic low/high watermarks of a pool
@@ -52,7 +65,17 @@ object Commands {
       .agg(min(col("kafka.offset")).as("low"), max(col("kafka.offset")).as("high"),
         count(lit(1)).as("records"))
 
-  /** `ls`: registry subjects (cmd/zync/ls/command.go:42-64). */
+  /** `info` against the broker itself: per-topic (earliest, latest)
+    * watermarks through the admin client (cmd/zync/info/command.go:58-63 →
+    * fifo/consumer.go:184-227).
+    */
+  def infoTopics(admin: graft.streaming.TopicAdmin, topics: Seq[String]): Seq[(String, Long, Long)] =
+    topics.map { t => val (lo, hi) = admin.watermarks(t); (t, lo, hi) }
+
+  /** `ls`: enumerate registry subjects (cmd/zync/ls/command.go:42-64). */
+  def ls(registry: SchemaRegistry): Seq[String] = registry.subjects()
+
+  /** `ls -id`: schemas for explicit ids. */
   def ls(registry: SchemaRegistry, ids: Seq[Int]): Seq[(Int, String)] =
     ids.map(id => id -> registry.schemaById(id))
 

@@ -83,9 +83,13 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
-    val rare = sh.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= maxDf).drop("df")
+    // doc frequency via partial-aggregating groupBy + semi-join of rare
+    // shingles — NOT a window over partitionBy(sh), which would route every
+    // occurrence of a hot shingle to one partition (the exact skew maxDf
+    // exists to guard against) before the filter could drop it
+    val rareKeys = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("sh")
+    val rare = sh.join(rareKeys, Seq("sh"), "left_semi")
     val sizes = rare.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = rare.select(col("id").as("d1"), col("sh"))
       .join(rare.select(col("id").as("d2"), col("sh")), Seq("sh"))
@@ -122,20 +126,44 @@ object Dedup {
     sums.select(col("id"), value.as("simhash"))
   }
 
-  /** Canonical-id assignment from candidate pairs: every doc in a duplicate
-    * group maps to the group's minimum id (the kept copy). One round of
-    * min-propagation — exact for the clique-shaped groups LSH/exact dedup
-    * emit (every member pairs with the group minimum); deep chain topologies
-    * would need iterating, which is a driver-side loop of the same step.
+  /** Canonical-id assignment from candidate pairs: every doc in a connected
+    * duplicate component maps to the component's minimum id (the kept copy).
+    *
+    * Min-label propagation iterated to fixpoint: each round every node takes
+    * the min of its own label and its neighbors' labels; rounds double the
+    * reach, so label distance shrinks in O(log(diameter)) rounds — cliques
+    * (what LSH/exact emit) converge in one, chains (a–b, b–c, c–d) in a few.
+    * The driver loop only compares per-round change counts; labels stay
+    * distributed, and each round's result is persisted + localCheckpointed
+    * so the lineage (and replanning cost) stays constant at any scale.
     * Docs in no pair keep their own id.
     */
-  def canonicalIds(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val neighborMin = pairs.select(col("d1").as("id"), col("d2").as("nb"))
+  def canonicalIds(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("id"), col("d2").as("nb"))
       .unionByName(pairs.select(col("d2").as("id"), col("d1").as("nb")))
-      .groupBy("id").agg(min("nb").as("nbmin"))
-    df.select(col(idCol).as("id"))
-      .join(neighborMin, Seq("id"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("nbmin"), col("id"))).as("canonical"))
+      .persist()
+    var labels = df.select(col(idCol).as("id"), col(idCol).as("canonical"))
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("nb"), col("canonical").as("nbc")), Seq("nb"))
+        .groupBy("id").agg(min("nbc").as("nbmin"))
+      // localCheckpoint truncates lineage so round N+1 doesn't replan 1..N
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical"), coalesce(col("nbmin"), col("canonical"))).as("canonical"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.select(col("id"), col("canonical").as("prev")), Seq("id"))
+        .filter(col("canonical") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** Embedding near-dup pairs: cosine >= threshold, blocked by `blockCol`

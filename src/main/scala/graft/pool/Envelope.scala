@@ -35,11 +35,6 @@ object Envelope {
       struct(valueCols.map(col): _*).as("value"),
       lit(KindRecord).as(KindCol))
 
-  /** A done marker: `{kafka:{topic,offset}}(=done)` (etl/build.go:181,
-    * README.md:350-352) — kafka meta of the *input* record it completes.
-    */
-  def doneMarker(kafka: Column): Column = lit(KindDone)
-
   def records(df: DataFrame): DataFrame = df.filter(col(KindCol) === KindRecord)
   def markers(df: DataFrame): DataFrame = df.filter(col(KindCol) === KindDone)
 }

@@ -139,4 +139,163 @@ class CodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ConfluentAvro.schemaIdOf(Array[Byte](9, 0, 0, 0, 1, 5, 5))) // wrong magic
   }
+
+  // --- schema translation parity (zavro/schema_test.go golden behaviors) ---
+
+  test("record names content-hash to the reference's golden md5s (schema_test.go:12-56)") {
+    // {a:{b:{}}} — nested records, each named zng_<md5(canonical type)>
+    val st = StructType(Seq(StructField("a",
+      StructType(Seq(StructField("b", StructType(Seq())))))))
+    val s = ConfluentAvro.avroSchema(st)
+    assert(s.getName == "zng_228c5f7a92fa77715f4dabe46739bfa3") // md5("{a:{b:{}}}")
+    val aRec = ConfluentAvro.optionalBranch(s.getField("a").schema()).get
+    assert(aRec.getName == "zng_eeb636be88d6a4d3387b3820995db8e7") // md5("{b:{}}")
+    val bRec = ConfluentAvro.optionalBranch(aRec.getField("b").schema()).get
+    assert(bRec.getName == "zng_99914b932bd37a50b983c5e7c90ae93b") // md5("{}")
+  }
+
+  test("repeated record type becomes a named reference (schema_test.go:80-117)") {
+    // {a:{},b:{}} — the second {} must reference the first, not redefine it
+    val empty = StructType(Seq())
+    val st = StructType(Seq(StructField("a", empty), StructField("b", empty)))
+    val s = ConfluentAvro.avroSchema(st)
+    assert(s.getName == "zng_2d7e63a29282715120ae93531a98c9ef") // md5("{a:{},b:{}}")
+    val aRec = ConfluentAvro.optionalBranch(s.getField("a").schema()).get
+    val bRec = ConfluentAvro.optionalBranch(s.getField("b").schema()).get
+    assert(aRec eq bRec) // same Schema instance → rendered once + referenced
+    // the rendered JSON must define zng_9991… once and reference it by name,
+    // and must re-parse as valid Avro
+    val json = s.toString
+    assert(json.contains("\"zng_99914b932bd37a50b983c5e7c90ae93b\""))
+    assert(json.indexOf("\"fields\":[]", json.indexOf("zng_9991")) > 0)
+    val reparsed = new org.apache.avro.Schema.Parser().parse(json)
+    assert(reparsed.getFields.size == 2)
+  }
+
+  test("null-typed field stays bare null, not a union (schema_test.go:58-78)") {
+    val st = StructType(Seq(StructField("a", NullType)))
+    val s = ConfluentAvro.avroSchema(st)
+    assert(s.getField("a").schema().getType == org.apache.avro.Schema.Type.NULL)
+  }
+
+  test("non-optional union decodes as tag struct (schema.go:234-244, decoder.go:141-161)") {
+    import scala.jdk.CollectionConverters._
+    val writer = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"u","fields":[{"name":"v","type":["int","string"]}]}""")
+    val target = ConfluentAvro.sparkType(writer).asInstanceOf[StructType]
+    assert(target("v").dataType == StructType(Seq(
+      StructField("tag", IntegerType), StructField("b0", IntegerType),
+      StructField("b1", StringType))))
+
+    val registry: SchemaRegistry = new InMemoryRegistry
+    val id = registry.register("u-subj", writer.toString)
+    def wire(set: org.apache.avro.generic.GenericRecord => Unit): Array[Byte] = {
+      val rec = new org.apache.avro.generic.GenericData.Record(writer)
+      set(rec)
+      ConfluentAvro.encodeBytes(rec, writer, id)
+    }
+    val intBytes = wire(_.put("v", Int.box(7)))
+    val strBytes = wire(_.put("v", new org.apache.avro.util.Utf8("hi")))
+    val df = spark.createDataFrame(
+      Seq(Row(intBytes: Any), Row(strBytes: Any)).asJava,
+      StructType(Seq(StructField("bytes", BinaryType))))
+    val rows = ConfluentAvro.decodeDF(df, "bytes", "v", target, registry)
+      .select("v.v.tag", "v.v.b0", "v.v.b1").orderBy("tag").collect()
+    assert(rows(0).getInt(0) == 0 && rows(0).getInt(1) == 7 && rows(0).isNullAt(2))
+    assert(rows(1).getInt(0) == 1 && rows(1).isNullAt(1) && rows(1).getString(2) == "hi")
+  }
+
+  test("enum symbols decode as strings (connectjson.go:87-89)") {
+    import scala.jdk.CollectionConverters._
+    val writer = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"e","fields":[
+        |  {"name":"c","type":{"type":"enum","name":"color","symbols":["RED","BLUE"]}}]}""".stripMargin)
+    val target = ConfluentAvro.sparkType(writer).asInstanceOf[StructType]
+    assert(target("c").dataType == StringType)
+    val registry: SchemaRegistry = new InMemoryRegistry
+    val id = registry.register("e-subj", writer.toString)
+    val rec = new org.apache.avro.generic.GenericData.Record(writer)
+    rec.put("c", new org.apache.avro.generic.GenericData.EnumSymbol(
+      writer.getField("c").schema(), "BLUE"))
+    val df = spark.createDataFrame(
+      Seq(Row(ConfluentAvro.encodeBytes(rec, writer, id): Any)).asJava,
+      StructType(Seq(StructField("bytes", BinaryType))))
+    val got = ConfluentAvro.decodeDF(df, "bytes", "v", target, registry)
+      .select("v.c").collect()(0).getString(0)
+    assert(got == "BLUE")
+  }
+
+  test("map columns round-trip through the wire format") {
+    import scala.jdk.CollectionConverters._
+    val st = StructType(Seq(StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    val df = spark.createDataFrame(
+      Seq(Row(1L, Map("x" -> 10L, "y" -> 20L))).asJava, st)
+      .select(struct(col("*")).as("v"))
+    val registry: SchemaRegistry = new InMemoryRegistry
+    val wire = ConfluentAvro.encodeDF(df, "v", "bytes", registry).select("bytes")
+    val back = ConfluentAvro.decodeDF(wire, "bytes", "v", st, registry)
+      .select("v.*").collect()(0)
+    assert(back.getLong(0) == 1L)
+    assert(back.getMap[String, Long](1) == Map("x" -> 10L, "y" -> 20L))
+  }
+
+  test("genuinely recursive Avro schemas are rejected with a clear error") {
+    val rec = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"node","fields":[
+        |  {"name":"v","type":"long"},
+        |  {"name":"next","type":["null","node"]}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](ConfluentAvro.sparkType(rec))
+    assert(e.getMessage.contains("recursive"))
+  }
+
+  // --- HTTP registry against a stub Confluent REST endpoint ---
+
+  test("HTTP schema registry speaks the Confluent REST API (decoder.go:54-72, encoder.go:37-57)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    val bodies = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val subjectsSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val nextId = new java.util.concurrent.atomic.AtomicInteger(41)
+    def reply(x: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      x.sendResponseHeaders(code, b.length)
+      x.getResponseBody.write(b); x.close()
+    }
+    server.createContext("/", (x: HttpExchange) => {
+      val path = x.getRequestURI.getPath
+      (x.getRequestMethod, path) match {
+        case ("POST", p) if p.startsWith("/subjects/") && p.endsWith("/versions") =>
+          subjectsSeen.add(p.stripPrefix("/subjects/").stripSuffix("/versions"))
+          val id = nextId.getAndIncrement()
+          // store the request body verbatim: it is {"schema":"…"} — exactly
+          // the shape GET /schemas/ids/{id} returns
+          bodies.put(id, new String(x.getRequestBody.readAllBytes(), "UTF-8"))
+          reply(x, 200, s"""{"id":$id}""")
+        case ("GET", p) if p.startsWith("/schemas/ids/") =>
+          val id = p.stripPrefix("/schemas/ids/").toInt
+          Option(bodies.get(id)) match {
+            case Some(b) => reply(x, 200, b)
+            case None => reply(x, 404, """{"error_code":40403,"message":"not found"}""")
+          }
+        case ("GET", "/subjects") =>
+          import scala.jdk.CollectionConverters._
+          reply(x, 200, subjectsSeen.asScala.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
+        case _ => reply(x, 404, "{}")
+      }
+    })
+    server.start()
+    try {
+      val reg = new graft.codec.HttpSchemaRegistry(
+        s"http://localhost:${server.getAddress.getPort}")
+      val schemaJson = ConfluentAvro.avroSchema(
+        StructType(Seq(StructField("a", LongType), StructField("s", StringType))), "rec").toString
+      val subject = SchemaRegistry.subjectFor(schemaJson)
+      val id = reg.register(subject, schemaJson)
+      assert(id == 41)
+      assert(reg.schemaById(id) == schemaJson) // JSON-escape round-trip exact
+      assert(reg.subjects() == Seq(subject))
+      intercept[java.io.IOException](reg.schemaById(999))
+    } finally server.stop(0)
+  }
 }

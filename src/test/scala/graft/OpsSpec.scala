@@ -59,6 +59,16 @@ class OpsSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("canonical ids converge on chain topologies (a-b, b-c, c-d all map to a)") {
+    val df = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    val pairs = spark.createDataFrame(
+      Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 4L)).asJava, // chain, NOT a clique
+      StructType.fromDDL("d1 bigint, d2 bigint"))
+    val m = Dedup.canonicalIds(df, "id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
+  }
+
   test("brute-force topk finds the planted nearest neighbor first") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0)),

@@ -179,6 +179,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(Etl.run(spark, inPool, outPool, t) == (0L, 0L))
   }
 
+  test("topic admin: create-missing is idempotent, watermarks surface (S7/S8)") {
+    val admin = new graft.streaming.InMemoryTopicAdmin
+    admin.createMissingTopics(4, 1.toShort, Seq("A", "B"))
+    admin.createMissingTopics(8, 1.toShort, Seq("A", "C")) // A exists → untouched
+    assert(admin.listTopics() == Seq("A", "B", "C"))
+    assert(admin.partitionsOf("A").contains(4))
+    admin.setWatermarks("A", 5L, 100L)
+    assert(admin.watermarks("A") == (5L, 100L))
+    assert(graft.cli.Commands.infoTopics(admin, Seq("A")) == Seq(("A", 5L, 100L)))
+    intercept[IllegalArgumentException](admin.watermarks("Z"))
+  }
+
   test("kafka reader options pass TLS/SASL client config through") {
     val src = new graft.streaming.KafkaTopicSource("broker:9093", maxPerTrigger = 1000,
       clientOptions = Map(
