@@ -64,6 +64,44 @@ object CodecQueries {
             - octet_length(col("bytes")) + 5).as("hdr_delta"))
           .groupBy("schema_id", "hdr_delta").agg(count(lit(1)).as("cnt"))
       },
-      Some("""SELECT 1 AS schema_id, 0 AS hdr_delta, count(*) AS cnt FROM events"""))
+      Some("""SELECT 1 AS schema_id, 0 AS hdr_delta, count(*) AS cnt FROM events""")),
+
+    // C3 union surface: a non-optional Avro union decodes as the tag struct
+    // {tag, b0, b1} (schema.go:234-244, decoder.go:141-161 → SURVEY §1.2).
+    // Long-branch events carry their id, purchases carry a string — the
+    // oracle recomputes tag/branches straight from the source table.
+    "codec_avro_union" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.{Encoders, Row}
+        import org.apache.spark.sql.types.{BinaryType, StructField}
+        val registry: SchemaRegistry = new InMemoryRegistry
+        val writerJson =
+          """{"type":"record","name":"u","fields":[{"name":"v","type":["long","string"]}]}"""
+        val id = registry.register("u-subj", writerJson)
+        val wire = Tables.load(s, d, "events")
+          .select(col("event_id"), col("event_type"))
+          .mapPartitions { it =>
+            val schema = new org.apache.avro.Schema.Parser().parse(writerJson)
+            it.map { r =>
+              val rec = new org.apache.avro.generic.GenericData.Record(schema)
+              if (r.getString(1) == "purchase")
+                rec.put("v", new org.apache.avro.util.Utf8("id-" + r.getLong(0)))
+              else rec.put("v", java.lang.Long.valueOf(r.getLong(0)))
+              Row(ConfluentAvro.encodeBytes(rec, schema, id): Any)
+            }
+          }(Encoders.row(StructType(Seq(StructField("bytes", BinaryType)))))
+        val target = ConfluentAvro.sparkType(
+          new org.apache.avro.Schema.Parser().parse(writerJson)).asInstanceOf[StructType]
+        ConfluentAvro.decodeDF(wire, "bytes", "v", target, registry)
+          .groupBy(col("v.v.tag").as("tag"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("v.v.b0")).as("sum_long"),
+            max(col("v.v.b1")).as("max_str"))
+      },
+      Some("""SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag,
+             |       count(*) AS cnt,
+             |       CAST(sum(CASE WHEN event_type <> 'purchase' THEN event_id END) AS BIGINT) AS sum_long,
+             |       max(CASE WHEN event_type = 'purchase' THEN 'id-' || CAST(event_id AS VARCHAR) END) AS max_str
+             |FROM events GROUP BY 1""".stripMargin))
   )
 }
