@@ -283,6 +283,23 @@ object OpsQueries {
       },
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              |       'text/plain' AS mime, length(text) AS n_chars
+             |FROM documents""".stripMargin)),
+
+    // resize stub: binary→binary with metadata rewrite; the oracle recomputes
+    // the expected downsampled size (+ first byte) from the text itself
+    "mm_resize_stub" -> Q(
+      (s, d) => {
+        val media = Multimodal.attachPayload(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        Multimodal.resize(media, "payload", factor = 4)
+          .select(col("doc_id"),
+            octet_length(col("payload")).cast("long").as("n_before"),
+            col("n_resized"),
+            expr("substring(payload_resized, 1, 1)").as("first_byte"))
+      },
+      Some("""SELECT doc_id, octet_length(encode(text)) AS n_before,
+             |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_resized,
+             |       encode(substring(text, 1, 1)) AS first_byte
              |FROM documents""".stripMargin))
   )
 }

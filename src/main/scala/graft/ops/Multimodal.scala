@@ -90,4 +90,28 @@ object Multimodal {
       explode(sequence(lit(0), floor((octet_length(col(payloadCol)) - 1) / every).cast("int"))))
       .withColumn("frame_byte",
         expr(s"substring($payloadCol, frame_idx * $every + 1, 1)"))
+
+  /** "Resize" stub: payload → smaller payload (every k-th byte) with the
+    * metadata rewritten — the binary→binary transform shape of a real image
+    * resize (decode → scale → re-encode per batch; a real implementation
+    * swaps the body of the loop, the batched partition pass stays).
+    */
+  def resize(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "resize factor must be positive")
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("payload_resized", BinaryType)
+      .add("n_resized", LongType)
+    df.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { row =>
+          val b = row.getAs[Array[Byte]](idx)
+          val out = new Array[Byte]((b.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = b(i * factor); i += 1 }
+          Row.fromSeq(row.toSeq ++ Seq(out, out.length.toLong))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -60,6 +60,39 @@ object Similarity {
       .drop("_cos", "_rn", "centv")
   }
 
+  /** Train K centroids with Lloyd's algorithm, entirely as DataFrame ops —
+    * the in-engine source of `ivfAssign`/`ivfTopK` centroids.
+    *
+    * Per round: assign every vector to its nearest centroid (centroids
+    * broadcast), then recompute each centroid as the elementwise mean via
+    * `posexplode` + one partial-aggregating groupBy — shuffle volume is
+    * vectors × dims rows per round, the corpus is never collected. Centroids
+    * are `localCheckpoint`ed per round so lineage stays constant. Seeds are
+    * the K lowest-id vectors (deterministic, engine-portable); a centroid
+    * whose cell empties drops out (k shrinks rather than NaN-ing).
+    * Output: (centroid_id, `vecCol` as array<double>).
+    */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val pts = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
+    var cents = pts.orderBy(col("_pid")).limit(k)
+      .select(col("_pid").as("centroid_id"),
+        transform(col("_pv"), x => x.cast("double")).as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(pts, cents.select(col("centroid_id").as("_pid"),
+        col("cv").as("_pv")), "_pid", "_pv")
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("_pv")))
+        .groupBy("centroid_id", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cents.select(col("centroid_id"), col("cv").as(vecCol))
+  }
+
   /** IVF search: assign corpus + queries to cells, then brute-force only
     * within the query's cell. Output: (query_id, rank, neighbor_id).
     */

@@ -93,6 +93,26 @@ class OpsSpec extends AnyFunSuite {
     assert(m == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("kmeans separates obvious clusters and feeds ivfAssign") {
+    // cluster A: even ids near (1,0); cluster B: odd ids near (0,1) — the
+    // two lowest-id seeds (0, 1) start one in each cluster
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)), (4L, Seq(1.1, -0.1)),
+      (1L, Seq(0.0, 1.0)), (3L, Seq(0.1, 0.9)), (5L, Seq(-0.1, 1.1)))
+    val df = spark.createDataFrame(
+      vecs.map(v => Row(v._1, v._2)).asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    val cents = Similarity.kmeans(df, "vec_id", "v", k = 2, iters = 3)
+    assert(cents.count() == 2)
+    val m = Similarity.ivfAssign(df,
+        cents.select(col("centroid_id").as("vec_id"), col("v")), "vec_id", "v")
+      .select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(m(0L), m(2L), m(4L)).size == 1) // cluster A together
+    assert(Set(m(1L), m(3L), m(5L)).size == 1) // cluster B together
+    assert(m(0L) != m(1L))                     // and apart
+  }
+
   test("multimodal decode: batched features are deterministic and correct") {
     val df = docs(1L -> "hello", 2L -> "world!!")
     val media = Multimodal.attachPayload(df, "id", "text")
@@ -106,6 +126,15 @@ class OpsSpec extends AnyFunSuite {
     assert(feats(1L).getLong(2) == expected)
     // histogram features sum to byte count
     assert(feats(2L).getSeq[Float](3).sum == 7f)
+  }
+
+  test("resize stub downsamples the payload and rewrites the size metadata") {
+    val df = docs(1L -> "abcdefghij") // 10 bytes, factor 4 → bytes 0,4,8
+    val media = Multimodal.attachPayload(df, "id", "text")
+    val r = Multimodal.resize(media, "payload", factor = 4)
+      .select("n_resized", "payload_resized").collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getAs[Array[Byte]](1).toSeq == Seq('a'.toByte, 'e'.toByte, 'i'.toByte))
   }
 
   test("frame sampling emits every k-th byte") {

@@ -229,6 +229,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).toSeq == Seq(3L, 2L)) // hour 0: 3 events, hour 1: 2
   }
 
+  test("flatMapGroupsWithState sessionizes with event-time timeout (custom state)") {
+    import graft.streaming.StatefulSessions
+    val sp = spark
+    import sp.implicits._
+    val dir = Files.createTempDirectory("sess").toString
+    val schema = StructType.fromDDL("user string, ts timestamp")
+    def write(rows: (String, String)*): Unit =
+      spark.createDataFrame(
+        rows.map { case (u, t) => Row(u, java.sql.Timestamp.valueOf(t)) }.asJava,
+        schema).write.mode("append").parquet(dir)
+    write(("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-01 00:05:00"),
+      ("u2", "2024-01-01 00:00:00"))
+    val events = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "10 minutes").as[StatefulSessions.Event]
+    val q = StatefulSessions.sessionize(events, gapMs = 30 * 60 * 1000L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 seconds"))
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("sess_out").isEmpty) // watermark hasn't passed any gap yet
+    // a much later event pushes the watermark past both open sessions' gaps
+    write(("u3", "2024-01-01 02:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT user, count FROM sess_out ORDER BY user").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("u1" -> 2L, "u2" -> 1L)) // u3's session is still open
+  }
+
   test("to-topic drains the pool in offset-ordered batches from the high-water mark") {
     val pool = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val env = decode(wireRows("T", 0 until 500))
