@@ -341,77 +341,42 @@ object ConfluentAvro {
 
   @transient private lazy val idCache =
     new scala.collection.concurrent.TrieMap[(String, Int), Schema]
-  private def writerSchema(registry: SchemaRegistry, id: Int): Schema =
+  def writerSchemaFor(registry: SchemaRegistry, id: Int): Schema =
     idCache.getOrElseUpdate((registry.cacheKey, id), parsed(registry.schemaById(id)))
+
+  /** Parsed schema through the executor-static parse cache (public for the
+    * codec expressions in the sql shim package).
+    */
+  def parsedSchema(json: String): Schema = parsed(json)
 
   /** C2: struct column → Confluent wire bytes appended as `outCol`;
     * registers the derived schema under its RecordNameStrategy subject
     * (encoder.go:29-66). Registration happens once, on the driver, at plan
-    * time — executors only serialize. Per-partition reuse: one datum writer,
-    * one buffer, one encoder for the whole partition.
+    * time — executors only serialize. The encode itself is a Catalyst
+    * expression: the projection stays whole-stage-codegen'd, only this
+    * column's bytes are built outside Tungsten (vs a mapPartitions pass,
+    * which would ser/deser EVERY column through Row encoders).
     */
   def encodeDF(df: DataFrame, structCol: String, outCol: String,
       registry: SchemaRegistry, recordName: String = "value"): DataFrame = {
     val st = df.schema(structCol).dataType.asInstanceOf[StructType]
     val schemaJson = avroSchema(st, recordName).toString
     val id = registry.register(SchemaRegistry.subjectFor(schemaJson), schemaJson)
-    val idx = df.schema.fieldIndex(structCol)
-    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
-    df.mapPartitions { it =>
-      val schema = parsed(schemaJson)
-      val writer = new GenericDatumWriter[GenericRecord](schema)
-      val buf = new ByteArrayOutputStream(256)
-      val header = ByteBuffer.allocate(4).putInt(id).array()
-      var enc: BinaryEncoder = null
-      it.map { row =>
-        val bytes =
-          if (row.isNullAt(idx)) null
-          else {
-            buf.reset()
-            buf.write(MagicByte)
-            buf.write(header)
-            enc = EncoderFactory.get().directBinaryEncoder(buf, enc)
-            writer.write(rowToRecord(row.getStruct(idx), st, schema), enc)
-            enc.flush()
-            buf.toByteArray
-          }
-        Row.fromSeq(row.toSeq :+ bytes)
-      }
-    }(Encoders.row(outSchema))
+    df.withColumn(outCol,
+      graft.plans.ConfluentFunctions.confluent_avro_encode(
+        org.apache.spark.sql.functions.col(structCol), schemaJson, id))
   }
 
   /** C1: wire bytes column → decoded struct appended as `outCol`. A single
     * batch may carry many schema ids (SURVEY §7.4.2) — each row resolves its
-    * own writer schema through the executor-static id cache. Per-partition
-    * reuse: one BinaryDecoder and, per writer id, one DatumReader plus a
-    * reusable GenericRecord (zavro/decoder.go:74-221 cost model).
+    * own writer schema through the executor-static id cache. Runs as a
+    * Catalyst expression with per-task reuse of the BinaryDecoder and, per
+    * writer id, the DatumReader + record (zavro/decoder.go:74-221 cost
+    * model); all other columns stay in Tungsten format.
     */
   def decodeDF(df: DataFrame, bytesCol: String, outCol: String,
-      schema: StructType, registry: SchemaRegistry): DataFrame = {
-    val idx = df.schema.fieldIndex(bytesCol)
-    val outSchema = df.schema.add(outCol, schema, nullable = true)
-    df.mapPartitions { it =>
-      val readers = new java.util.HashMap[Integer, GenericDatumReader[GenericRecord]]()
-      val reusable = new java.util.HashMap[Integer, GenericRecord]()
-      var dec: BinaryDecoder = null
-      it.map { row =>
-        val bytes = row.getAs[Array[Byte]](idx)
-        val decoded =
-          if (bytes == null) null
-          else {
-            val id = Integer.valueOf(schemaIdOf(bytes))
-            var reader = readers.get(id)
-            if (reader == null) {
-              reader = new GenericDatumReader[GenericRecord](writerSchema(registry, id))
-              readers.put(id, reader)
-            }
-            dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
-            val rec = reader.read(reusable.get(id), dec)
-            reusable.put(id, rec)
-            recordToRow(rec, schema)
-          }
-        Row.fromSeq(row.toSeq :+ decoded)
-      }
-    }(Encoders.row(outSchema))
-  }
+      schema: StructType, registry: SchemaRegistry): DataFrame =
+    df.withColumn(outCol,
+      graft.plans.ConfluentFunctions.confluent_avro_decode(
+        org.apache.spark.sql.functions.col(bytesCol), schema, registry))
 }

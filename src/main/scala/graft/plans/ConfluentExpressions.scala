@@ -17,6 +17,17 @@ object ConfluentFunctions {
     GraftColumnsBridge.of(ConfluentSchemaId(GraftColumnsBridge.expr(c)))
   def confluent_body(c: Column): Column =
     GraftColumnsBridge.of(ConfluentBody(GraftColumnsBridge.expr(c)))
+
+  /** Full-body Avro codec expressions (CodegenFallback: body conversion runs
+    * via eval, the surrounding projection stays whole-stage codegen).
+    */
+  def confluent_avro_decode(c: Column, target: org.apache.spark.sql.types.StructType,
+      registry: graft.codec.SchemaRegistry): Column =
+    GraftColumnsBridge.of(
+      org.apache.spark.sql.graft.ConfluentAvroDecode(GraftColumnsBridge.expr(c), target, registry))
+  def confluent_avro_encode(c: Column, schemaJson: String, schemaId: Int): Column =
+    GraftColumnsBridge.of(
+      org.apache.spark.sql.graft.ConfluentAvroEncode(GraftColumnsBridge.expr(c), schemaJson, schemaId))
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` (or

@@ -1,10 +1,13 @@
 package org.apache.spark.sql.graft
 
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, IntegerType, StructType}
 
 /** Spark-sql-package shim: Expression↔Column conversion and the wire-header
   * expressions, which need `private[sql]` types (`AbstractDataType`,
@@ -77,5 +80,82 @@ case class ConfluentBody(child: Expression) extends UnaryExpression with Expects
       |""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ConfluentBody =
+    copy(child = newChild)
+}
+
+/** Confluent wire decode as a Catalyst expression: bytes → struct typed as
+  * `target`. CodegenFallback: the surrounding projection stays inside
+  * whole-stage codegen and only this column's value is produced via `eval` —
+  * unlike a `df.mapPartitions` codec pass, no other column leaves Tungsten
+  * format. Per-task (deserialized-instance) caches reuse the BinaryDecoder
+  * and, per writer id, the DatumReader + record, matching the reference's
+  * streaming decoder cost model (zavro/decoder.go:74-221).
+  */
+case class ConfluentAvroDecode(child: Expression, target: StructType,
+    registry: graft.codec.SchemaRegistry)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def dataType: DataType = target
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def prettyName: String = "confluent_avro_decode"
+
+  @transient private lazy val toCatalyst =
+    CatalystTypeConverters.createToCatalystConverter(target)
+  @transient private lazy val readers =
+    new java.util.HashMap[Integer, GenericDatumReader[GenericRecord]]
+  @transient private lazy val reusable = new java.util.HashMap[Integer, GenericRecord]
+  @transient private var dec: BinaryDecoder = _
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val id = Integer.valueOf(graft.codec.ConfluentAvro.schemaIdOf(bytes))
+    var reader = readers.get(id)
+    if (reader == null) {
+      reader = new GenericDatumReader[GenericRecord](
+        graft.codec.ConfluentAvro.writerSchemaFor(registry, id))
+      readers.put(id, reader)
+    }
+    dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
+    val rec = reader.read(reusable.get(id), dec)
+    reusable.put(id, rec)
+    toCatalyst(graft.codec.ConfluentAvro.recordToRow(rec, target))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ConfluentAvroDecode =
+    copy(child = newChild)
+}
+
+/** Confluent wire encode as a Catalyst expression: struct → header+body
+  * bytes under the (plan-time registered) schema id. Same CodegenFallback
+  * rationale as decode; the datum writer, buffer, and encoder are reused
+  * per task.
+  */
+case class ConfluentAvroEncode(child: Expression, schemaJson: String, schemaId: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "confluent_avro_encode"
+
+  @transient private lazy val childType = child.dataType.asInstanceOf[StructType]
+  @transient private lazy val toScala =
+    CatalystTypeConverters.createToScalaConverter(childType)
+  @transient private lazy val schema =
+    graft.codec.ConfluentAvro.parsedSchema(schemaJson)
+  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+  @transient private lazy val buf = new java.io.ByteArrayOutputStream(256)
+  @transient private lazy val header =
+    java.nio.ByteBuffer.allocate(4).putInt(schemaId).array()
+  @transient private var enc: BinaryEncoder = _
+
+  override def nullSafeEval(input: Any): Any = {
+    val row = toScala(input).asInstanceOf[org.apache.spark.sql.Row]
+    buf.reset()
+    buf.write(graft.codec.ConfluentAvro.MagicByte)
+    buf.write(header)
+    enc = EncoderFactory.get().directBinaryEncoder(buf, enc)
+    writer.write(graft.codec.ConfluentAvro.rowToRecord(row, childType, schema), enc)
+    enc.flush()
+    buf.toByteArray
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ConfluentAvroEncode =
     copy(child = newChild)
 }
