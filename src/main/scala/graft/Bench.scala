@@ -16,7 +16,10 @@ object Bench {
       .replace("\n", " ").replace("\r", " ").replace("\t", " ") + "\""
 
   def main(args: Array[String]): Unit = {
-    val realOut = System.out
+    // Write the metric line straight to fd 1: under sbt, System.out may be
+    // sbt's logger stream which prefixes lines with "[info] " and would break
+    // the driver's JSON parse.
+    val realOut = new PrintStream(new FileOutputStream(FileDescriptor.out), true)
     val toErr = new PrintStream(new FileOutputStream(FileDescriptor.err), true)
     System.setOut(toErr) // Java-side printers (Janino, log fallbacks)
 
