@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked process's stdio instead of re-logging it: sbt's default
+// LoggedOutput prefixes every stdout line with "[info] ", which breaks the
+// driver's single-JSON-line parse of Bench output (BENCH_r02 parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's trailing "[success] Total time" summary so the Bench
+// JSON is also the LAST stdout line (robust to last-line-parse drivers).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -286,7 +286,9 @@ object OpsQueries {
              |FROM documents""".stripMargin)),
 
     // resize stub: binary→binary with metadata rewrite; the oracle recomputes
-    // the expected downsampled size (+ first byte) from the text itself
+    // the expected downsampled size (+ first byte) from the text itself.
+    // first_byte is emitted as hex TEXT, not BINARY: the driver's comparison
+    // sorts values with pandas, which cannot sort/hash bytearray cells.
     "mm_resize_stub" -> Q(
       (s, d) => {
         val media = Multimodal.attachPayload(
@@ -295,11 +297,11 @@ object OpsQueries {
           .select(col("doc_id"),
             octet_length(col("payload")).cast("long").as("n_before"),
             col("n_resized"),
-            expr("substring(payload_resized, 1, 1)").as("first_byte"))
+            hex(expr("substring(payload_resized, 1, 1)")).as("first_byte"))
       },
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_before,
              |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_resized,
-             |       encode(substring(text, 1, 1)) AS first_byte
+             |       hex(encode(substring(text, 1, 1))) AS first_byte
              |FROM documents""".stripMargin))
   )
 }

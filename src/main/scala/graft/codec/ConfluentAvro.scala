@@ -341,8 +341,13 @@ object ConfluentAvro {
 
   @transient private lazy val idCache =
     new scala.collection.concurrent.TrieMap[(String, Int), Schema]
-  def writerSchemaFor(registry: SchemaRegistry, id: Int): Schema =
+  private val IdCacheMax = 4096
+  def writerSchemaFor(registry: SchemaRegistry, id: Int): Schema = {
+    // Safety valve: cacheKey is serialization-stable, so growth only happens
+    // with genuinely many (registry, id) pairs — still, never unbounded.
+    if (idCache.size > IdCacheMax) idCache.clear()
     idCache.getOrElseUpdate((registry.cacheKey, id), parsed(registry.schemaById(id)))
+  }
 
   /** Parsed schema through the executor-static parse cache (public for the
     * codec expressions in the sql shim package).

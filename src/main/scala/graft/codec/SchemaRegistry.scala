@@ -25,11 +25,15 @@ trait SchemaRegistry extends Serializable {
   def subjects(): Seq[String]
 
   /** Key for the codec's executor-static id→schema cache. The default is
-    * per-instance (safe for in-memory registries, which number ids from 1
-    * independently); network-backed implementations override with a stable
-    * endpoint key so the cache survives task-closure re-deserialization.
+    * per-origin-instance but stable across task-closure serialization: a
+    * UUID minted at construction rides along with the serialized registry,
+    * so every task copy of the same driver-side registry shares one cache
+    * entry set (an identity-hash key would mint a fresh key per task and
+    * grow the cache unboundedly in a long streaming job). Network-backed
+    * implementations override with a stable endpoint key instead.
     */
-  def cacheKey: String = s"${getClass.getName}@${Integer.toHexString(System.identityHashCode(this))}"
+  private val instanceKey: String = java.util.UUID.randomUUID().toString
+  def cacheKey: String = s"${getClass.getName}@$instanceKey"
 }
 
 object SchemaRegistry {

@@ -129,14 +129,19 @@ object Dedup {
   /** Canonical-id assignment from candidate pairs: every doc in a connected
     * duplicate component maps to the component's minimum id (the kept copy).
     *
-    * Min-label propagation iterated to fixpoint: each round every node takes
-    * the min of its own label and its neighbors' labels; rounds double the
-    * reach, so label distance shrinks in O(log(diameter)) rounds — cliques
-    * (what LSH/exact emit) converge in one, chains (a–b, b–c, c–d) in a few.
-    * The driver loop only compares per-round change counts; labels stay
-    * distributed, and each round's result is persisted + localCheckpointed
-    * so the lineage (and replanning cost) stays constant at any scale.
-    * Docs in no pair keep their own id.
+    * Min-label propagation with pointer jumping, iterated to fixpoint: each
+    * round every node takes the min of its own label and its neighbors'
+    * labels (one hop), then follows its label to that node's label
+    * (`canonical ← canonical(canonical)`, the pointer-jump), which doubles
+    * the distance already covered — so convergence is O(log diameter), not
+    * O(diameter). Cliques (what LSH/exact emit) converge in one round;
+    * maxRounds=20 covers any component a real corpus can produce
+    * (diameter ≈ 2^20 after jumps). The driver loop only compares per-round
+    * change counts; labels stay distributed, and each round's result is
+    * localCheckpointed so the lineage (and replanning cost) stays constant
+    * at any scale. Docs in no pair keep their own id. If the round budget is
+    * exhausted before fixpoint (pathological topology), this THROWS rather
+    * than silently returning partially-propagated labels.
     */
   def canonicalIds(df: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 20): DataFrame = {
@@ -150,19 +155,34 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("nb"), col("canonical").as("nbc")), Seq("nb"))
         .groupBy("id").agg(min("nbc").as("nbmin"))
-      // localCheckpoint truncates lineage so round N+1 doesn't replan 1..N
-      val next = labels
+      val hopped = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("canonical"), coalesce(col("nbmin"), col("canonical"))).as("canonical"))
+          least(col("canonical"), coalesce(col("nbmin"), col("canonical"))).as("canonical"),
+          col("canonical").as("prev"))
+      // Pointer jump: labels always point at real node ids (mins of ids), so
+      // re-join the label set onto itself to skip to the label's own label.
+      // Invariant canonical(x) <= x makes this monotone — it can only lower.
+      // localCheckpoint truncates lineage so round N+1 doesn't replan 1..N.
+      // `prev` rides along into the checkpoint so the convergence check is a
+      // filter over the already-materialized frame, not another join.
+      val next = hopped
+        .join(hopped.select(col("id").as("canonical"), col("canonical").as("cc")),
+          Seq("canonical"), "left")
+        .select(col("id"),
+          least(col("canonical"), coalesce(col("cc"), col("canonical"))).as("canonical"),
+          col("prev"))
         .localCheckpoint(true)
-      val changed = next.join(labels.select(col("id"), col("canonical").as("prev")), Seq("id"))
-        .filter(col("canonical") =!= col("prev")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("canonical") =!= col("prev")).limit(1).count()
+      labels = next.select("id", "canonical")
       converged = changed == 0
       round += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"canonicalIds did not converge within $maxRounds rounds; " +
+          "raise maxRounds (components of diameter > 2^rounds are pathological)")
     labels
   }
 

@@ -106,10 +106,13 @@ object Multimodal {
       rows.grouped(BatchSize).flatMap { batch =>
         batch.map { row =>
           val b = row.getAs[Array[Byte]](idx)
-          val out = new Array[Byte]((b.length + factor - 1) / factor)
-          var i = 0
-          while (i < out.length) { out(i) = b(i * factor); i += 1 }
-          Row.fromSeq(row.toSeq ++ Seq(out, out.length.toLong))
+          if (b == null) Row.fromSeq(row.toSeq ++ Seq(null, null))
+          else {
+            val out = new Array[Byte]((b.length + factor - 1) / factor)
+            var i = 0
+            while (i < out.length) { out(i) = b(i * factor); i += 1 }
+            Row.fromSeq(row.toSeq ++ Seq(out, out.length.toLong))
+          }
         }
       }
     }(Encoders.row(outSchema))

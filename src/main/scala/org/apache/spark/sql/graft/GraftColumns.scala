@@ -130,8 +130,9 @@ case class ConfluentAvroDecode(child: Expression, target: StructType,
   * per task.
   */
 case class ConfluentAvroEncode(child: Expression, schemaJson: String, schemaId: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   override def dataType: DataType = BinaryType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StructType)
   override def prettyName: String = "confluent_avro_encode"
 
   @transient private lazy val childType = child.dataType.asInstanceOf[StructType]

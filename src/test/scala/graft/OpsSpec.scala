@@ -69,6 +69,19 @@ class OpsSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
   }
 
+  test("canonical ids pointer-jump: a 60-node chain converges in <= 8 rounds") {
+    // One-hop-per-round propagation would need 59 rounds; pointer jumping
+    // doubles covered distance each round, so 8 rounds reach 2^8 = 256.
+    val n = 60
+    val df = docs((1 to n).map(i => i.toLong -> s"doc$i"): _*)
+    val pairs = spark.createDataFrame(
+      (1 until n).map(i => Row(i.toLong, (i + 1).toLong)).asJava,
+      StructType.fromDDL("d1 bigint, d2 bigint"))
+    val m = Dedup.canonicalIds(df, "id", pairs, maxRounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == (1 to n).map(i => i.toLong -> 1L).toMap)
+  }
+
   test("brute-force topk finds the planted nearest neighbor first") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0)),
