@@ -18,6 +18,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and drop sbt's trailing "[success] Total time" summary so the Bench
 // JSON is also the LAST stdout line (robust to last-line-parse drivers).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curate, Dedup, Multimodal, Similarity, TextOps}
 import graft.Queries.Q
 
 /** LLM-data-pipeline operators, driver-checked. Dedup/text corpora are
@@ -302,6 +302,53 @@ object OpsQueries {
       Some("""SELECT doc_id, octet_length(encode(text)) AS n_before,
              |       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS n_resized,
              |       hex(encode(substring(text, 1, 1))) AS first_byte
+             |FROM documents""".stripMargin)),
+
+    // ---------------- curation ----------------
+
+    // deterministic 25% sample: md5(doc_id) below the 0.25 hex threshold —
+    // same rows on any engine / cluster size / run
+    "curate_hash_sample" -> Q(
+      (s, d) => Curate.hashSample(
+        Tables.load(s, d, "documents"), col("doc_id"), 0.25)
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'""".stripMargin)),
+
+    // stratified: keep 50% of English, 12.5% of everything else, one scan
+    "curate_stratified_sample" -> Q(
+      (s, d) => Curate.stratifiedSample(
+        Tables.load(s, d, "documents"), col("lang"),
+        Map("en" -> 0.5), defaultRate = 0.125, keyCol = col("doc_id"))
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE md5(CAST(doc_id AS VARCHAR)) <
+             |  CASE WHEN lang = 'en' THEN '80000000' ELSE '20000000' END""".stripMargin)),
+
+    // per-source cap: longest 50 docs per source, doc_id tiebreak
+    "curate_cap_per_source" -> Q(
+      (s, d) => Curate.capPerGroup(
+        Tables.load(s, d, "documents"),
+        col("source"), col("n_chars").desc, col("doc_id"), n = 50)
+        .select("doc_id", "source", "n_chars"),
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |QUALIFY row_number() OVER
+             |  (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 50""".stripMargin)),
+
+    // sequence packing: ~1000-token packs filled in doc_id order per source
+    "curate_pack_sequences" -> Q(
+      (s, d) => Curate.packSequences(
+        Tables.load(s, d, "documents")
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+        col("source"), col("doc_id"), col("n_tok"), budgetTokens = 1000)
+        .select("doc_id", "source", "n_tok", "pack_id"),
+      Some("""SELECT doc_id, source,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |  CAST(floor(
+             |    (sum(len(string_split(text, ' '))) OVER
+             |       (PARTITION BY source ORDER BY doc_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     - len(string_split(text, ' '))) / 1000.0) AS BIGINT) AS pack_id
              |FROM documents""".stripMargin))
   )
 }

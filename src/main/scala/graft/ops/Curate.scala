@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deterministic
+  * sampling, per-stratum rates, per-group caps, and sequence packing.
+  *
+  * Everything here is a narrow, shuffle-conscious DataFrame transform:
+  *
+  *  - Sampling is HASH-based, not `df.sample`: `md5(key)` compared against a
+  *    hex threshold. Deterministic across runs, engines, partitionings, and
+  *    cluster sizes (a re-run of a 100 TB job selects the same rows), and it
+  *    pushes down as a plain filter — no RNG state per partition.
+  *  - Stratified sampling is the same filter with a per-stratum threshold
+  *    looked up via a CASE expression — one scan, no per-stratum jobs.
+  *  - Per-group caps use a rank window; groups are the parallelism unit.
+  *  - Packing (grouping documents into ~budget-token training sequences)
+  *    fills contiguously in key order WITHIN a shard, so shards pack in
+  *    parallel — the global-greedy alternative is inherently sequential and
+  *    no better for training purposes.
+  */
+object Curate {
+
+  /** Hex comparison threshold selecting ~`fraction` of uniform md5 space:
+    * the first 8 hex chars of fraction × 16^8 (md5 strings below it are
+    * "selected"). 32-bit resolution ≈ 2.3e-10 granularity.
+    */
+  def sampleThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    val scaled = math.min((fraction * 4294967296.0).toLong, 4294967295L)
+    f"$scaled%08x"
+  }
+
+  /** Uniform deterministic sample: keep rows whose `md5(salt || key)` falls
+    * below the fraction threshold. Same (key, salt, fraction) → same rows,
+    * on any engine and at any scale; changing `salt` draws an independent
+    * sample (e.g. for held-out splits).
+    */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.filter(md5(concat(lit(salt), keyCol.cast("string"))) < lit(sampleThreshold(fraction)))
+
+  /** Stratified deterministic sample: per-stratum fractions (e.g. keep 50%
+    * of English, 12.5% of everything else). One scan — the stratum's
+    * threshold is a CASE lookup, then the same md5 filter as `hashSample`.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      keyCol: Column, salt: String = ""): DataFrame = {
+    val thr = rates.foldLeft(lit(sampleThreshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(strataCol === stratum, lit(sampleThreshold(rate))).otherwise(acc)
+    }
+    df.filter(md5(concat(lit(salt), keyCol.cast("string"))) < thr)
+  }
+
+  /** Keep at most `n` rows per group, best-first by `orderBy` (ties broken
+    * by `tieBreak` for determinism). The shuffle is one hash exchange on
+    * `groupCol`; a pathologically hot group serializes through one task —
+    * at 100 TB, cap groups are domains/sources (many, moderate size), which
+    * is exactly the workload this window shape handles well.
+    */
+  def capPerGroup(df: DataFrame, groupCol: Column, orderBy: Column,
+      tieBreak: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderBy, tieBreak)
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= n).drop("_rk")
+  }
+
+  /** Sequence packing: assign each document a `pack_id` such that documents
+    * sharing a pack total ≈ `budgetTokens` (contiguous fill in `orderBy`
+    * order within each `shardCol` partition — a doc whose tokens straddle a
+    * boundary starts in the pack where its first token lands).
+    *
+    * pack_id = floor((running_total - own_tokens) / budget), i.e. the pack
+    * containing the document's first token. Shards pack independently and
+    * in parallel; at scale `shardCol` is a file/domain/date shard — the same
+    * unit real pretraining pipelines pack within.
+    */
+  def packSequences(df: DataFrame, shardCol: Column, orderBy: Column,
+      tokenCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "token budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(orderBy)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(tokenCol).over(w))
+      .withColumn("pack_id",
+        floor((col("_cum") - tokenCol) / lit(budgetTokens.toDouble)).cast("long"))
+      .drop("_cum")
+  }
+}

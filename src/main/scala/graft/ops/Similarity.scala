@@ -18,15 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise-fold cosine similarity, deterministic left-to-right sums. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(ad, lit(0.0), (acc, x) => acc + x * x)
-    val nb = aggregate(bd, lit(0.0), (acc, x) => acc + x * x)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  /** Elementwise cosine similarity, deterministic left-to-right sums.
+    *
+    * A native codegen expression (one fused loop over the unsafe array data)
+    * rather than `aggregate(zip_with(...))`: higher-order functions are
+    * CodegenFallback in Spark, so the HOF form leaves whole-stage codegen,
+    * allocates a zipped array, and boxes every lambda application — per
+    * candidate pair, in the hot path of every similarity join. Results are
+    * bit-identical (same accumulation order).
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftColumnsBridge.of(
+      org.apache.spark.sql.graft.CosineSimilarity(
+        org.apache.spark.sql.graft.GraftColumnsBridge.expr(a),
+        org.apache.spark.sql.graft.GraftColumnsBridge.expr(b)))
 
   /** Exact top-k neighbors per query vector (self-match excluded).
     * Output: (query_id, rank, neighbor_id).

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming deduplication with watermark-bounded state — the incremental
+  * twin of `graft.ops.Dedup.exactGroups` for ingest pipelines that must not
+  * re-emit documents they have already shipped.
+  *
+  * Uses `dropDuplicatesWithinWatermark`: the seen-fingerprint state is
+  * evicted once the event-time watermark passes a fingerprint's last
+  * occurrence plus the delay, so state size is bounded by the duplicate
+  * arrival horizon — NOT by corpus size. At 100 TB/day ingest, an unbounded
+  * `dropDuplicates` would accrete every fingerprint ever seen into the state
+  * store; the watermarked form holds only the recent horizon (cross-horizon
+  * dedup belongs to the batch operators over the landed corpus).
+  */
+object StreamDedup {
+
+  /** Drop re-arrivals of the same key columns within the watermark horizon.
+    * `df` must be a streaming DataFrame with event-time column `tsCol`.
+    */
+  def dedupByKey(df: DataFrame, tsCol: String, delay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Drop re-arrivals of identical CONTENT: fingerprint = md5(text), state
+    * keyed by the 32-byte fingerprint rather than the document body.
+    */
+  def dedupByContent(df: DataFrame, tsCol: String, delay: String,
+      textCol: String): DataFrame =
+    df.withColumn("_fp", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+}

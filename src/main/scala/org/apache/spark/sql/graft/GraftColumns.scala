@@ -4,10 +4,12 @@ import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericR
 import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, IntegerType, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, StructType}
 
 /** Spark-sql-package shim: Expression↔Column conversion and the wire-header
   * expressions, which need `private[sql]` types (`AbstractDataType`,
@@ -159,4 +161,98 @@ case class ConfluentAvroEncode(child: Expression, schemaJson: String, schemaId: 
 
   override protected def withNewChildInternal(newChild: Expression): ConfluentAvroEncode =
     copy(child = newChild)
+}
+
+/** Cosine similarity of two numeric arrays — `cosine_sim(a, b)` — as a
+  * native whole-stage-codegen expression.
+  *
+  * The declarative alternative (`aggregate(zip_with(a, b, _*_), ...)`)
+  * builds on higher-order functions, which are CodegenFallback in Spark:
+  * every evaluation leaves the generated loop, allocates a zipped array, and
+  * boxes each lambda application. Inside a pairwise dedup join or a top-k
+  * scan, that is the per-row hot path — here the dot product and both norms
+  * are one fused primitive loop over the unsafe array data, no allocation.
+  *
+  * Semantics mirror the HOF formulation exactly (left-to-right double
+  * accumulation, so results are bit-identical to the previous plan and the
+  * DuckDB oracle): null input, length mismatch, or a null element → null;
+  * zero vectors → NaN (0/0), as before. Float elements are widened exactly.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType, ArrayType)
+  override def prettyName: String = "cosine_sim"
+  // Nullable regardless of children: length mismatch / null element → null.
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = super.checkInputDataTypes()
+    if (!ok.isSuccess) ok
+    else if (Seq(left, right).forall(e =>
+      elemType(e) == DoubleType || elemType(e) == FloatType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double> inputs, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double =
+    if (t == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (tx, ty) = (elemType(left), elemType(right))
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = get(x, tx, i); val yi = get(y, ty, i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def acc(t: DataType, arr: String, i: String): String =
+      if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |    final double xv = ${acc(elemType(left), x, i)};
+         |    final double yv = ${acc(elemType(right), y, i)};
+         |    $dot += xv * yv; $na += xv * xv; $nb += yv * yv;
+         |  }
+         |  if ($bad) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
 }

@@ -45,6 +45,46 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine_sim matches the fold formulation and compiles codegen-only") {
+    val conf = spark.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val schema = StructType(Seq(
+        StructField("a", ArrayType(FloatType)),
+        StructField("b", ArrayType(DoubleType))))
+      val df = spark.createDataFrame(Seq(
+        Row(Seq(1.0f, 2.0f, 3.0f), Seq(1.0, 2.0, 3.0)),     // identical → 1.0
+        Row(Seq(1.0f, 0.0f), Seq(0.0, 1.0)),                // orthogonal → 0.0
+        Row(Seq(1.0f, 2.0f), Seq(1.0, 2.0, 3.0)),           // length mismatch → null
+        Row(Seq(1.0f, 2.0f), null),                          // null input → null
+        Row(Seq(3.0f, 4.0f), Seq(4.0, 3.0))).asJava, schema)
+      val got = df.select(
+        graft.ops.Similarity.cosine(col("a"), col("b")).as("c")).collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(got(0).exists(v => math.abs(v - 1.0) < 1e-12))
+      assert(got(1).contains(0.0))
+      assert(got(2).isEmpty && got(3).isEmpty)
+      assert(got(4).exists(v => math.abs(v - 24.0 / 25.0) < 1e-12))
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
+  test("cosine_sim rejects non-numeric arrays at analysis time") {
+    val df = spark.createDataFrame(Seq(Row(Seq("x"), Seq("y"))).asJava,
+      StructType(Seq(
+        StructField("a", ArrayType(StringType)),
+        StructField("b", ArrayType(StringType)))))
+    val e = intercept[Exception](
+      df.select(graft.ops.Similarity.cosine(col("a"), col("b"))).collect())
+    assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("confluent_body strips exactly the 5-byte header") {
     val df = wireDF(Array[Byte](0, 0, 0, 0, 1, 10, 20, 30))
     val body = df.select(confluent_body(col("b"))).collect()(0).getAs[Array[Byte]](0)

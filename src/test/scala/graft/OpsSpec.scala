@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Curate, Dedup, Multimodal, Similarity, TextOps}
 
 class OpsSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
@@ -158,5 +158,56 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.length == 4) // bytes 0,3,6,9
     assert(frames.map(_.getAs[Array[Byte]](1)(0)).toSeq ==
       Seq('a'.toByte, 'd'.toByte, 'g'.toByte, 'j'.toByte))
+  }
+
+  test("hash sample is deterministic, salt-sensitive, and near the target rate") {
+    val df = spark.range(0, 4000).toDF("id")
+    val a = Curate.hashSample(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    val b = Curate.hashSample(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
+    assert(a == b) // same key+salt+fraction → identical rows
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.05)
+    val salted = Curate.hashSample(df, col("id"), 0.25, salt = "v2")
+      .collect().map(_.getLong(0)).toSet
+    assert(salted != a) // independent draw
+    // a narrower fraction is a strict subset: thresholds nest
+    val narrow = Curate.hashSample(df, col("id"), 0.1).collect().map(_.getLong(0)).toSet
+    assert(narrow.subsetOf(a))
+  }
+
+  test("stratified sample applies per-stratum rates") {
+    val df = spark.range(0, 4000)
+      .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val got = Curate.stratifiedSample(df, col("lang"),
+      Map("en" -> 0.5), defaultRate = 0.05, keyCol = col("id"))
+    val byLang = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") / 2000.0 - 0.5) < 0.08)
+    assert(math.abs(byLang.getOrElse("de", 0L) / 2000.0 - 0.05) < 0.04)
+  }
+
+  test("cap per group keeps the n best rows with deterministic tiebreak") {
+    val rows = Seq(
+      Row("a", 1L, 10L), Row("a", 2L, 30L), Row("a", 3L, 30L), Row("a", 4L, 20L),
+      Row("b", 5L, 1L))
+    val df = spark.createDataFrame(rows.asJava,
+      StructType.fromDDL("src string, id bigint, score bigint"))
+    val kept = Curate.capPerGroup(df, col("src"), col("score").desc, col("id"), n = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a: scores 30(id2),30(id3) win — id2 before id3; b: only row kept
+    assert(kept == Set(("a", 2L), ("a", 3L), ("b", 5L)))
+  }
+
+  test("sequence packing fills packs contiguously per shard") {
+    val rows = Seq(
+      Row("s1", 1L, 400L), Row("s1", 2L, 400L), Row("s1", 3L, 400L), // 3rd straddles → pack 0
+      Row("s1", 4L, 900L),                                           // starts at 1200 → pack 1
+      Row("s2", 9L, 50L))                                            // own shard → pack 0
+    val df = spark.createDataFrame(rows.asJava,
+      StructType.fromDDL("src string, id bigint, tok bigint"))
+    val packs = Curate.packSequences(df, col("src"), col("id"), col("tok"), 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(packs == Map(
+      ("s1", 1L) -> 0L, ("s1", 2L) -> 0L, ("s1", 3L) -> 0L,
+      ("s1", 4L) -> 1L, ("s2", 9L) -> 0L))
   }
 }

@@ -259,6 +259,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq("u1" -> 2L, "u2" -> 1L)) // u3's session is still open
   }
 
+  test("streaming dedup drops re-arriving content within the watermark horizon") {
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("sdedup").toString
+    val schema = StructType.fromDDL("id bigint, text string, ts timestamp")
+    def write(rows: (Long, String, String)*): Unit =
+      spark.createDataFrame(
+        rows.map { case (i, t, s) => Row(i, t, java.sql.Timestamp.valueOf(s)) }.asJava,
+        schema).write.mode("append").parquet(dir)
+    write((1L, "alpha", "2024-01-01 00:00:00"), (2L, "beta", "2024-01-01 00:00:10"))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDedup.dedupByContent(stream, "ts", "10 minutes", "text")
+      .writeStream.outputMode("append").format("memory").queryName("sdedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    // same content re-arrives in a later micro-batch, still inside the horizon
+    write((3L, "alpha", "2024-01-01 00:01:00"), (4L, "gamma", "2024-01-01 00:01:30"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup_out").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L)) // id 3 = duplicate of id 1's content, dropped
+  }
+
   test("to-topic drains the pool in offset-ordered batches from the high-water mark") {
     val pool = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val env = decode(wireRows("T", 0 until 500))
