@@ -50,7 +50,13 @@ object Bench {
       } catch { case _: Throwable => () }
 
       val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-      val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Local-iteration filter: comma-separated substrings of query names
+      // (unset = everything, which is what the driver runs).
+      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+      val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+        only.forall(_.exists(n.contains))
+      }
+      val results = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
         catch { case e: Throwable => errors(name) = e.toString.linesIterator.next().take(300) }
