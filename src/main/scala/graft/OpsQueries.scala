@@ -271,6 +271,25 @@ object OpsQueries {
              |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
              |GROUP BY tok ORDER BY total DESC, tok LIMIT 100""".stripMargin)),
 
+    // corpus-trained add-1 bigram LM perplexity per document; ppl rounded to
+    // 1e-4 so avg()'s float summation order can't surface in the hash
+    "text_perplexity" -> Q(
+      (s, d) => TextOps.bigramPerplexity(
+        Tables.load(s, d, "documents"), "doc_id", "text").withColumnRenamed("id", "doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |tok AS (SELECT unnest(t) AS w1 FROM t),
+             |uni AS (SELECT w1, count(*) AS cw FROM tok GROUP BY w1),
+             |v AS (SELECT count(*) AS vsz FROM uni),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |    i -> {'w1': t[i], 'w2': t[i+1]}), recursive := true)
+             |  FROM t WHERE len(t) >= 2),
+             |bigc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2)
+             |SELECT bg.doc_id AS doc_id, count(*) AS n_bigrams,
+             |  round(exp(-avg(ln((cb + 1.0) / (cw + 1.0 * vsz)))), 4) AS ppl
+             |FROM bg JOIN bigc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+             |GROUP BY bg.doc_id""".stripMargin)),
+
     // ---------------- multimodal ----------------
 
     "mm_decode_stub" -> Q(

@@ -78,4 +78,40 @@ object TextOps {
       .agg(countDistinct("id").as("doc_freq"), count(lit(1)).as("total"))
       .orderBy(col("total").desc, col("tok"))
       .limit(k)
+
+  /** Per-document perplexity under a corpus-trained add-k bigram language
+    * model — the classic "does this document look like the corpus" quality
+    * signal (low = typical, high = anomalous/noisy).
+    *
+    *   P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)     V = vocab size
+    *   ppl(doc) = exp(−mean ln P over the doc's bigrams)
+    *
+    * Shape at scale: two count aggregations (bigram + unigram — both
+    * map-side combinable), one broadcast scalar (V), and two joins keyed on
+    * the bigram/unigram — the same inverted-index join pattern as dedup.
+    * Nothing is collected; the model "training" IS the aggregation.
+    * The perplexity is rounded (1e-4) so the float summation order inside
+    * `avg` never shows in results.
+    */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 1.0): DataFrame = {
+    val t = df.select(col(idCol).as("id"), toks(col(textCol)).as("t"))
+    val bigrams = t.filter(size(col("t")) >= 2)
+      .select(col("id"),
+        explode(expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = t.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cw"))
+    val vocabSize = uni.agg(count(lit(1)).as("vsz"))
+    val big = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("id"),
+        log((col("cb") + lit(k)) / (col("cw") + lit(k) * col("vsz"))).as("logp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(-avg(col("logp"))), 4).as("ppl"))
+  }
 }

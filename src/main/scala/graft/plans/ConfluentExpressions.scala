@@ -32,7 +32,7 @@ object ConfluentFunctions {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `builder.withExtensions(new GraftExtensions)`) registers the SQL names
-  * `confluent_schema_id` / `confluent_body`.
+  * `confluent_schema_id` / `confluent_body` / `cosine_sim`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -44,5 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("confluent_body"),
       new ExpressionInfo(classOf[ConfluentBody].getName, "confluent_body"),
       (children: Seq[Expression]) => ConfluentBody(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.graft.CosineSimilarity(children(0), children(1))))
   }
 }

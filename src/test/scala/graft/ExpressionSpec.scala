@@ -103,5 +103,8 @@ class ExpressionSpec extends AnyFunSuite {
     val r = spark.sql("SELECT confluent_schema_id(b) AS id, octet_length(confluent_body(b)) AS n FROM wire")
       .collect()(0)
     assert(r.getInt(0) == 7 && r.getInt(1) == 1)
+    val c = spark.sql(
+      "SELECT cosine_sim(array(3.0d, 4.0d), array(4.0d, 3.0d)) AS c").collect()(0)
+    assert(math.abs(c.getDouble(0) - 24.0 / 25.0) < 1e-12)
   }
 }

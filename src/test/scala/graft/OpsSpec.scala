@@ -160,6 +160,16 @@ class OpsSpec extends AnyFunSuite {
       Seq('a'.toByte, 'd'.toByte, 'g'.toByte, 'j'.toByte))
   }
 
+  test("bigram perplexity matches hand computation on a tiny corpus") {
+    // tokens: a b a | a b → uni a=3 b=2, V=2; bigrams (a,b)=2 (b,a)=1
+    // P(b|a) = 3/5, P(a|b) = 2/4
+    val df = docs(1L -> "a b a", 2L -> "a b")
+    val got = TextOps.bigramPerplexity(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 2L && math.abs(got(1L)._2 - 1.8257) < 1e-9) // 1/sqrt(0.3)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - 1.6667) < 1e-9) // 1/0.6
+  }
+
   test("hash sample is deterministic, salt-sensitive, and near the target rate") {
     val df = spark.range(0, 4000).toDF("id")
     val a = Curate.hashSample(df, col("id"), 0.25).collect().map(_.getLong(0)).toSet
