@@ -468,7 +468,35 @@ object Queries {
              |  FROM marked)
              |SELECT user_id, session_id, count(*) AS cnt,
              |       CAST((max(tns) - min(tns)) // 1000000000 AS BIGINT) AS duration_sec
-             |FROM sess GROUP BY 1, 2""".stripMargin)))
+             |FROM sess GROUP BY 1, 2""".stripMargin)),
+
+    // As-of join (extension, like the windows — SURVEY §2.5 absence): each
+    // click enriched with the user's most recent preceding error. The Spark
+    // side is the single-shuffle union+window formulation (no join blow-up);
+    // the oracle is DuckDB's native ASOF JOIN — two independent
+    // implementations of the semantics.
+    "q36_asof_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("event_id").as("err_id"))
+        graft.ops.AsOf.asofJoin(clicks, errors, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", rightPayload = Seq("err_id", "ts"),
+          joinType = "inner")
+          // µs output on both sides: Spark reads the parquet ns, DuckDB's
+          // TIMESTAMP truncates to µs — the join itself only uses ordering
+          .select(col("event_id"), col("user_id"),
+            expr("ts div 1000").as("ts_us"),
+            col("asof.err_id").as("err_id"),
+            expr("asof.ts div 1000").as("err_ts_us"))
+      },
+      Some("""SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+             |       e.event_id AS err_id, epoch_us(e.ts) AS err_ts_us
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+             |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin)))
 
   /** Full registry; extended by other modules' query packs. */
   def all: Map[String, Q] =

@@ -80,13 +80,22 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     require(hasKafkaOffset(batch), ErrBadPoolKey)
     val seg = f"seg-${committedSegments().size + 1}%06d-${System.nanoTime()}%x"
     val segDir = root.resolve(seg)
-    val sorted =
-      if (presorted) batch.sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
-      else batch
-        .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
-        .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
-    sorted.write.mode(SaveMode.ErrorIfExists).parquet(segDir.toString)
-    commit(seg)
+    // The range partitioner SAMPLES its input before shuffling it, so an
+    // uncached batch plan executes twice per commit. Batches are bounded
+    // (micro-batch / CLI-load sized — pools grow by segments, batches
+    // don't), so persist for the duration of the write. Callers that pass
+    // an already-persisted batch (Etl.run) are left untouched.
+    val mustCache = !presorted && batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (mustCache) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sorted =
+        if (presorted) batch.sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+        else batch
+          .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
+          .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+      sorted.write.mode(SaveMode.ErrorIfExists).parquet(segDir.toString)
+      commit(seg)
+    } finally if (mustCache) batch.unpersist()
   }
 
   private def commit(seg: String): Unit = synchronized {

@@ -160,6 +160,28 @@ class OpsSpec extends AnyFunSuite {
       Seq('a'.toByte, 'd'.toByte, 'g'.toByte, 'j'.toByte))
   }
 
+  test("asof join picks the latest right row at-or-before each left ts") {
+    import graft.ops.AsOf
+    val left = spark.createDataFrame(Seq(
+      Row(1L, "u1", 100L), Row(2L, "u1", 250L), Row(3L, "u1", 50L),
+      Row(4L, "u2", 500L)).asJava,
+      StructType.fromDDL("id bigint, user string, ts bigint"))
+    val right = spark.createDataFrame(Seq(
+      Row("u1", 100L, "a"), Row("u1", 200L, "b"), Row("u2", 600L, "c")).asJava,
+      StructType.fromDDL("user string, ts bigint, tag string"))
+    val out = AsOf.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("tag"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getStruct(3).getString(0))).toMap
+    assert(out == Map(
+      1L -> "a",  // tie at ts=100 is inclusive
+      2L -> "b",  // latest of {100, 200} <= 250
+      3L -> null, // nothing at-or-before 50 (left join keeps the row)
+      4L -> null)) // u2's only right row is later
+    val inner = AsOf.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("tag"),
+      joinType = "inner").collect().map(_.getLong(0)).toSet
+    assert(inner == Set(1L, 2L))
+  }
+
   test("bigram perplexity matches hand computation on a tiny corpus") {
     // tokens: a b a | a b → uni a=3 b=2, V=2; bigrams (a,b)=2 (b,a)=1
     // P(b|a) = 3/5, P(a|b) = 2/4

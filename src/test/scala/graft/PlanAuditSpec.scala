@@ -21,6 +21,26 @@ class PlanAuditSpec extends AnyFunSuite {
       StructType.fromDDL("id bigint, text string"))
   }
 
+  test("asof join compiles to one shuffle and zero join operators") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val left = spark.createDataFrame(
+      (1 to 100).map(i => Row(i.toLong, s"u${i % 5}", i.toLong * 10)).asJava,
+      StructType.fromDDL("id bigint, user string, ts bigint"))
+    val right = spark.createDataFrame(
+      (1 to 50).map(i => Row(s"u${i % 5}", i.toLong * 7, s"t$i")).asJava,
+      StructType.fromDDL("user string, ts bigint, tag string"))
+    val df = graft.ops.AsOf.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("tag"))
+    df.collect()
+    // the adaptive plan string repeats the tree under "== Initial Plan ==";
+    // audit only the final section
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"expected join-free plan:\n$plan")
+    // one shuffle for the window partitioning (unions/local ops add none)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("jaccard pair join reuses the shingle exchange at runtime") {
     val df = Dedup.jaccardPairs(corpus, "id", "text")
     df.collect()
