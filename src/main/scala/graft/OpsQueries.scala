@@ -225,6 +225,35 @@ object OpsQueries {
            |  FROM pairs)
            |WHERE rank <= 3""".stripMargin)),
 
+    // nprobe=2: queries probe their two nearest cells (the IVF recall knob);
+    // corpus rows stay in exactly one cell so no pair is generated twice
+    "sim_ivf_topk_probe2" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        Similarity.ivfTopK(base, base.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+          base.filter(col("vec_id") < 8), "vec_id", "v", k = 3, nprobe = 2)
+      },
+      Some(embBaseSql +
+        s""", cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base WHERE vec_id < 8),
+           |ranked AS (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN cent c),
+           |corpus_cells AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+           |query_cells AS (SELECT vec_id, v, centroid_id FROM ranked
+           |                WHERE rn <= 2 AND vec_id >= 100 AND vec_id < 110),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |         ${cos("q.v", "n.v")} AS cos
+           |  FROM query_cells q JOIN corpus_cells n
+           |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin)),
+
     // ---------------- text analysis ----------------
 
     "text_langid" -> Q(

@@ -496,7 +496,35 @@ object Queries {
              |       e.event_id AS err_id, epoch_us(e.ts) AS err_ts_us
              |FROM (SELECT * FROM events WHERE event_type = 'click') c
              |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
-             |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin)))
+             |  ON c.user_id = e.user_id AND c.ts >= e.ts""".stripMargin)),
+
+    // Range join (extension): clicks landing inside the 30-minute incident
+    // window after each error, per user. Spark side is the bin-bucketed
+    // equi-join (a plain non-equi join would be a per-key nested loop); the
+    // oracle states the containment condition directly. µs on both sides
+    // (Spark reads parquet ns, DuckDB truncates to µs).
+    "q37_range_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val win = 1800000000L // 30 min in µs
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"),
+            expr("ts div 1000").as("lo"),
+            (expr("ts div 1000") + win).as("hi"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            expr("ts div 1000").as("pt"))
+        graft.ops.RangeJoin.pointInInterval(errors, clicks,
+          Seq("user_id"), "lo", "hi", "pt", binWidth = win)
+          .select("user_id", "err_id", "click_id", "pt")
+      },
+      Some("""SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id,
+             |       epoch_us(c.ts) AS pt
+             |FROM (SELECT * FROM events WHERE event_type = 'error') e
+             |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON e.user_id = c.user_id
+             | AND epoch_us(c.ts) >= epoch_us(e.ts)
+             | AND epoch_us(c.ts) < epoch_us(e.ts) + 1800000000""".stripMargin)))
 
   /** Full registry; extended by other modules' query packs. */
   def all: Map[String, Q] =

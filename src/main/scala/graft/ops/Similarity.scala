@@ -54,14 +54,24 @@ object Similarity {
     * k-means sample. Output: corpus columns + `centroid_id`.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+      vecCol: String): DataFrame = ivfAssignN(corpus, centroids, idCol, vecCol, 1)
+
+  /** Multi-cell assignment: each row duplicated into its `nprobe` nearest
+    * cells (rank 1..nprobe by cosine, centroid-id tiebreak). nprobe > 1 is
+    * the standard IVF recall knob for QUERIES — corpus rows stay in exactly
+    * one cell, so probing n cells scans n/K of the corpus, never duplicates
+    * it.
+    */
+  def ivfAssignN(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("_cos").desc, col("centroid_id"))
     corpus.join(broadcast(c))
       .withColumn("_cos", cosine(col(vecCol), col("centv")))
       .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
+      .filter(col("_rn") <= nprobe)
       .drop("_cos", "_rn", "centv")
   }
 
@@ -98,14 +108,16 @@ object Similarity {
     cents.select(col("centroid_id"), col("cv").as(vecCol))
   }
 
-  /** IVF search: assign corpus + queries to cells, then brute-force only
-    * within the query's cell. Output: (query_id, rank, neighbor_id).
+  /** IVF search: assign corpus rows to one cell each, queries to their
+    * `nprobe` nearest cells, then brute-force only within the probed cells.
+    * Output: (query_id, rank, neighbor_id). A corpus row lives in exactly
+    * one cell, so no candidate pair appears twice regardless of nprobe.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     val ac = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
-    val aq = ivfAssign(queries, centroids, idCol, vecCol)
+    val aq = ivfAssignN(queries, centroids, idCol, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))

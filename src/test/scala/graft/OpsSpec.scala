@@ -160,6 +160,27 @@ class OpsSpec extends AnyFunSuite {
       Seq('a'.toByte, 'd'.toByte, 'g'.toByte, 'j'.toByte))
   }
 
+  test("ivf nprobe=2 recovers a neighbor hiding in the query's second cell") {
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      (100L, Seq(1.0, 0.0)),   // centroid A
+      (101L, Seq(0.0, 1.0)),   // centroid B
+      (1L, Seq(0.95, 0.31)),   // corpus, cell A
+      (2L, Seq(0.70, 0.7141)), // corpus, cell B — the query's true nearest
+      (9L, Seq(0.80, 0.60)))   // query → cell A, but 2 is closer than 1
+    val df = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    val cents = df.filter(col("vec_id") >= 100L)
+    val corpus = df.filter(col("vec_id") < 9L)
+    val q = df.filter(col("vec_id") === 9L)
+    def top1(nprobe: Int) = Similarity
+      .ivfTopK(corpus, q, cents, "vec_id", "v", k = 1, nprobe = nprobe)
+      .collect().map(_.getLong(2)).toSeq
+    assert(top1(1) == Seq(1L)) // only its own cell → misses the true nearest
+    assert(top1(2) == Seq(2L)) // probing the 2nd cell finds it
+  }
+
   test("asof join picks the latest right row at-or-before each left ts") {
     import graft.ops.AsOf
     val left = spark.createDataFrame(Seq(
@@ -180,6 +201,26 @@ class OpsSpec extends AnyFunSuite {
     val inner = AsOf.asofJoin(left, right, Seq("user"), "ts", "ts", Seq("tag"),
       joinType = "inner").collect().map(_.getLong(0)).toSet
     assert(inner == Set(1L, 2L))
+  }
+
+  test("range join matches points in [lo,hi) across bin boundaries, once each") {
+    import graft.ops.RangeJoin
+    val intervals = spark.createDataFrame(Seq(
+      Row("k1", 1L, 10L, 30L),   // spans bins 1..2 (width 10)
+      Row("k1", 2L, 25L, 26L),   // sub-bin interval
+      Row("k2", 3L, 0L, 100L)).asJava, // spans many bins
+      StructType.fromDDL("key string, iid bigint, lo bigint, hi bigint"))
+    val points = spark.createDataFrame(Seq(
+      Row("k1", 10L, 10L),  // lo-inclusive edge of interval 1
+      Row("k1", 11L, 30L),  // hi-exclusive edge → no match
+      Row("k1", 12L, 25L),  // inside 1 AND 2
+      Row("k2", 13L, 99L),  // inside 3
+      Row("k3", 14L, 5L)).asJava, // wrong key
+      StructType.fromDDL("key string, pid bigint, pt bigint"))
+    val got = RangeJoin.pointInInterval(intervals, points,
+      Seq("key"), "lo", "hi", "pt", binWidth = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toSet // (iid, pid)
+    assert(got == Set((1L, 10L), (1L, 12L), (2L, 12L), (3L, 13L)))
   }
 
   test("bigram perplexity matches hand computation on a tiny corpus") {
