@@ -300,6 +300,17 @@ object OpsQueries {
              |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
              |GROUP BY tok ORDER BY total DESC, tok LIMIT 100""".stripMargin)),
 
+    // one-aggregation corpus profile: per-language doc counts + exact
+    // interpolated length percentiles (deterministic — no float summation)
+    "text_profile" -> Q(
+      (s, d) => TextOps.corpusProfile(
+        Tables.load(s, d, "documents"), "lang", "n_chars"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  quantile_cont(n_chars, 0.5) AS p50,
+             |  quantile_cont(n_chars, 0.9) AS p90,
+             |  min(n_chars) AS lo, max(n_chars) AS hi
+             |FROM documents GROUP BY lang""".stripMargin)),
+
     // corpus-trained add-1 bigram LM perplexity per document; ppl rounded to
     // 1e-4 so avg()'s float summation order can't surface in the hash
     "text_perplexity" -> Q(

@@ -79,6 +79,23 @@ object TextOps {
       .orderBy(col("total").desc, col("tok"))
       .limit(k)
 
+  /** Corpus profile per stratum (language/source/...): doc counts, exact
+    * interpolated length percentiles, min/max. The percentile aggregate
+    * shuffles one row per (stratum, partition) after partial aggregation —
+    * a profiling pass over 100 TB is one aggregation, no second scan.
+    * (Interpolated exact percentiles are deterministic — two order
+    * statistics, no float summation order — so they oracle-compare exactly;
+    * swap in approx_percentile when a t-digest sketch is acceptable.)
+    */
+  def corpusProfile(df: DataFrame, strataCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col(valueCol), lit(0.5)).as("p50"),
+        percentile(col(valueCol), lit(0.9)).as("p90"),
+        min(col(valueCol)).as("lo"),
+        max(col(valueCol)).as("hi"))
+
   /** Per-document perplexity under a corpus-trained add-k bigram language
     * model — the classic "does this document look like the corpus" quality
     * signal (low = typical, high = anomalous/noisy).

@@ -98,12 +98,40 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     } finally if (mustCache) batch.unpersist()
   }
 
-  private def commit(seg: String): Unit = synchronized {
-    val lines = committedSegments() :+ seg
+  private def commit(seg: String): Unit = replaceManifest(committedSegments() :+ seg)
+
+  private def replaceManifest(lines: Seq[String]): Unit = synchronized {
     val tmp = root.resolve(s".manifest.tmp.${System.nanoTime()}")
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Compact all committed segments into one (topic, offset)-sorted segment
+    * and atomically swap the manifest to point at it.
+    *
+    * Streaming ingest accretes a segment per micro-batch; thousands of
+    * small segments cost file-listing time and shrink row groups below
+    * stats-pruning usefulness. Compaction restores one fat sorted segment —
+    * readers are never disturbed (old segments stay on disk until the new
+    * manifest is the commit point; a reader holding the old manifest list
+    * still sees immutable files). The old segment dirs are left for a
+    * separate vacuum step, mirroring object-store table formats where
+    * deletion is decoupled from the metadata swap.
+    *
+    * @return number of segments compacted away (0 = nothing to do).
+    */
+  def compact(): Int = {
+    val segs = committedSegments()
+    if (segs.length <= 1) return 0
+    val data = read()
+    val seg = f"compact-${System.nanoTime()}%x"
+    data
+      .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
+      .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(seg).toString)
+    replaceManifest(Seq(seg))
+    segs.length
   }
 
   /** Per-topic max offset (etl/pool.go:60-66: `offset:=max(kafka.offset) by

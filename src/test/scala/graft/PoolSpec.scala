@@ -21,6 +21,27 @@ class PoolSpec extends AnyFunSuite {
     assert(p.read().count() == env.count())
   }
 
+  test("compact folds all segments into one, preserving contents and resume state") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") % 3 === 0))
+    p.append(env.filter(col("kafka.offset") % 3 === 1))
+    p.append(env.filter(col("kafka.offset") % 3 === 2))
+    val before = p.read().select("kafka.topic", "kafka.offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val offsets = p.maxOffsetsByTopic().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p.compact() == 3)
+    assert(p.committedSegments().length == 1)
+    val after = p.read().select("kafka.topic", "kafka.offset").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(after == before)
+    assert(p.maxOffsetsByTopic().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == offsets)
+    assert(p.compact() == 0) // single segment: nothing to do
+    env.unpersist()
+  }
+
   test("rejects batches without the kafka.offset pool key") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val bad = Tables.load(spark, TestSpark.sf, "events")
