@@ -384,6 +384,19 @@ object OpsQueries {
              |WHERE md5(CAST(doc_id AS VARCHAR)) <
              |  CASE WHEN lang = 'en' THEN '80000000' ELSE '20000000' END""".stripMargin)),
 
+    // deterministic 90/5/5 train/val/test assignment from cumulative
+    // md5 thresholds (0.9·2^32 = 0xe6666666, 0.95·2^32 = 0xf3333333)
+    "curate_split_assign" -> Q(
+      (s, d) => Curate.assignSplits(
+        Tables.load(s, d, "documents"), col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6666666' THEN 'train'
+             |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'f3333333' THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents""".stripMargin)),
+
     // per-source cap: longest 50 docs per source, doc_id tiebreak
     "curate_cap_per_source" -> Q(
       (s, d) => Curate.capPerGroup(

@@ -56,6 +56,26 @@ object Curate {
     df.filter(md5(concat(lit(salt), keyCol.cast("string"))) < thr)
   }
 
+  /** Deterministic train/val/test split assignment: one `split` column from
+    * cumulative md5 thresholds — same row → same split on any engine, any
+    * cluster size, any run; changing `salt` redraws. One scan, no shuffle.
+    * Fractions must sum to ≤ 1; rows past the last cumulative threshold get
+    * the final split name (so 0.98/0.01/0.01 covers the full space).
+    */
+  def assignSplits(df: DataFrame, keyCol: Column,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
+    val h = md5(concat(lit(salt), keyCol.cast("string")))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), upper), els) =>
+        when(h < lit(sampleThreshold(upper)), lit(name)).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Keep at most `n` rows per group, best-first by `orderBy` (ties broken
     * by `tieBreak` for determinism). The shuffle is one hash exchange on
     * `groupCol`; a pathologically hot group serializes through one task —

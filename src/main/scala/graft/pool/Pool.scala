@@ -134,6 +134,27 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     segs.length
   }
 
+  /** Delete segment directories no longer referenced by the manifest —
+    * compaction leftovers and crashed-writer partials. Safe under the
+    * pool's single-writer constraint when invoked by that writer (readers
+    * listing the CURRENT manifest never touch unreferenced dirs; a reader
+    * still draining a pre-compaction manifest is the reason vacuum is a
+    * separate, operator-scheduled step rather than part of compact()).
+    *
+    * @return number of directories removed.
+    */
+  def vacuum(): Int = {
+    val keep = committedSegments().toSet
+    val candidates = Files.list(root).iterator().asScala.toSeq
+      .filter(Files.isDirectory(_))
+      .filter(p => !keep.contains(p.getFileName.toString))
+    candidates.foreach { dir =>
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    candidates.size
+  }
+
   /** Per-topic max offset (etl/pool.go:60-66: `offset:=max(kafka.offset) by
     * topic:=kafka.topic`) — the next-offset base for Q32 offset assignment.
     */

@@ -247,6 +247,22 @@ class OpsSpec extends AnyFunSuite {
     assert(narrow.subsetOf(a))
   }
 
+  test("split assignment is exhaustive, deterministic, and near the fractions") {
+    val df = spark.range(0, 4000).toDF("id")
+    val got = Curate.assignSplits(df, col("id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val byS = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum == 4000) // every row gets exactly one split
+    assert(math.abs(byS("train") / 4000.0 - 0.9) < 0.03)
+    assert(math.abs(byS("val") / 4000.0 - 0.05) < 0.02)
+    assert(math.abs(byS("test") / 4000.0 - 0.05) < 0.02)
+    // splits are a partition of the hashSample nesting: train ∪ val = 95% sample
+    val s95 = Curate.hashSample(df, col("id"), 0.95).collect().map(_.getLong(0)).toSet
+    val tv = got.filter(col("split") =!= "test").collect().map(_.getLong(0)).toSet
+    assert(tv == s95)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val df = spark.range(0, 4000)
       .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))

@@ -42,6 +42,19 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("vacuum removes unreferenced segment dirs, keeps committed ones") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") % 2 === 0))
+    p.append(env.filter(col("kafka.offset") % 2 === 1))
+    val n = env.count()
+    assert(p.compact() == 2)
+    assert(p.vacuum() == 2) // the two pre-compaction segments
+    assert(p.vacuum() == 0)
+    assert(p.read().count() == n)
+    env.unpersist()
+  }
+
   test("rejects batches without the kafka.offset pool key") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val bad = Tables.load(spark, TestSpark.sf, "events")
