@@ -384,6 +384,31 @@ object OpsQueries {
              |WHERE md5(CAST(doc_id AS VARCHAR)) <
              |  CASE WHEN lang = 'en' THEN '80000000' ELSE '20000000' END""".stripMargin)),
 
+    // end-to-end curation pipeline — the composition story: language gate →
+    // length gate → exact dedup (keep lowest doc_id per content hash) →
+    // deterministic 50% sample → token counts. One DataFrame plan; Catalyst
+    // fuses the gates into the scan and the dedup is one hash aggregation.
+    "curate_pipeline" -> Q(
+      (s, d) => {
+        val en = Tables.load(s, d, "documents")
+          .filter(TextOps.langId(col("text")) === "en")
+          .filter(col("n_chars") >= 100)
+        val keep = en.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val kept = en.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+        Curate.hashSample(kept, col("doc_id"), 0.5)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+      },
+      Some(s"""WITH en AS (
+              |  SELECT * FROM documents
+              |  WHERE $langCase = 'en' AND n_chars >= 100),
+              |keep AS (SELECT min(doc_id) AS doc_id FROM en GROUP BY md5(text))
+              |SELECT doc_id,
+              |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              |FROM en JOIN keep USING (doc_id)
+              |WHERE md5(CAST(doc_id AS VARCHAR)) < '80000000'""".stripMargin)),
+
     // deterministic 90/5/5 train/val/test assignment from cumulative
     // md5 thresholds (0.9·2^32 = 0xe6666666, 0.95·2^32 = 0xf3333333)
     "curate_split_assign" -> Q(
