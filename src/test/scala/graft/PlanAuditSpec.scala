@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Dedup
 
@@ -19,6 +20,18 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.createDataFrame(
       (1 to 200).map(i => Row(i.toLong, s"tok${i%7} tok${i%11} tok${i%13} tok${i%17} tok${i%19}")).asJava,
       StructType.fromDDL("id bigint, text string"))
+  }
+
+  test("filters push down to the parquet scan; projections prune the read schema") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val q = docs.filter(col("lang") === "en").select("doc_id", "n_chars")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"expected lang filter pushed to scan:\n$plan")
+    // read schema carries only the referenced columns, not text/source
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("n_chars") && !read.contains("text"),
+      s"expected pruned ReadSchema:\n$read")
   }
 
   test("asof join compiles to one shuffle and zero join operators") {
