@@ -9,7 +9,11 @@ import org.apache.avro.{LogicalType, LogicalTypes, Schema}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Confluent wire-format Avro codec (reference: zavro/).
   *
@@ -303,6 +307,80 @@ object ConfluentAvro {
       if (wf == null) null
       else fromAvro(rec.get(f.name), f.dataType, wf.schema())
     })
+
+  /** As [[recordToRow]] but producing Catalyst-internal values directly
+    * (UTF8String / GenericInternalRow / GenericArrayData / µs longs) — the
+    * decode expression's hot path. Skipping the external `Row` plus the
+    * CatalystTypeConverters walk removes one full tree materialization per
+    * record; timestamp-micros longs pass through untouched (InternalRow
+    * stores µs) instead of round-tripping through java.sql.Timestamp.
+    */
+  def recordToInternal(rec: GenericRecord, st: StructType): InternalRow = {
+    val vals = new Array[Any](st.fields.length)
+    var i = 0
+    while (i < st.fields.length) {
+      val f = st.fields(i)
+      val wf = rec.getSchema.getField(f.name)
+      vals(i) =
+        if (wf == null) null
+        else fromAvroInternal(rec.get(f.name), f.dataType, wf.schema())
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+
+  private def fromAvroInternal(value: Any, dt: DataType, schema: Schema): Any = {
+    if (value == null) return null
+    if (schema != null && schema.getType == Schema.Type.UNION) {
+      optionalBranch(schema) match {
+        case Some(b) => return fromAvroInternal(value, dt, b)
+        case None =>
+          val selector = GenericData.get().resolveUnion(schema, value)
+          val st = dt.asInstanceOf[StructType] // tag struct by construction
+          val vals = new Array[Any](st.fields.length)
+          vals(0) = selector
+          val branchField = st.fieldIndex(s"b$selector")
+          vals(branchField) = fromAvroInternal(
+            value, st.fields(branchField).dataType, schema.getTypes.get(selector))
+          return new GenericInternalRow(vals)
+      }
+    }
+    (dt, value) match {
+      case (ByteType, v: Integer)  => v.toByte
+      case (ShortType, v: Integer) => v.toShort
+      case (StringType, v)         => UTF8String.fromString(v.toString)
+      case (LongType, v: Integer)  => v.toLong
+      case (DoubleType, v: Integer) => v.toDouble
+      case (DoubleType, v: java.lang.Long) => v.toDouble
+      case (DoubleType, v: java.lang.Float) => v.toDouble
+      case (FloatType, v: Integer) => v.toFloat
+      case (TimestampType, v: java.lang.Long)    => v.longValue() // already µs
+      case (TimestampNTZType, v: java.lang.Long) => v.longValue()
+      case (DateType, v: Integer) => v.intValue()
+      case (BinaryType, v: ByteBuffer) =>
+        val arr = new Array[Byte](v.remaining()); v.duplicate().get(arr); arr
+      case (BinaryType, v: org.apache.avro.generic.GenericFixed) => v.bytes().clone()
+      case (ArrayType(et, _), v: java.util.Collection[_]) =>
+        val es = if (schema != null && schema.getType == Schema.Type.ARRAY) schema.getElementType else null
+        val out = new Array[Any](v.size())
+        val it = v.iterator(); var i = 0
+        while (it.hasNext) { out(i) = fromAvroInternal(it.next(), et, es); i += 1 }
+        new GenericArrayData(out)
+      case (MapType(StringType, vt, _), m: java.util.Map[_, _]) =>
+        val vs = if (schema != null && schema.getType == Schema.Type.MAP) schema.getValueType else null
+        val ks = new Array[Any](m.size()); val xs = new Array[Any](m.size())
+        val it = m.entrySet().iterator(); var i = 0
+        while (it.hasNext) {
+          val e = it.next()
+          ks(i) = UTF8String.fromString(e.getKey.toString)
+          xs(i) = fromAvroInternal(e.getValue, vt, vs)
+          i += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(ks), new GenericArrayData(xs))
+      case (st: StructType, r: GenericRecord) => recordToInternal(r, st)
+      case (_, v) => v
+    }
+  }
 
   // ---------------------------------------------------------------------------
   // Wire encode / decode

@@ -100,8 +100,6 @@ case class ConfluentAvroDecode(child: Expression, target: StructType,
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
   override def prettyName: String = "confluent_avro_decode"
 
-  @transient private lazy val toCatalyst =
-    CatalystTypeConverters.createToCatalystConverter(target)
   @transient private lazy val readers =
     new java.util.HashMap[Integer, GenericDatumReader[GenericRecord]]
   @transient private lazy val reusable = new java.util.HashMap[Integer, GenericRecord]
@@ -119,7 +117,8 @@ case class ConfluentAvroDecode(child: Expression, target: StructType,
     dec = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, dec)
     val rec = reader.read(reusable.get(id), dec)
     reusable.put(id, rec)
-    toCatalyst(graft.codec.ConfluentAvro.recordToRow(rec, target))
+    // internal-format values directly — no external Row, no converter walk
+    graft.codec.ConfluentAvro.recordToInternal(rec, target)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ConfluentAvroDecode =
