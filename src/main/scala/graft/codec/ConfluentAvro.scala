@@ -417,14 +417,27 @@ object ConfluentAvro {
   private def parsed(json: String): Schema =
     parseCache.getOrElseUpdate(json, new Schema.Parser().parse(json))
 
-  @transient private lazy val idCache =
-    new scala.collection.concurrent.TrieMap[(String, Int), Schema]
+  // Access-ordered LRU (vs the r3 clear()-on-overflow, which stampeded the
+  // registry with a full refetch wave whenever >4096 live (registry, id)
+  // pairs existed, and raced its size check): the eldest entry is evicted on
+  // insert, hot ids are never dropped. All map access is under the map's own
+  // lock; the registry fetch happens OUTSIDE it, so a slow registry can't
+  // serialize every decode task (a racing duplicate fetch is just redundant).
   private val IdCacheMax = 4096
+  @transient private lazy val idCache =
+    new java.util.LinkedHashMap[(String, Int), Schema](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), Schema]): Boolean = size() > IdCacheMax
+    }
   def writerSchemaFor(registry: SchemaRegistry, id: Int): Schema = {
-    // Safety valve: cacheKey is serialization-stable, so growth only happens
-    // with genuinely many (registry, id) pairs — still, never unbounded.
-    if (idCache.size > IdCacheMax) idCache.clear()
-    idCache.getOrElseUpdate((registry.cacheKey, id), parsed(registry.schemaById(id)))
+    val key = (registry.cacheKey, id)
+    val hit = idCache.synchronized(idCache.get(key))
+    if (hit != null) hit
+    else {
+      val schema = parsed(registry.schemaById(id))
+      idCache.synchronized(idCache.put(key, schema))
+      schema
+    }
   }
 
   /** Parsed schema through the executor-static parse cache (public for the

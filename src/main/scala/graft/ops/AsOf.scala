@@ -49,8 +49,15 @@ object AsOf {
         lit(null).cast(l.schema("_l").dataType).as("_l"),
         payload.as("_r")): _*)
 
+    // `_r` as the final orderBy term: when several right rows share
+    // (key, ts), `last(_r)` would otherwise pick a partition-order-dependent
+    // payload — the struct tiebreak makes the winner (the greatest payload)
+    // deterministic. Left rows carry _r = null and sort first within their
+    // (ts, side) group, which is irrelevant: every left row at a ts sees the
+    // same last-right-payload. Payload columns must be orderable (no maps) —
+    // the same constraint Spark puts on sort keys.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))

@@ -1,20 +1,35 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 /** Approximate / exact nearest-neighbor search over embedding columns
   * (`Array[Float]` / `Array[Double]`).
   *
   * - `bruteForceTopK`: the correctness baseline — broadcast the (small)
-  *   query set against the corpus, fold the dot product inside codegen'd
-  *   higher-order functions (`zip_with` + `aggregate`), distributed top-k
-  *   per query via window rank. Linear in corpus size, embarrassingly
-  *   parallel: this IS the right plan when queries are few.
+  *   query set against the corpus, score each candidate with the native
+  *   codegen `cosine_sim` expression, then rank with a bounded two-phase
+  *   top-k aggregate. Linear in corpus size, embarrassingly parallel: this
+  *   IS the right plan when queries are few.
   * - `ivfAssign` / `ivfTopK`: the scale path — partition the corpus into
   *   Voronoi cells of K centroids (inverted file); a query searches only
   *   its cell (or nprobe cells), cutting scanned vectors by ~K×.
+  *
+  * Both scale shapes are deliberate (the round-3 fixes):
+  *
+  * - Cell assignment is MAP-ONLY: centroids are metadata-scale by contract
+  *   (K rows — a k-means product), so they ship to every task as one
+  *   broadcast array row and each corpus row picks its cells with a per-row
+  *   argmax/top-n over that array. No corpus×K intermediate, no exchange
+  *   anywhere on the corpus side. (The previous broadcast-join + window-rank
+  *   formulation hash-shuffled corpus×K rows just to rank per row — a
+  *   4096×-amplified shuffle of the corpus at production cell counts.)
+  * - Per-query ranking is TWO-PHASE: `top_k_by_score` is a
+  *   TypedImperativeAggregate, so ObjectHashAggregate keeps at most k
+  *   candidates per (query, partition) map-side and the shuffle carries
+  *   k × partitions rows per query — not the whole candidate set into one
+  *   reducer per query, which is what `Window.partitionBy(query_id)` does.
   */
 object Similarity {
 
@@ -25,13 +40,38 @@ object Similarity {
     * CodegenFallback in Spark, so the HOF form leaves whole-stage codegen,
     * allocates a zipped array, and boxes every lambda application — per
     * candidate pair, in the hot path of every similarity join. Results are
-    * bit-identical (same accumulation order).
+    * bit-identical (same accumulation order). Accepts any numeric element
+    * types (int/long/float/double/decimal), widening to double like the HOF
+    * form did.
     */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.GraftColumnsBridge.of(
       org.apache.spark.sql.graft.CosineSimilarity(
         org.apache.spark.sql.graft.GraftColumnsBridge.expr(a),
         org.apache.spark.sql.graft.GraftColumnsBridge.expr(b)))
+
+  /** Bounded top-k aggregate column: array<struct<score,payload>> ranked by
+    * (score desc, payload asc), truncated to k. See
+    * [[org.apache.spark.sql.graft.TopKByScore]].
+    */
+  def topKByScore(score: Column, payload: Column, k: Int): Column =
+    org.apache.spark.sql.graft.GraftColumnsBridge.of(
+      org.apache.spark.sql.graft.TopKByScore(
+        org.apache.spark.sql.graft.GraftColumnsBridge.expr(score.cast("double")),
+        org.apache.spark.sql.graft.GraftColumnsBridge.expr(payload), k)
+        .toAggregateExpression())
+
+  /** (query_id, cos, neighbor_id) candidates → (query_id, rank, neighbor_id),
+    * rank 1..k per query by (cos desc, neighbor_id asc) — two-phase: partial
+    * top-k per input partition, final merge over k×partitions rows.
+    */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame =
+    candidates
+      .groupBy("query_id")
+      .agg(topKByScore(col("cos"), col("neighbor_id"), k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col").getField("payload").as("neighbor_id"))
 
   /** Exact top-k neighbors per query vector (self-match excluded).
     * Output: (query_id, rank, neighbor_id).
@@ -40,13 +80,9 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id")) // broadcast(q) chosen by AQE
+    val cands = q.join(c, col("query_id") =!= col("neighbor_id")) // broadcast(q) chosen by AQE
       .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    rankTopK(cands, k)
   }
 
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
@@ -61,26 +97,57 @@ object Similarity {
     * the standard IVF recall knob for QUERIES — corpus rows stay in exactly
     * one cell, so probing n cells scans n/K of the corpus, never duplicates
     * it.
+    *
+    * Map-only by construction: the centroid set (metadata-scale, K rows) is
+    * collected once and re-shipped as a single broadcast array row; each
+    * corpus row sorts that K-array by (cos desc, centroid_id asc) in-row and
+    * keeps the first nprobe entries. The physical plan is scan →
+    * BroadcastNestedLoopJoin(1-row build) → project/generate: ZERO exchanges
+    * touch corpus rows (pinned by PlanAuditSpec).
     */
   def ivfAssignN(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
-    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_cos").desc, col("centroid_id"))
-    corpus.join(broadcast(c))
-      .withColumn("_cos", cosine(col(vecCol), col("centv")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= nprobe)
-      .drop("_cos", "_rn", "centv")
+    val spark = corpus.sparkSession
+    val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // centroids are metadata-scale by contract — K rows, the k-means output —
+    // so collecting them is a driver metadata read, not a data-path collect
+    val centRows: Seq[Row] = cents.collect().toSeq
+    val oneRow = spark.createDataFrame(
+      java.util.List.of(Row(centRows)),
+      StructType(Seq(StructField("_cents",
+        ArrayType(cents.schema, containsNull = false), nullable = false))))
+
+    // per-row scores over the broadcast array; comparator = (cos desc,
+    // cid asc) with NaN largest and null cos last — identical to the window
+    // ordering this replaces (and to the DuckDB oracle's ORDER BY)
+    val scored = transform(col("_cents"), c => struct(
+      cosine(col(vecCol), c.getField("cv")).as("cos"),
+      c.getField("cid").as("cid")))
+    def cmp(a: Column, b: Column): Column = {
+      val (ac, bc) = (a.getField("cos"), b.getField("cos"))
+      val (ai, bi) = (a.getField("cid"), b.getField("cid"))
+      val byId = when(ai < bi, -1).when(ai > bi, 1).otherwise(0)
+      when(ac.isNull && bc.isNull, byId)
+        .when(ac.isNull, 1)
+        .when(bc.isNull, -1)
+        .when(ac > bc, -1).when(ac < bc, 1)
+        .otherwise(byId)
+    }
+    val outCols = corpus.columns.toSeq.map(col)
+    corpus.crossJoin(broadcast(oneRow))
+      .withColumn("_top", slice(array_sort(scored, cmp), 1, nprobe))
+      .select(outCols :+ explode(col("_top")).as("_c"): _*)
+      .withColumn("centroid_id", col("_c").getField("cid"))
+      .drop("_c")
   }
 
   /** Train K centroids with Lloyd's algorithm, entirely as DataFrame ops —
     * the in-engine source of `ivfAssign`/`ivfTopK` centroids.
     *
-    * Per round: assign every vector to its nearest centroid (centroids
-    * broadcast), then recompute each centroid as the elementwise mean via
-    * `posexplode` + one partial-aggregating groupBy — shuffle volume is
+    * Per round: assign every vector to its nearest centroid (map-only, see
+    * [[ivfAssignN]]), then recompute each centroid as the elementwise mean
+    * via `posexplode` + one partial-aggregating groupBy — shuffle volume is
     * vectors × dims rows per round, the corpus is never collected. Centroids
     * are `localCheckpoint`ed per round so lineage stays constant. Seeds are
     * the K lowest-id vectors (deterministic, engine-portable); a centroid
@@ -119,13 +186,9 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
     val aq = ivfAssignN(queries, centroids, idCol, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    aq.join(ac, Seq("centroid_id"))
+    val cands = aq.join(ac, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id")
+    rankTopK(cands, k)
   }
 }

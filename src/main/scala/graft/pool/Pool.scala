@@ -145,12 +145,17 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     */
   def vacuum(): Int = {
     val keep = committedSegments().toSet
-    val candidates = Files.list(root).iterator().asScala.toSeq
-      .filter(Files.isDirectory(_))
-      .filter(p => !keep.contains(p.getFileName.toString))
+    val listing = Files.list(root)
+    val candidates =
+      try listing.iterator().asScala.toSeq
+        .filter(Files.isDirectory(_))
+        .filter(p => !keep.contains(p.getFileName.toString))
+      finally listing.close() // Files.list leaks an fd per call if not closed
     candidates.foreach { dir =>
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
+      finally walk.close()
     }
     candidates.size
   }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType, StructType}
 
 /** Spark-sql-package shim: Expression↔Column conversion and the wire-header
   * expressions, which need `private[sql]` types (`AbstractDataType`,
@@ -175,7 +175,9 @@ case class ConfluentAvroEncode(child: Expression, schemaJson: String, schemaId: 
   * Semantics mirror the HOF formulation exactly (left-to-right double
   * accumulation, so results are bit-identical to the previous plan and the
   * DuckDB oracle): null input, length mismatch, or a null element → null;
-  * zero vectors → NaN (0/0), as before. Float elements are widened exactly.
+  * zero vectors → NaN (0/0), as before. Any numeric element type is accepted
+  * and widened to double — like the HOF form's implicit casts, so integer or
+  * quantized (decimal) vectors keep working.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -191,15 +193,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = super.checkInputDataTypes()
     if (!ok.isSuccess) ok
-    else if (Seq(left, right).forall(e =>
-      elemType(e) == DoubleType || elemType(e) == FloatType)) TypeCheckResult.TypeCheckSuccess
+    else if (Seq(left, right).forall(e => elemType(e).isInstanceOf[NumericType]))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs array<float|double> inputs, got " +
+      s"$prettyName needs numeric array inputs, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
 
-  private def get(a: ArrayData, t: DataType, i: Int): Double =
-    if (t == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"cosine_sim over $other")
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val x = l.asInstanceOf[ArrayData]
@@ -219,8 +229,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    def acc(t: DataType, arr: String, i: String): String =
-      if (t == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    def acc(t: DataType, arr: String, i: String): String = t match {
+      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case ShortType => s"(double) $arr.getShort($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
+      case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other => throw new UnsupportedOperationException(s"cosine_sim over $other")
+    }
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")

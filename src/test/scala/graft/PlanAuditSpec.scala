@@ -69,4 +69,47 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(finalPlan.contains("ReusedExchange") || finalPlan.contains("ReusedQueryStage"),
       s"expected runtime exchange reuse in:\n$finalPlan")
   }
+
+  private def embeddings = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      (0 until 64).map(i => Row(i.toLong,
+        Seq(math.cos(i * 0.3), math.sin(i * 0.3), (i % 7).toDouble))).asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+  }
+
+  test("IVF cell assignment is map-only: zero exchanges touch corpus rows") {
+    import graft.ops.Similarity
+    val df = Similarity.ivfAssignN(embeddings,
+      embeddings.filter(col("vec_id") < 4), "vec_id", "v", nprobe = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the centroid side was collected at plan time (metadata-scale) and
+    // ships as a 1-row BroadcastExchange; the corpus path must be scan →
+    // broadcast-NLJ(1-row) → project/generate — no shuffle of any kind
+    for (shuffle <- Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+        "Exchange SinglePartition"))
+      assert(!plan.contains(shuffle), s"expected shuffle-free assignment plan:\n$plan")
+    assert(!plan.contains("Window"), s"expected window-free assignment plan:\n$plan")
+  }
+
+  test("per-query top-k aggregates partially before the shuffle (two-phase)") {
+    import graft.ops.Similarity
+    val df = Similarity.bruteForceTopK(embeddings,
+      embeddings.filter(col("vec_id") < 3), "vec_id", "v", k = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"expected window-free ranking plan:\n$plan")
+    // ObjectHashAggregate(partial top_k...) must run below the query_id
+    // exchange, bounding its input to k rows per (query, partition)
+    val partialIdx = plan.indexOf("partial_top_k_by_score")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(query_id")
+    assert(partialIdx >= 0, s"expected a partial top-k aggregate in:\n$plan")
+    assert(exchangeIdx >= 0, s"expected a query_id exchange in:\n$plan")
+    // plan text prints parents above children: the exchange (parent of the
+    // partial agg) must appear first
+    assert(exchangeIdx < partialIdx,
+      s"expected partial top-k BELOW the exchange in:\n$plan")
+  }
 }
