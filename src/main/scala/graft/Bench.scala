@@ -56,20 +56,36 @@ object Bench {
       val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
         only.forall(_.exists(n.contains))
       }
+      // ≥3 runs per query, report median + min: single-shot numbers on this
+      // box carry up to 4-5× suite-order/JIT variance on the worst queries
+      // (r3 adjudication: etl_compile_pass 4.2-19.4s, simhash 0.68-2.4s on
+      // identical code), which made round-over-round deltas unfalsifiable.
+      // The median of consecutive runs is the steady-state signal; the min is
+      // the contention-free floor.
+      val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
       val results = selected.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => errors(name) = e.toString.linesIterator.next().take(300) }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            errors(name) = e.toString.linesIterator.next().take(300) }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val median =
+          if (times.length % 2 == 1) times(times.length / 2)
+          else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
+        (name, median, times.head)
       }
 
       // Locale.ROOT: the f"" interpolator uses the default JVM locale, which
       // can render decimal commas and break the driver's JSON parse.
       def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      val qs = results.map { case (k, v) => jstr(k) + ":" + num(v) }.mkString("{", ",", "}")
+      val qs = results.map { case (k, med, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
+      val qmins = results.map { case (k, _, min) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      val totalMin = results.map(_._3).sum
+      val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs","queries":$qs,"queries_min":$qmins,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
       spark.stop()
       realOut.println(line)
       realOut.flush()
