@@ -245,6 +245,67 @@ object ConfluentAvro {
     rec
   }
 
+  /** [[rowToRecord]]'s Catalyst-internal mirror: InternalRow → GenericRecord
+    * directly (UTF8String bytes → Avro Utf8, µs longs pass through for
+    * timestamp-micros, ArrayData/MapData walked without materializing Scala
+    * collections) — the encode expression's hot path. Skipping the external
+    * `Row` plus the CatalystTypeConverters walk removes one full tree
+    * materialization per record, symmetric with [[recordToInternal]] on the
+    * decode side.
+    */
+  def internalToRecord(row: InternalRow, st: StructType, schema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < st.fields.length) {
+      val f = st.fields(i)
+      val sf = schema.getField(f.name)
+      val v = if (row.isNullAt(i)) null
+        else toAvroInternal(row.get(i, f.dataType), f.dataType, sf.schema())
+      rec.put(sf.pos(), v)
+      i += 1
+    }
+    rec
+  }
+
+  private def toAvroInternal(value: Any, dt: DataType, schema: Schema): Any = {
+    if (value == null) return null
+    // unwrap [null, T] unions
+    val s = if (schema.getType == Schema.Type.UNION)
+      schema.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else schema
+    (dt, value) match {
+      case (ByteType, v: java.lang.Byte)   => v.intValue()
+      case (ShortType, v: java.lang.Short) => v.intValue()
+      case (StringType, v: UTF8String) => new org.apache.avro.util.Utf8(v.getBytes)
+      case (TimestampType | TimestampNTZType, v: java.lang.Long) => v // already µs
+      case (DateType, v: java.lang.Integer) => v
+      case (BinaryType, v: Array[Byte]) => ByteBuffer.wrap(v)
+      case (ArrayType(et, _), v: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        val n = v.numElements()
+        val out = new java.util.ArrayList[Any](n)
+        var i = 0
+        while (i < n) {
+          out.add(if (v.isNullAt(i)) null
+            else toAvroInternal(v.get(i, et), et, s.getElementType))
+          i += 1
+        }
+        out
+      case (MapType(StringType, vt, _), m: org.apache.spark.sql.catalyst.util.MapData) =>
+        val ks = m.keyArray(); val vs = m.valueArray()
+        val n = m.numElements()
+        val out = new java.util.HashMap[String, Any](n)
+        var i = 0
+        while (i < n) {
+          out.put(ks.getUTF8String(i).toString,
+            if (vs.isNullAt(i)) null else toAvroInternal(vs.get(i, vt), vt, s.getValueType))
+          i += 1
+        }
+        out
+      case (nested: StructType, r: InternalRow) => internalToRecord(r, nested, s)
+      case (_, v) => v // int/long/float/double/boolean primitives
+    }
+  }
+
   /** Decoded Avro datum → Spark value, guided by the target Spark type and
     * (when available) the writer field schema for union/enum dispatch.
     * Numeric writer→reader promotions (int→long, int/long/float→double,

@@ -34,7 +34,26 @@ object Throughput {
     pool2.append(env, presorted = true)
     val fastSec = (System.nanoTime() - t1) / 1e9
     val count = pool.read().count()
-    println(f"""{"records":$count,"commit_sec":$commitSec%.2f,"presorted_commit_sec":$fastSec%.2f,"records_per_sec":${(count / commitSec).toLong}}""")
+
+    // Avro wire codec round-trip throughput (C1/C2): encode value structs to
+    // Confluent wire bytes and decode them back, each into a noop sink so
+    // only the codec expressions are measured.
+    val registry = new graft.codec.InMemoryRegistry
+    val encoded = graft.codec.ConfluentAvro.encodeDF(
+      env.select(col("value")), "value", "wire", registry).select("wire")
+    encoded.write.mode("overwrite").format("noop").save() // warm-up + registration
+    val t2 = System.nanoTime()
+    encoded.write.mode("overwrite").format("noop").save()
+    val encSec = (System.nanoTime() - t2) / 1e9
+    val valueType = env.schema("value").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val decoded = graft.codec.ConfluentAvro.decodeDF(encoded, "wire", "value", valueType, registry)
+      .select("value")
+    decoded.write.mode("overwrite").format("noop").save()
+    val t3 = System.nanoTime()
+    decoded.write.mode("overwrite").format("noop").save()
+    val decSec = (System.nanoTime() - t3) / 1e9
+
+    println(f"""{"records":$count,"commit_sec":$commitSec%.2f,"presorted_commit_sec":$fastSec%.2f,"records_per_sec":${(count / commitSec).toLong},"avro_encode_sec":$encSec%.2f,"avro_encode_rps":${(n / encSec).toLong},"avro_decode_sec":$decSec%.2f,"avro_decode_rps":${(n / decSec).toLong}}""")
     spark.stop()
   }
 }

@@ -3,7 +3,6 @@ package org.apache.spark.sql.graft
 import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
@@ -128,7 +127,9 @@ case class ConfluentAvroDecode(child: Expression, target: StructType,
 /** Confluent wire encode as a Catalyst expression: struct → header+body
   * bytes under the (plan-time registered) schema id. Same CodegenFallback
   * rationale as decode; the datum writer, buffer, and encoder are reused
-  * per task.
+  * per task. The input stays in Catalyst-internal format end to end
+  * (InternalRow → GenericRecord directly) — no external Row, no
+  * CatalystTypeConverters walk, symmetric with the decode side.
   */
 case class ConfluentAvroEncode(child: Expression, schemaJson: String, schemaId: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -137,8 +138,6 @@ case class ConfluentAvroEncode(child: Expression, schemaJson: String, schemaId: 
   override def prettyName: String = "confluent_avro_encode"
 
   @transient private lazy val childType = child.dataType.asInstanceOf[StructType]
-  @transient private lazy val toScala =
-    CatalystTypeConverters.createToScalaConverter(childType)
   @transient private lazy val schema =
     graft.codec.ConfluentAvro.parsedSchema(schemaJson)
   @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
@@ -148,12 +147,12 @@ case class ConfluentAvroEncode(child: Expression, schemaJson: String, schemaId: 
   @transient private var enc: BinaryEncoder = _
 
   override def nullSafeEval(input: Any): Any = {
-    val row = toScala(input).asInstanceOf[org.apache.spark.sql.Row]
+    val row = input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
     buf.reset()
     buf.write(graft.codec.ConfluentAvro.MagicByte)
     buf.write(header)
     enc = EncoderFactory.get().directBinaryEncoder(buf, enc)
-    writer.write(graft.codec.ConfluentAvro.rowToRecord(row, childType, schema), enc)
+    writer.write(graft.codec.ConfluentAvro.internalToRecord(row, childType, schema), enc)
     enc.flush()
     buf.toByteArray
   }
