@@ -29,10 +29,11 @@ object Commands {
     * (cmd/zync/produce/command.go:72-81).
     *
     * Offsets are assigned distributed: range-partition on the file order key,
-    * sort within partitions, zipWithIndex (only per-partition counts touch
-    * the driver) — the same path as ETL offset assignment. The r1 version
-    * used a global `Window.orderBy` with no partitioning, which funneled the
-    * whole file through one task.
+    * sort within partitions, per-partition prefix sums
+    * (graft.etl.Offsets.assignSequential — only P counts touch the driver,
+    * the data path stays in Tungsten). The r1 version used a global
+    * `Window.orderBy` with no partitioning, which funneled the whole file
+    * through one task.
     */
   def produce(spark: SparkSession, pool: Pool, path: String, topic: String): Long = {
     val df = if (path.endsWith(".json")) spark.read.json(path) else spark.read.parquet(path)
@@ -40,13 +41,9 @@ object Commands {
     val sorted = df.withColumn("_row", monotonically_increasing_id())
       .repartitionByRange(col("_row"))
       .sortWithinPartitions("_row")
-      .persist() // zipWithIndex runs its count job eagerly
+      .persist() // the offset counts job and the append must see one ordering
     try {
-      val indexed = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (off + idx))
-      }
-      val env = spark.createDataFrame(indexed,
-          sorted.schema.add("_off", org.apache.spark.sql.types.LongType, nullable = false))
+      val env = graft.etl.Offsets.assignSequential(sorted, off, "_off")
         .select(
           struct(lit(topic).as("topic"), lit(0L).as("partition"), col("_off").as("offset")).as("kafka"),
           lit(null).cast("string").as("key"),

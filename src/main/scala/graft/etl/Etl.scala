@@ -222,30 +222,24 @@ object Etl {
     //
     //    Scale note: globally-consecutive numbering is inherently ordered,
     //    but it does NOT need a single-partition window — range-partition by
-    //    the ordering key, sort within partitions, then zipWithIndex (which
-    //    only collects per-partition counts). The reference holds the whole
-    //    update in driver memory here (pipeline.go:87-91, a known TODO);
-    //    this stays fully distributed.
+    //    the ordering key, sort within partitions, then add per-partition
+    //    prefix sums (Offsets.assignSequential: only P counts touch the
+    //    driver). The reference holds the whole update in driver memory here
+    //    (pipeline.go:87-91, a known TODO); this stays fully distributed and
+    //    fully inside the DataFrame plan (no RDD hop, no row conversion).
     val allOuts = branches.map(_._1).reduce(_ unionByName _)
     val allDones = branches.map(_._2).reduce(_ unionByName _)
     val branchPersists = branches.flatMap(_._3)
 
     val baseOffset = state.baseOffsets.getOrElse(t.outputTopic, -1L)
-    // persisted because zipWithIndex materializes its input eagerly (its
-    // per-partition count job) — without this the whole upstream pipeline
-    // would run once for the counts and again for the data pass
+    // persisted: the offset assignment's count job and the output pass must
+    // see identical partitioning, and the upstream pipeline must not run twice
     val sorted = allOuts
       .repartitionByRange(col("_src_kafka.topic"), col("_src_kafka.offset"))
       .sortWithinPartitions(col("_src_kafka.topic"), col("_src_kafka.offset"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sortedSchema = sorted.schema
     val outTopic = t.outputTopic
-    val indexedRows = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (baseOffset + idx + 1))
-    }
-    val records = spark
-      .createDataFrame(indexedRows,
-        sortedSchema.add("_offset", org.apache.spark.sql.types.LongType, nullable = false))
+    val records = Offsets.assignSequential(sorted, baseOffset + 1, "_offset")
       .select(
         struct(
           lit(outTopic).as("topic"),

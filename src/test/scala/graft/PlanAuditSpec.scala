@@ -70,6 +70,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected runtime exchange reuse in:\n$finalPlan")
   }
 
+  test("sequential offset assignment stays in the DataFrame plan (no RDD hop)") {
+    val df = spark.range(0, 1000).toDF("id")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id").persist()
+    try {
+      val out = graft.etl.Offsets.assignSequential(df, 100L, "off")
+      // range-partitioned + sorted by id → (partition, local) order IS id
+      // order, so offsets must be 100..1099 in id order
+      val offs = out.orderBy("id").collect().map(_.getLong(1)).toSeq
+      assert(offs == (100L until 1100L), s"bad numbering: ${offs.take(10)}...")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("ExistingRDD"),
+        s"expected a pure-DataFrame offset plan, got an RDD hop:\n$plan")
+    } finally df.unpersist()
+  }
+
   private def embeddings = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
