@@ -86,6 +86,41 @@ object Commands {
     Etl.run(spark, in, out, cfg.transform)
   }
 
+  /** `version` (cmd/zync/version): the library version string. */
+  val Version = "graft 0.4.0"
+
+  /** `from-kafka`: stream topics into a pool with sink-derived resume
+    * (cmd/zync/from-kafka/command.go). The source is injectable so the same
+    * path runs offline (`FileTopicSource` in specs) and live
+    * (`KafkaTopicSource` built from `~/.graft/kafka.json` in [[main]]).
+    */
+  def fromKafka(spark: SparkSession, source: graft.streaming.TopicSource,
+      topics: Seq[String], pool: Pool, decode: DataFrame => DataFrame,
+      checkpoint: String, shaper: Option[String] = None,
+      interval: String = "5 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamSync.fromTopics(
+      spark, source, topics, pool, decode, shaper, checkpoint, interval)
+
+  /** `to-kafka`: produce a pool's records to a topic from `highWaterMark`,
+    * in offset order (cmd/zync/to-kafka/command.go → fifo/to.go).
+    */
+  def toKafka(pool: Pool, topic: String, highWaterMark: Long,
+      encode: DataFrame => DataFrame, sink: DataFrame => Unit,
+      batchSize: Int = 200): Long =
+    graft.streaming.StreamSync.toTopic(pool, topic, highWaterMark, encode, sink, batchSize)
+
+  /** Decoded value type for a registry schema id — the from-kafka target. */
+  def schemaTypeOf(registry: SchemaRegistry, id: Int): org.apache.spark.sql.types.StructType =
+    graft.codec.ConfluentAvro.sparkType(
+      graft.codec.ConfluentAvro.parsedSchema(registry.schemaById(id)))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The reference's full subcommand table (cmd/zync/main.go:7-16): consume,
+    * etl, from-kafka, info, ls, produce, to-kafka, version. Kafka-touching
+    * subcommands read `~/.graft/kafka.json` / `~/.graft/schema_registry.json`
+    * ([[KafkaClientConfig]]/[[RegistryClientConfig]], the reference's
+    * `~/.zync` analogs).
+    */
   def main(args: Array[String]): Unit = args.toList match {
     case "consume" :: path :: rest =>
       val spark = GraftSession.get()
@@ -101,11 +136,47 @@ object Commands {
       val (r, m) = etl(spark, new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(yamlPath))), poolRoot)
       println(s"records=$r markers=$m")
+    case "ls" :: rest =>
+      val registry = rest match {
+        case url :: Nil => new graft.codec.HttpSchemaRegistry(url)
+        case _ => RegistryClientConfig.load().registry()
+      }
+      ls(registry).foreach(println)
+    case "from-kafka" :: poolPath :: checkpoint :: topicsArg :: schemaId :: Nil =>
+      val spark = GraftSession.get()
+      val kafka = KafkaClientConfig.load()
+      val registry = RegistryClientConfig.load().registry()
+      val q = fromKafka(spark,
+        new graft.streaming.KafkaTopicSource(kafka.bootstrapServers,
+          clientOptions = kafka.clientOptions),
+        topicsArg.split(",").toSeq,
+        Pool.create(spark, poolPath),
+        graft.codec.WireCodec.avroEnvelopeDecoder(registry,
+          schemaTypeOf(registry, schemaId.toInt)),
+        checkpoint)
+      q.awaitTermination()
+    case "to-kafka" :: poolPath :: topic :: Nil =>
+      val spark = GraftSession.get()
+      val kafka = KafkaClientConfig.load()
+      val registry = RegistryClientConfig.load().registry()
+      val admin = new graft.streaming.KafkaTopicAdmin(
+        kafka.bootstrapServers, kafka.adminOptions)
+      try {
+        val (_, hi) = admin.watermarks(topic) // resume at the broker HWM (fifo/to.go:31-38)
+        val sink = new graft.streaming.KafkaTopicSink(
+          kafka.bootstrapServers, kafka.clientOptions)
+        println(toKafka(Pool.open(spark, poolPath), topic, hi,
+          graft.codec.WireCodec.avroProducerEncoder(registry), sink.write))
+      } finally admin.close()
+    case "version" :: Nil =>
+      println(Version)
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: consume <pool> [topic] | info <pool> |
-           |       produce <pool> <file> <topic> | etl <yaml> <poolRoot>""".stripMargin)
+           |       produce <pool> <file> <topic> | etl <yaml> <poolRoot> |
+           |       ls [registryUrl] | from-kafka <pool> <checkpoint> <topics> <schemaId> |
+           |       to-kafka <pool> <topic> | version""".stripMargin)
       sys.exit(1)
   }
 }

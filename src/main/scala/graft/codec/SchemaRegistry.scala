@@ -87,13 +87,24 @@ final class InMemoryRegistry extends SchemaRegistry {
   * reflection in the executor hot path. The instance is Serializable: only
   * the base URL ships to executors; the HttpClient is rebuilt lazily per JVM.
   */
-final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
+final class HttpSchemaRegistry(baseUrl: String,
+    credentials: Option[(String, String)] = None) extends SchemaRegistry {
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(java.time.Duration.ofSeconds(10)).build()
 
   override def cacheKey: String = s"http:$baseUrl"
 
   private def url(path: String) = URI.create(baseUrl.stripSuffix("/") + path)
+
+  /** Confluent Cloud-style basic auth (the reference sends its
+    * schema_registry.json user/password the same way, cli/flags.go:35-41 →
+    * srclient basic auth).
+    */
+  private def withAuth(b: HttpRequest.Builder): HttpRequest.Builder =
+    credentials.fold(b) { case (user, pass) =>
+      b.header("Authorization", "Basic " + java.util.Base64.getEncoder
+        .encodeToString(s"$user:$pass".getBytes(StandardCharsets.UTF_8)))
+    }
 
   private def send(req: HttpRequest): String = {
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
@@ -104,16 +115,16 @@ final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
   }
 
   def schemaById(id: Int): String = {
-    val body = send(HttpRequest.newBuilder(url(s"/schemas/ids/$id")).GET().build())
+    val body = send(withAuth(HttpRequest.newBuilder(url(s"/schemas/ids/$id")).GET()).build())
     MiniJson.stringField(body, "schema")
       .getOrElse(throw new java.io.IOException(s"no \"schema\" field in registry response: ${body.take(200)}"))
   }
 
   def register(subject: String, schemaJson: String): Int = {
     val payload = s"""{"schema":${MiniJson.quote(schemaJson)}}"""
-    val req = HttpRequest.newBuilder(url(s"/subjects/$subject/versions"))
+    val req = withAuth(HttpRequest.newBuilder(url(s"/subjects/$subject/versions"))
       .header("Content-Type", "application/vnd.schemaregistry.v1+json")
-      .POST(HttpRequest.BodyPublishers.ofString(payload, StandardCharsets.UTF_8))
+      .POST(HttpRequest.BodyPublishers.ofString(payload, StandardCharsets.UTF_8)))
       .build()
     val body = send(req)
     MiniJson.intField(body, "id")
@@ -121,7 +132,7 @@ final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
   }
 
   def subjects(): Seq[String] = {
-    val body = send(HttpRequest.newBuilder(url("/subjects")).GET().build())
+    val body = send(withAuth(HttpRequest.newBuilder(url("/subjects")).GET()).build())
     MiniJson.stringArray(body)
   }
 }
@@ -129,7 +140,7 @@ final class HttpSchemaRegistry(baseUrl: String) extends SchemaRegistry {
 /** Minimal JSON helpers for the three registry response shapes. Handles the
   * full JSON string escape set; deliberately NOT a general parser.
   */
-private[codec] object MiniJson {
+private[graft] object MiniJson {
 
   def quote(s: String): String = {
     val b = new StringBuilder(s.length + 16)
@@ -208,6 +219,24 @@ private[codec] object MiniJson {
         val start = k
         while (k < json.length && (json.charAt(k).isDigit || json.charAt(k) == '-')) k += 1
         if (k > start) return Some(json.substring(start, k).toInt)
+      }
+      i = json.indexOf(key, i + key.length)
+    }
+    None
+  }
+
+  /** Value of the top-level boolean field `name` in a JSON object. */
+  def boolField(json: String, name: String): Option[Boolean] = {
+    val key = "\"" + name + "\""
+    var i = json.indexOf(key)
+    while (i >= 0) {
+      var j = i + key.length
+      while (j < json.length && json.charAt(j).isWhitespace) j += 1
+      if (j < json.length && json.charAt(j) == ':') {
+        var k = j + 1
+        while (k < json.length && json.charAt(k).isWhitespace) k += 1
+        if (json.startsWith("true", k)) return Some(true)
+        if (json.startsWith("false", k)) return Some(false)
       }
       i = json.indexOf(key, i + key.length)
     }

@@ -61,6 +61,21 @@ final class KafkaTopicSource(bootstrap: String, maxPerTrigger: Long = 1L << 20,
         col("offset"), col("key"), col("value"))
 }
 
+/** Kafka-backed batch producer (S2's sink half): writes (topic, key, value)
+  * rows through the Kafka DSv2 batch writer. Factored like
+  * [[KafkaTopicSource]]: `writerOptions` is spec-assertable without a broker
+  * (TLS/SASL pass-through from `~/.graft/kafka.json` via
+  * [[graft.cli.KafkaClientConfig]]); the `kafka` format string binds only at
+  * write time, where the deployment provides the connector jar.
+  */
+final class KafkaTopicSink(bootstrap: String,
+    clientOptions: Map[String, String] = Map.empty) extends Serializable {
+  def writerOptions: Map[String, String] =
+    clientOptions + ("kafka.bootstrap.servers" -> bootstrap)
+  def write(batch: DataFrame): Unit =
+    batch.write.format("kafka").options(writerOptions).save()
+}
+
 /** File-backed source for offline tests: reads parquet files appearing under
   * `dir` with the wire schema.
   */
