@@ -36,7 +36,14 @@ object Commands {
     * through one task.
     */
   def produce(spark: SparkSession, pool: Pool, path: String, topic: String): Long = {
-    val df = if (path.endsWith(".json")) spark.read.json(path) else spark.read.parquet(path)
+    // json/jsonl/csv/parquet (the reference reads any Zed format here,
+    // produce/command.go:72-81; ZSON itself has no Spark reader — callers
+    // convert, which is how the fixtures ship)
+    val df =
+      if (path.endsWith(".json") || path.endsWith(".jsonl")) spark.read.json(path)
+      else if (path.endsWith(".csv"))
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      else spark.read.parquet(path)
     val off = pool.nextOffset(topic) max 0L
     val sorted = df.withColumn("_row", monotonically_increasing_id())
       .repartitionByRange(col("_row"))

@@ -49,5 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.CosineSimilarity].getName, "cosine_sim"),
       (children: Seq[Expression]) =>
         org.apache.spark.sql.graft.CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by_score"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.TopKByScore].getName, "top_k_by_score"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.graft.TopKByScore(children(0), children(1), children(2))))
   }
 }

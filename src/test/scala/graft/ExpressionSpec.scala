@@ -106,5 +106,10 @@ class ExpressionSpec extends AnyFunSuite {
     val c = spark.sql(
       "SELECT cosine_sim(array(3.0d, 4.0d), array(4.0d, 3.0d)) AS c").collect()(0)
     assert(math.abs(c.getDouble(0) - 24.0 / 25.0) < 1e-12)
+    // aggregate registration: top-2 of (score, id) pairs by score desc
+    val t = spark.sql(
+      "SELECT top_k_by_score(s, id, 2) AS top FROM VALUES (1.0d, 10L), (3.0d, 30L), (2.0d, 20L) AS v(s, id)")
+      .selectExpr("transform(top, x -> x.payload) AS ids").collect()(0)
+    assert(t.getSeq[Long](0) == Seq(30L, 20L))
   }
 }
