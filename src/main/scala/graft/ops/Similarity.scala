@@ -118,25 +118,18 @@ object Similarity {
       StructType(Seq(StructField("_cents",
         ArrayType(cents.schema, containsNull = false), nullable = false))))
 
-    // per-row scores over the broadcast array; comparator = (cos desc,
-    // cid asc) with NaN largest and null cos last — identical to the window
-    // ordering this replaces (and to the DuckDB oracle's ORDER BY)
-    val scored = transform(col("_cents"), c => struct(
-      cosine(col(vecCol), c.getField("cv")).as("cos"),
-      c.getField("cid").as("cid")))
-    def cmp(a: Column, b: Column): Column = {
-      val (ac, bc) = (a.getField("cos"), b.getField("cos"))
-      val (ai, bi) = (a.getField("cid"), b.getField("cid"))
-      val byId = when(ai < bi, -1).when(ai > bi, 1).otherwise(0)
-      when(ac.isNull && bc.isNull, byId)
-        .when(ac.isNull, 1)
-        .when(bc.isNull, -1)
-        .when(ac > bc, -1).when(ac < bc, 1)
-        .otherwise(byId)
-    }
+    // per-row fused argmax/top-n over the broadcast array — the native
+    // `nearest_centroids` kernel: (cos desc, cid asc) ordering with NaN
+    // largest and null cos last, identical to the window ordering this
+    // replaces (and to the DuckDB oracle's ORDER BY). One primitive loop per
+    // row; the HOF formulation (`array_sort(transform(...))`) would box a
+    // lambda frame and allocate a struct per CENTROID per row.
+    val bridge = org.apache.spark.sql.graft.GraftColumnsBridge
+    val top = bridge.of(org.apache.spark.sql.graft.NearestCentroids(
+      bridge.expr(col(vecCol)), bridge.expr(col("_cents")), nprobe))
     val outCols = corpus.columns.toSeq.map(col)
     corpus.crossJoin(broadcast(oneRow))
-      .withColumn("_top", slice(array_sort(scored, cmp), 1, nprobe))
+      .withColumn("_top", top)
       .select(outCols :+ explode(col("_top")).as("_c"): _*)
       .withColumn("centroid_id", col("_c").getField("cid"))
       .drop("_c")

@@ -1,0 +1,150 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** `nearest_centroids(vec, cents, nprobe)` — the IVF cell-assignment kernel:
+  * given a vector and the (broadcast) centroid array
+  * `array<struct<cid, cv:array<numeric>>>`, return the `nprobe` nearest
+  * centroids as `array<struct<cos:double, cid>>`, ordered by
+  * (cos DESC, cid ASC); NaN counts as the largest cosine and a null cosine
+  * (length mismatch / null element) sorts last — exactly the
+  * `array_sort(transform(...))` comparator semantics this replaces.
+  *
+  * Why a dedicated expression: the declarative form runs inside higher-order
+  * functions, which are CodegenFallback — per CENTROID per row it allocates a
+  * struct, boxes a lambda frame, and re-enters interpreted eval. At
+  * production cell counts (K≈4096) that is thousands of allocations per
+  * corpus row on the similarity flagship path. Here the whole scan is one
+  * fused primitive loop (dot + norms accumulated in locals, bounded
+  * insertion into an nprobe-sized buffer); the expression itself is
+  * CodegenFallback, costing ONE boxed call per row — amortized across the
+  * K-element inner loop, which is where all the time goes.
+  */
+case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
+    extends BinaryExpression with CodegenFallback {
+  require(nprobe >= 1, s"nearest_centroids: nprobe must be >= 1, got $nprobe")
+
+  override def prettyName: String = "nearest_centroids"
+  override def nullable: Boolean = true
+
+  private def centStruct: StructType = right.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private def cidIdx: Int = centStruct.fieldIndex("cid")
+  private def cvIdx: Int = centStruct.fieldIndex("cv")
+  private def cidType: DataType = centStruct.fields(cidIdx).dataType
+  private def vecElem(dt: DataType): DataType =
+    dt.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def numericArray(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _) => et.isInstanceOf[NumericType]
+      case _ => false
+    }
+    val ok = left.dataType match {
+      case dt if numericArray(dt) => right.dataType match {
+        case ArrayType(st: StructType, _) =>
+          st.getFieldIndex("cid").isDefined && st.getFieldIndex("cv").exists(i =>
+            numericArray(st.fields(i).dataType))
+        case _ => false
+      }
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs (array<numeric>, array<struct<cid, cv:array<numeric>>>), got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cos", DoubleType, nullable = true),
+      StructField("cid", cidType, nullable = true))),
+    containsNull = false)
+
+  @transient private lazy val cidOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(cidType)
+  @transient private lazy val vt = vecElem(left.dataType)
+  @transient private lazy val ct = vecElem(centStruct.fields(cvIdx).dataType)
+
+  private def elem(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new UnsupportedOperationException(s"$prettyName over $other")
+  }
+
+  /** cosine or null (length mismatch / null element), NaN for zero vectors —
+    * the CosineSimilarity contract, inlined to keep the loop allocation-free.
+    */
+  private def cosineOrNull(v: ArrayData, c: ArrayData): java.lang.Double = {
+    val n = v.numElements()
+    if (n != c.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i) || c.isNullAt(i)) return null
+      val x = elem(v, vt, i); val y = elem(c, ct, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** (cos desc NaN-largest nulls-last, cid asc): is (ca, ia) better than
+    * (cb, ib)?
+    */
+  private def better(ca: java.lang.Double, ia: Any, cb: java.lang.Double, ib: Any): Boolean = {
+    if (ca == null && cb == null) return cidOrdering.compare(ia, ib) < 0
+    if (ca == null) return false
+    if (cb == null) return true
+    val c = java.lang.Double.compare(ca, cb) // NaN > everything
+    if (c != 0) c > 0 else cidOrdering.compare(ia, ib) < 0
+  }
+
+  override def nullSafeEval(vecAny: Any, centsAny: Any): Any = {
+    val vec = vecAny.asInstanceOf[ArrayData]
+    val cents = centsAny.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    val keep = math.min(nprobe, k)
+    // bounded insertion sort, best-first — nprobe is small (1..4 typical)
+    val topCos = new Array[java.lang.Double](keep)
+    val topCid = new Array[Any](keep)
+    var size = 0
+    var i = 0
+    while (i < k) {
+      val cent = cents.getStruct(i, centStruct.length)
+      val cid = if (cent.isNullAt(cidIdx)) null else cent.get(cidIdx, cidType)
+      val cos = if (cent.isNullAt(cvIdx)) null
+        else cosineOrNull(vec, cent.getArray(cvIdx))
+      if (size < keep || better(cos, cid, topCos(size - 1), topCid(size - 1))) {
+        var j = if (size < keep) size else size - 1
+        while (j > 0 && better(cos, cid, topCos(j - 1), topCid(j - 1))) {
+          topCos(j) = topCos(j - 1); topCid(j) = topCid(j - 1)
+          j -= 1
+        }
+        topCos(j) = cos; topCid(j) = cid
+        if (size < keep) size += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      out(i) = new GenericInternalRow(Array[Any](topCos(i), topCid(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroids =
+    copy(left = newLeft, right = newRight)
+}

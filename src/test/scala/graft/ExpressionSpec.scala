@@ -98,6 +98,28 @@ class ExpressionSpec extends AnyFunSuite {
       e.getCause.getMessage.contains("Confluent wire header"))
   }
 
+  test("nearest_centroids: fused top-n matches the declarative ordering") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.graft.{GraftColumnsBridge, NearestCentroids}
+    val centType = ArrayType(StructType(Seq(
+      StructField("cid", LongType), StructField("cv", ArrayType(DoubleType)))))
+    val df = spark.createDataFrame(
+      Seq(Row(Seq(1.0, 0.0), Seq(
+        Row(10L, Seq(1.0, 0.1)),   // best
+        Row(20L, Seq(1.0, 0.1)),   // same vector: cid tiebreak → after 10
+        Row(30L, Seq(0.0, 1.0)),   // orthogonal
+        Row(40L, Seq(1.0, 0.0, 9.9)) // length mismatch → null cos, sorts last
+      ))).asJava,
+      StructType(Seq(StructField("v", ArrayType(DoubleType)),
+        StructField("cents", centType))))
+    def top(n: Int) = df.select(GraftColumnsBridge.of(NearestCentroids(
+        GraftColumnsBridge.expr(col("v")), GraftColumnsBridge.expr(col("cents")), n)).as("t"))
+      .selectExpr("transform(t, x -> x.cid) AS ids").collect()(0).getSeq[Long](0)
+    assert(top(1) == Seq(10L))
+    assert(top(3) == Seq(10L, 20L, 30L))
+    assert(top(9) == Seq(10L, 20L, 30L, 40L)) // nprobe > K: all, null-cos last
+  }
+
   test("SQL names registered via GraftExtensions") {
     wireDF(Array[Byte](0, 0, 0, 0, 7, 1)).createOrReplaceTempView("wire")
     val r = spark.sql("SELECT confluent_schema_id(b) AS id, octet_length(confluent_body(b)) AS n FROM wire")
