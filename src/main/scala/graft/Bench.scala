@@ -63,18 +63,25 @@ object Bench {
       // The median of consecutive runs is the steady-state signal; the min is
       // the contention-free floor.
       val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
+      def medianOf(ts: Seq[Double]): Double =
+        if (ts.length % 2 == 1) ts(ts.length / 2)
+        else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
       val results = selected.map { case (name, fn) =>
-        val times = (1 to runs).map { _ =>
+        def once(): Double = {
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
             errors(name) = e.toString.linesIterator.next().take(300) }
           (System.nanoTime() - t0) / 1e9
-        }.sorted
-        val median =
-          if (times.length % 2 == 1) times(times.length / 2)
-          else (times(times.length / 2 - 1) + times(times.length / 2)) / 2
-        (name, median, times.head)
+        }
+        var times = (1 to runs).map(_ => once()).sorted
+        // Adaptive: a query whose spread exceeds half its median is still
+        // dominated by scheduler/GC noise (the many-small-jobs etl scenarios
+        // are the repeat offenders) — two extra runs tighten the median
+        // without taxing the stable 95% of the suite.
+        if (runs > 1 && times.last - times.head > 0.5 * medianOf(times))
+          times = (times ++ (1 to 2).map(_ => once())).sorted
+        (name, medianOf(times), times.head)
       }
 
       // Locale.ROOT: the f"" interpolator uses the default JVM locale, which

@@ -254,6 +254,19 @@ object OpsQueries {
            |  FROM pairs)
            |WHERE rank <= 3""".stripMargin)),
 
+    // int8 quantization: the embedding storage-scale path (4× smaller than
+    // float32); floor + IEEE doubles → codes bit-identical across engines
+    "sim_quantize_int8" -> Q(
+      (s, d) => Similarity.quantizeInt8(embBase(s, d), "vec_id", "v"),
+      Some(embBaseSql +
+        """, mm AS (SELECT vec_id, v, list_aggregate(v, 'min') AS vmin,
+          |                           list_aggregate(v, 'max') AS vmax FROM base)
+          |SELECT vec_id, vmin, (vmax - vmin) / 255.0 AS scale,
+          |       CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
+          |            ELSE list_transform(v, x ->
+          |              CAST(floor((x - vmin) * 255.0 / (vmax - vmin)) AS INT)) END AS codes
+          |FROM mm""".stripMargin)),
+
     // ---------------- text analysis ----------------
 
     "text_langid" -> Q(
@@ -330,6 +343,30 @@ object OpsQueries {
              |FROM bg JOIN bigc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
              |GROUP BY bg.doc_id""".stripMargin)),
 
+    // PII scrub: emails/IPv4 masked, occurrences counted. The corpus is
+    // salted with synthetic PII (doc_id % 11) so the scrubber provably
+    // finds and masks things; the oracle mirrors the salting.
+    "text_scrub_pii" -> Q(
+      (s, d) => {
+        val salted = Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 11 === 0,
+            lit(" contact bob@example.com or admin@test.org from 10.1.2.3"))
+            .otherwise(lit(""))).as("text"))
+        TextOps.scrubPii(salted, "doc_id", "text")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text || CASE WHEN doc_id % 11 = 0
+             |    THEN ' contact bob@example.com or admin@test.org from 10.1.2.3'
+             |    ELSE '' END AS text FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS text_clean,
+             |  len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(text,
+             |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips
+             |FROM corpus""".stripMargin)),
+
     // ---------------- multimodal ----------------
 
     "mm_decode_stub" -> Q(
@@ -383,6 +420,26 @@ object OpsQueries {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE md5(CAST(doc_id AS VARCHAR)) <
              |  CASE WHEN lang = 'en' THEN '80000000' ELSE '20000000' END""".stripMargin)),
+
+    // decontamination gate: corpus docs sharing ≥5 distinct 3-gram shingles
+    // with an "eval set" (docs with doc_id % 13 = 0 stand in for a held-out
+    // benchmark — their corpus copies are guaranteed hits)
+    "curate_contamination" -> Q(
+      (s, d) => {
+        val evalSet = Tables.load(s, d, "documents")
+          .filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("id"), col("text"))
+        Curate.contamination(textCorpus(s, d), evalSet, "id", "text",
+          n = 3, minOverlap = 5)
+      },
+      Some(textCorpusSql + "," + shinglesSql +
+        """, ew AS (SELECT doc_id AS id, string_split(text, ' ') AS w
+          |         FROM documents WHERE doc_id % 13 = 0),
+          |esh AS (SELECT DISTINCT
+          |          unnest(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+          |        FROM ew)
+          |SELECT c.id, count(*) AS n_overlap FROM sh0 c JOIN esh e ON c.sh = e.sh
+          |GROUP BY c.id HAVING count(*) >= 5""".stripMargin)),
 
     // end-to-end curation pipeline — the composition story: language gate →
     // length gate → exact dedup (keep lowest doc_id per content hash) →

@@ -108,4 +108,28 @@ object Curate {
         floor((col("_cum") - tokenCol) / lit(budgetTokens.toDouble)).cast("long"))
       .drop("_cum")
   }
+
+  /** Benchmark-contamination gate: corpus documents sharing at least
+    * `minOverlap` distinct word n-gram shingles with an evaluation set —
+    * the decontamination step every pretraining pipeline runs before
+    * training (n-gram overlap against held-out benchmarks).
+    *
+    * Output: (id, n_overlap) for contaminated documents only.
+    *
+    * Scale shape: the corpus side is a map-only shingle explode + one
+    * partial-aggregated groupBy; the eval side (benchmarks — thousands of
+    * documents, not billions) collapses to a distinct-shingle set that AQE
+    * broadcasts, so the join adds no corpus shuffle beyond the count
+    * aggregation. Same tokenization as the dedup family
+    * ([[Dedup.shingles]]), so one shingle pass can feed both at scale.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int, minOverlap: Int = 1): DataFrame = {
+    val c = Dedup.shingles(corpus, idCol, textCol, n)
+    val e = Dedup.shingles(evalSet, idCol, textCol, n).select(col("sh")).distinct()
+    c.join(e, Seq("sh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_overlap")) // (id, sh) distinct → count = distinct overlap
+      .filter(col("n_overlap") >= minOverlap)
+  }
 }

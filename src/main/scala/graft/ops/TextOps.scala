@@ -131,4 +131,31 @@ object TextOps {
       .agg(count(lit(1)).as("n_bigrams"),
         round(exp(-avg(col("logp"))), 4).as("ppl"))
   }
+
+  /** Email regex shared with the oracle: a pragmatic RFC-lite pattern using
+    * only syntax Java regex and RE2 agree on.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** Dotted-quad IPv4 (no range validation — scrubbing favors recall). */
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrub: mask emails and IPv4 addresses in `textCol`, reporting how
+    * many of each were found — the redaction gate training pipelines run
+    * before text leaves the curation boundary.
+    * Output: (idCol, text_clean, n_emails, n_ips).
+    *
+    * Pure per-row regex projection — codegen'd `regexp_replace` /
+    * `regexp_extract_all`, zero shuffle, scales with the scan. Patterns
+    * stick to the Java-regex ∩ RE2 common subset so the same semantics hold
+    * on any engine.
+    */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(
+        regexp_replace(col(textCol), lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")).as("text_clean"),
+      size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
+        .cast("long").as("n_ips"))
 }
