@@ -254,6 +254,29 @@ object OpsQueries {
            |  FROM pairs)
            |WHERE rank <= 3""".stripMargin)),
 
+    // one Lloyd round of in-engine kmeans vs an independent SQL formulation:
+    // seeds = 8 lowest ids, cosine assignment (tie → lowest centroid), then
+    // elementwise means via exact decimal sums (partitioning-independent —
+    // a float avg would be run-dependent). Output rounded to 9 digits: the
+    // two engines' double→decimal(30,15) casts round the LAST ulp
+    // differently, so the exact means can differ by ~1e-16.
+    "sim_kmeans_1iter" -> Q(
+      (s, d) => Similarity.kmeans(embBase(s, d), "vec_id", "v", k = 8, iters = 1)
+        .select(col("centroid_id"), transform(col("v"), x => round(x, 9)).as("v")),
+      Some(embBaseSql +
+        s""", seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM base ORDER BY vec_id LIMIT 8),
+           |scored AS (
+           |  SELECT b.vec_id, b.v, s.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "s.cv")} DESC, s.centroid_id) AS rn
+           |  FROM base b CROSS JOIN seeds s),
+           |assigned AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1),
+           |ex AS (SELECT centroid_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM assigned),
+           |dims AS (SELECT centroid_id, i,
+           |           round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS m
+           |         FROM ex GROUP BY 1, 2)
+           |SELECT centroid_id, list(m ORDER BY i) AS v FROM dims GROUP BY centroid_id""".stripMargin)),
+
     // int8 quantization: the embedding storage-scale path (4× smaller than
     // float32); floor + IEEE doubles → codes bit-identical across engines
     "sim_quantize_int8" -> Q(

@@ -169,6 +169,12 @@ object Similarity {
     * the K lowest-id vectors (deterministic, engine-portable); a centroid
     * whose cell empties drops out (k shrinks rather than NaN-ing).
     * Output: (centroid_id, `vecCol` as array<double>).
+    *
+    * The mean is computed as an EXACT decimal sum divided by the count
+    * (not `avg(double)`): double summation order varies with partitioning,
+    * so a float avg would make centroids run-dependent. Decimal sums make
+    * the result bit-identical on any engine/partitioning — which is also
+    * what lets the driver hash-compare a Lloyd round against DuckDB.
     */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
@@ -182,7 +188,9 @@ object Similarity {
         col("cv").as("_pv")), "_pid", "_pv")
       cents = assigned
         .select(col("centroid_id"), posexplode(col("_pv")))
-        .groupBy("centroid_id", "pos").agg(avg(col("col").cast("double")).as("m"))
+        .groupBy("centroid_id", "pos")
+        .agg((sum(col("col").cast("double").cast("decimal(30,15)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
