@@ -143,6 +143,36 @@ object OpsQueries {
            |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
            |WHERE ${cos("a.v", "b.v")} >= 0.9""".stripMargin)),
 
+    // label-free embedding near-dup: random-hyperplane LSH candidates
+    // verified by exact cosine — the scale path when no blocking column
+    // exists. The ±1 planes are md5-seeded so the oracle reproduces them
+    // as an inlined VALUES matrix.
+    "dedup_embedding_lsh" -> Q(
+      (s, d) => Dedup.embeddingLshPairs(embCorpus(s, d), "vec_id", "v",
+        dims = 64).select("d1", "d2"),
+      Some {
+        val hpValues = Dedup.hyperplanes(16, 64).zipWithIndex.map { case (row, j) =>
+          s"($j, [${row.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+        }.mkString(",\n")
+        embCorpusSql +
+          s""", hp(j, h) AS (VALUES
+             |$hpValues),
+             |bits AS (
+             |  SELECT c.vec_id, hp.j,
+             |         CASE WHEN list_sum(list_transform(list_zip(c.v, hp.h), p -> p[1] * p[2])) >= 0
+             |              THEN 1 ELSE 0 END AS bit
+             |  FROM corpus c CROSS JOIN hp),
+             |keys AS (SELECT vec_id, j // 4 AS band, sum(bit * (1 << (j % 4))) AS bk
+             |         FROM bits GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+             |         FROM keys a JOIN keys b ON a.band = b.band AND a.bk = b.bk
+             |                                AND a.vec_id < b.vec_id)
+             |SELECT d1, d2 FROM cand
+             |JOIN corpus ca ON cand.d1 = ca.vec_id
+             |JOIN corpus cb ON cand.d2 = cb.vec_id
+             |WHERE ${cos("ca.v", "cb.v")} >= 0.9""".stripMargin
+      }),
+
     "dedup_canonical" -> Q(
       (s, d) => {
         val corpus = textCorpus(s, d)

@@ -76,6 +76,60 @@ object Dedup {
       .select("d1", "d2").distinct()
   }
 
+  /** Deterministic ±1 random-hyperplane matrix for [[embeddingLshPairs]]:
+    * component (j, i) is +1 iff the high bit of md5("hp:j:i")'s first byte
+    * is 0. Seeded by content, so any engine (and the DuckDB oracle)
+    * reproduces the same planes.
+    */
+  def hyperplanes(bits: Int, dims: Int): Array[Array[Double]] =
+    Array.tabulate(bits) { j =>
+      Array.tabulate(dims) { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hp:$j:$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Embedding near-dup WITHOUT a blocking column: random-hyperplane LSH
+    * (sign-random-projection — the SimHash construction lifted to dense
+    * vectors). Each vector gets a `bits`-bit signature (bit j = sign of the
+    * dot with hyperplane j); signatures band like the text LSH, candidates
+    * sharing a (band, key) bucket are verified with the exact native cosine.
+    *
+    * This is the label-free scale path `embeddingCosinePairs` can't offer:
+    * candidate generation is a map-only signature pass (the `bits` dots run
+    * inside the codegen'd `cosine_sim` against literal plane vectors —
+    * sign(cos) = sign(dot)) + one equi-join on bucket keys; collision
+    * probability per bit is 1 − θ/π, so near-duplicates (θ≈0) collide in
+    * every band while unrelated vectors rarely share all `bits/bands` bits
+    * of any band. Never all-pairs.
+    * Output: (d1, d2, cos) — verified pairs with cosine ≥ threshold.
+    */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, bits: Int = 16, bands: Int = 4,
+      threshold: Double = 0.9): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    val rows = bits / bands
+    val hp = hyperplanes(bits, dims)
+    val bitCols = (0 until bits).map { j =>
+      val plane = typedLit(hp(j).toSeq)
+      when(Similarity.cosine(col(vecCol), plane) >= 0, 1).otherwise(0)
+    }
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until rows).map(k => bitCols(b * rows + k) * lit(1 << k)).reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bk"))
+    }
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        explode(array(bandStructs: _*)).as("x"))
+      .select(col("id"), col("v"), col("x.band").as("band"), col("x.bk").as("bk"))
+    val a = banded.select(col("id").as("d1"), col("v").as("v1"), col("band"), col("bk"))
+    val b = banded.select(col("id").as("d2"), col("v").as("v2"), col("band"), col("bk"))
+    a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), Similarity.cosine(col("v1"), col("v2")).as("cos"))
+      .distinct() // same pair can collide in several bands
+      .filter(col("cos") >= threshold)
+  }
+
   /** Exact n-gram Jaccard pairs via inverted shingle index.
     * `maxDf` drops shingles appearing in more than that many docs — both a
     * skew guard and a noise filter (mirrors stopword removal).

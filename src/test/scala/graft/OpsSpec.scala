@@ -96,6 +96,21 @@ class OpsSpec extends AnyFunSuite {
     assert(top(0).getLong(2) == 1L)
   }
 
+  test("hyperplane LSH finds scaled near-duplicates without a blocking column") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 40L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
+    // planted near-dups: scaled copies (same direction → cosine 1.0)
+    val dups = base.filter(_._1 % 5 == 0).map { case (i, v) => (i + 1000L, v.map(_ * 1.01)) }
+    val df = spark.createDataFrame(
+      (base ++ dups).map { case (i, v) => Row(i, v) }.asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    val pairs = Dedup.embeddingLshPairs(df, "vec_id", "v", dims = 16, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair shares identical signatures → must be found
+    val planted = base.filter(_._1 % 5 == 0).map { case (i, _) => (i, i + 1000L) }.toSet
+    assert(planted.subsetOf(pairs), s"missed: ${planted -- pairs}")
+  }
+
   test("language id picks the profile language") {
     val df = docs(
       1L -> "the cat is in the house and the dog is of the yard",
