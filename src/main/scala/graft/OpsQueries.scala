@@ -396,6 +396,28 @@ object OpsQueries {
              |FROM bg JOIN bigc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
              |GROUP BY bg.doc_id""".stripMargin)),
 
+    // repetition ratio (Gopher-style repetitive-content gate); docs with
+    // doc_id % 9 get a repeated phrase appended so nonzero ratios provably
+    // appear, mirrored in the oracle
+    "text_repetition" -> Q(
+      (s, d) => {
+        val salted = Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 9 === 0,
+            lit(" spam spam spam spam spam spam")).otherwise(lit(""))).as("text"))
+        TextOps.repetition(salted, "doc_id", "text")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text || CASE WHEN doc_id % 9 = 0
+             |    THEN ' spam spam spam spam spam spam' ELSE '' END AS text FROM documents),
+             |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+             |g AS (SELECT doc_id,
+             |        list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' ')) AS grams
+             |      FROM w)
+             |SELECT doc_id, len(grams) AS n_grams,
+             |       CASE WHEN len(grams) = 0 THEN 0.0
+             |            ELSE (len(grams) - len(list_distinct(grams))) * 1.0 / len(grams)
+             |       END AS rep_ratio
+             |FROM g""".stripMargin)),
+
     // PII scrub: emails/IPv4 masked, occurrences counted. The corpus is
     // salted with synthetic PII (doc_id % 11) so the scrubber provably
     // finds and masks things; the oracle mirrors the salting.

@@ -132,6 +132,28 @@ object TextOps {
         round(exp(-avg(col("logp"))), 4).as("ppl"))
   }
 
+  /** Within-document n-gram repetition ratio — the Gopher-style
+    * repetitive-content signal: `(total − distinct) / total` word n-grams
+    * (0 = no repetition; boilerplate/spam scores high). Documents shorter
+    * than n words score 0.
+    *
+    * Entirely map-only: the gram list, its distinct, and the ratio are one
+    * projection per row — no explode, no shuffle; scales with the scan.
+    * Output: (idCol, n_grams, rep_ratio).
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), grams.as("_g"))
+      .select(col(idCol), size(col("_g")).cast("long").as("n_grams"),
+        when(size(col("_g")) === 0, lit(0.0))
+          .otherwise((size(col("_g")) - size(array_distinct(col("_g")))) * lit(1.0)
+            / size(col("_g"))).as("rep_ratio"))
+  }
+
   /** Email regex shared with the oracle: a pragmatic RFC-lite pattern using
     * only syntax Java regex and RE2 agree on.
     */
