@@ -54,7 +54,7 @@ object Commands {
         .select(
           struct(lit(topic).as("topic"), lit(0L).as("partition"), col("_off").as("offset")).as("kafka"),
           lit(null).cast("string").as("key"),
-          struct(df.columns.map(col): _*).as("value"),
+          struct(df.columns.toIndexedSeq.map(col): _*).as("value"),
           lit("record").as("_kind"))
       pool.append(env)
       sorted.count()
@@ -82,6 +82,15 @@ object Commands {
   /** `ls -id`: schemas for explicit ids. */
   def ls(registry: SchemaRegistry, ids: Seq[Int]): Seq[(Int, String)] =
     ids.map(id => id -> registry.schemaById(id))
+
+  /** `ls` detail lines: per subject, the latest (id, version, schema) in the
+    * reference's print format (ls/command.go:54-62).
+    */
+  def lsDetail(registry: SchemaRegistry): Seq[String] =
+    registry.subjects().flatMap { subject =>
+      val (id, version, schema) = registry.latest(subject)
+      Seq(s"subject $subject:", s"  id $id", s"  version $version", s"  schema $schema")
+    }
 
   /** `etl`: one-shot YAML-configured transform pass
     * (cmd/zync/etl/command.go:53-91).
@@ -145,10 +154,10 @@ object Commands {
       println(s"records=$r markers=$m")
     case "ls" :: rest =>
       val registry = rest match {
-        case url :: Nil => new graft.codec.HttpSchemaRegistry(url)
+        case url :: _ if url.startsWith("http") => new graft.codec.HttpSchemaRegistry(url)
         case _ => RegistryClientConfig.load().registry()
       }
-      ls(registry).foreach(println)
+      lsDetail(registry).foreach(println)
     case "from-kafka" :: poolPath :: checkpoint :: topicsArg :: schemaId :: Nil =>
       val spark = GraftSession.get()
       val kafka = KafkaClientConfig.load()

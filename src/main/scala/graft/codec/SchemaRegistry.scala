@@ -23,6 +23,10 @@ trait SchemaRegistry extends Serializable {
   def register(subject: String, schemaJson: String): Int
   /** All registered subject names (cmd/zync/ls/command.go:42-64). */
   def subjects(): Seq[String]
+  /** A subject's latest (id, version, schema) — the `ls` detail lines
+    * (ls/command.go:55-62 GetLatestSchema).
+    */
+  def latest(subject: String): (Int, Int, String)
 
   /** Key for the codec's executor-static id→schema cache. The default is
     * per-origin-instance but stable across task-closure serialization: a
@@ -56,22 +60,34 @@ object SchemaRegistry {
 final class InMemoryRegistry extends SchemaRegistry {
   private val byId = new TrieMap[Int, String]
   private val bySchema = new TrieMap[String, Int]
-  private val subjectNames = new TrieMap[String, Unit]
+  // subject → ordered version history of schema ids
+  private val subjectVersions = new TrieMap[String, Vector[Int]]
   private val nextId = new java.util.concurrent.atomic.AtomicInteger(1)
 
   def schemaById(id: Int): String =
     byId.getOrElse(id, throw new NoSuchElementException(s"schema id $id not registered"))
 
   def register(subject: String, schemaJson: String): Int = {
-    subjectNames.put(subject, ())
-    bySchema.getOrElseUpdate(schemaJson, {
-      val id = nextId.getAndIncrement()
-      byId.put(id, schemaJson)
-      id
+    val id = bySchema.getOrElseUpdate(schemaJson, {
+      val nid = nextId.getAndIncrement()
+      byId.put(nid, schemaJson)
+      nid
     })
+    subjectVersions.synchronized {
+      val vs = subjectVersions.getOrElse(subject, Vector.empty)
+      if (!vs.contains(id)) subjectVersions.put(subject, vs :+ id)
+    }
+    id
   }
 
-  def subjects(): Seq[String] = subjectNames.keySet.toSeq.sorted
+  def subjects(): Seq[String] = subjectVersions.keySet.toSeq.sorted
+
+  def latest(subject: String): (Int, Int, String) = {
+    val vs = subjectVersions.getOrElse(subject,
+      throw new NoSuchElementException(s"subject $subject not registered"))
+    val id = vs.last
+    (id, vs.length, byId(id))
+  }
 }
 
 /** Thin REST client over the Confluent Schema Registry API — the semantics
@@ -134,6 +150,19 @@ final class HttpSchemaRegistry(baseUrl: String,
   def subjects(): Seq[String] = {
     val body = send(withAuth(HttpRequest.newBuilder(url("/subjects")).GET()).build())
     MiniJson.stringArray(body)
+  }
+
+  /** `GET /subjects/{subject}/versions/latest` →
+    * `{"subject":…,"version":N,"id":N,"schema":"…"}`.
+    */
+  def latest(subject: String): (Int, Int, String) = {
+    val body = send(withAuth(
+      HttpRequest.newBuilder(url(s"/subjects/$subject/versions/latest")).GET()).build())
+    def bad(field: String) =
+      throw new java.io.IOException(s"no \"$field\" field in registry response: ${body.take(200)}")
+    (MiniJson.intField(body, "id").getOrElse(bad("id")),
+      MiniJson.intField(body, "version").getOrElse(bad("version")),
+      MiniJson.stringField(body, "schema").getOrElse(bad("schema")))
   }
 }
 

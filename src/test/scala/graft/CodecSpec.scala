@@ -281,6 +281,12 @@ class CodecSpec extends AnyFunSuite {
         case ("GET", "/subjects") =>
           import scala.jdk.CollectionConverters._
           reply(x, 200, subjectsSeen.asScala.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
+        case ("GET", p) if p.startsWith("/subjects/") && p.endsWith("/versions/latest") =>
+          // latest = highest id stored (this stub registers each schema once)
+          import scala.jdk.CollectionConverters._
+          val id = bodies.keySet.asScala.max
+          val schemaField = bodies.get(id).stripPrefix("{").stripSuffix("}")
+          reply(x, 200, s"""{"subject":"x","version":1,"id":$id,$schemaField}""")
         case _ => reply(x, 404, "{}")
       }
     })
@@ -295,6 +301,10 @@ class CodecSpec extends AnyFunSuite {
       assert(id == 41)
       assert(reg.schemaById(id) == schemaJson) // JSON-escape round-trip exact
       assert(reg.subjects() == Seq(subject))
+      assert(reg.latest(subject) == ((41, 1, schemaJson)))
+      val detail = graft.cli.Commands.lsDetail(reg)
+      assert(detail == Seq(s"subject $subject:", "  id 41", "  version 1",
+        s"  schema $schemaJson"))
       intercept[java.io.IOException](reg.schemaById(999))
     } finally server.stop(0)
   }
