@@ -307,6 +307,53 @@ object OpsQueries {
            |         FROM ex GROUP BY 1, 2)
            |SELECT centroid_id, list(m ORDER BY i) AS v FROM dims GROUP BY centroid_id""".stripMargin)),
 
+    // end-to-end ANN: train centroids in-engine (one Lloyd round), then IVF
+    // search with them — the full "train + search" pipeline against one
+    // independent SQL formulation. Centroids are rounded to 9 digits on BOTH
+    // sides before assignment (see sim_kmeans_1iter) so cell membership is
+    // engine-identical.
+    "sim_ivf_kmeans_e2e" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val cents = Similarity.kmeans(base, "vec_id", "v", k = 8, iters = 1)
+          .select(col("centroid_id").as("vec_id"),
+            transform(col("v"), x => round(x, 9)).as("v"))
+        Similarity.ivfTopK(base,
+          base.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+          cents, "vec_id", "v", k = 3)
+      },
+      Some(embBaseSql +
+        s""", seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM base ORDER BY vec_id LIMIT 8),
+           |kscored AS (
+           |  SELECT b.vec_id, b.v, s.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "s.cv")} DESC, s.centroid_id) AS rn
+           |  FROM base b CROSS JOIN seeds s),
+           |kassigned AS (SELECT vec_id, v, centroid_id FROM kscored WHERE rn = 1),
+           |kex AS (SELECT centroid_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM kassigned),
+           |kdims AS (SELECT centroid_id, i,
+           |            round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS m
+           |          FROM kex GROUP BY 1, 2),
+           |cents AS (SELECT centroid_id, list(m ORDER BY i) AS centv FROM kdims GROUP BY centroid_id),
+           |ranked AS (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN cents c),
+           |corpus_cells AS (SELECT vec_id, v, centroid_id FROM ranked WHERE rn = 1),
+           |query_cells AS (SELECT vec_id, v, centroid_id FROM ranked
+           |                WHERE rn = 1 AND vec_id >= 100 AND vec_id < 110),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |         ${cos("q.v", "n.v")} AS cos
+           |  FROM query_cells q JOIN corpus_cells n
+           |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin)),
+
     // int8 quantization: the embedding storage-scale path (4× smaller than
     // float32); floor + IEEE doubles → codes bit-identical across engines
     "sim_quantize_int8" -> Q(

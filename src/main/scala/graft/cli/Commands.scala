@@ -139,8 +139,10 @@ object Commands {
     */
   def main(args: Array[String]): Unit = args.toList match {
     case "consume" :: path :: rest =>
+      // [topic] [fromOffset] — the reference's -offset flag (consume/command.go:57)
       val spark = GraftSession.get()
-      consume(Pool.open(spark, path), rest.headOption).foreach(println)
+      val fromOffset = rest.lift(1).map(_.toLong).getOrElse(0L)
+      consume(Pool.open(spark, path), rest.headOption, fromOffset).foreach(println)
     case "info" :: path :: Nil =>
       val spark = GraftSession.get()
       info(Pool.open(spark, path)).show(truncate = false)
