@@ -62,7 +62,9 @@ object Bench {
       // identical code), which made round-over-round deltas unfalsifiable.
       // The median of consecutive runs is the steady-state signal; the min is
       // the contention-free floor.
-      val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3).max(1)
+      val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption) // malformed → default, not a crash
+        .getOrElse(3).max(1)
       def medianOf(ts: Seq[Double]): Double =
         if (ts.length % 2 == 1) ts(ts.length / 2)
         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
@@ -92,7 +94,8 @@ object Bench {
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val totalMin = results.map(_._3).sum
-      val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs","queries":$qs,"queries_min":$qmins,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      // "adaptive": high-spread queries get 2 extra runs beyond the base N
+      val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
       spark.stop()
       realOut.println(line)
       realOut.flush()

@@ -67,8 +67,11 @@ final case class KafkaClientConfig(
       saslMechanisms.getOrElse("") match {
         case "PLAIN" =>
           b += "kafka.sasl.mechanism" -> "PLAIN"
-          val user = saslUsername.getOrElse("")
-          val pass = saslPassword.getOrElse("")
+          // JAAS string values need \" and \\ escaped — an unescaped quote in
+          // a password would break the login config (or inject options)
+          def jaas(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+          val user = jaas(saslUsername.getOrElse(""))
+          val pass = jaas(saslPassword.getOrElse(""))
           b += "kafka.sasl.jaas.config" ->
             ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
               s"""username="$user" password="$pass";""")

@@ -49,15 +49,23 @@ object AsOf {
         lit(null).cast(l.schema("_l").dataType).as("_l"),
         payload.as("_r")): _*)
 
-    // `_r` as the final orderBy term: when several right rows share
-    // (key, ts), `last(_r)` would otherwise pick a partition-order-dependent
-    // payload — the struct tiebreak makes the winner (the greatest payload)
-    // deterministic. Left rows carry _r = null and sort first within their
-    // (ts, side) group, which is irrelevant: every left row at a ts sees the
-    // same last-right-payload. Payload columns must be orderable (no maps) —
-    // the same constraint Spark puts on sort keys.
+    // Tiebreak: when several right rows share (key, ts), `last(_r)` would
+    // otherwise pick a partition-order-dependent payload — ordering by the
+    // payload's ORDERABLE columns makes the winner deterministic. Columns
+    // with unorderable types (maps) are excluded from the sort key rather
+    // than rejected, so map payloads keep working; if NO payload column is
+    // orderable the tiebreak is a documented no-op (nondeterministic under
+    // duplicate right timestamps, as before r4). Left rows carry _r = null
+    // and sort first within their (ts, side) group, which is irrelevant:
+    // every left row at a ts sees the same last-right-payload.
+    val orderablePayload = right.select(payload.as("_r")).schema.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.filter(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col("_r").getField(f.name).asc_nulls_first)
+      .toSeq
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_side"), col("_r").asc_nulls_first)
+      .orderBy(Seq(col("_ts"), col("_side")) ++ orderablePayload: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r)
       .withColumn("asof", last(col("_r"), ignoreNulls = true).over(w))

@@ -111,9 +111,15 @@ object Dedup {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val rows = bits / bands
     val hp = hyperplanes(bits, dims)
+    // bit stays NULL (not 0) when the cosine is null — i.e. when a vector's
+    // length doesn't match `dims`. A null bit nulls the whole band key and
+    // the row is dropped from banding below: a dims mismatch must NOT
+    // default every signature to 0, which would put the entire corpus into
+    // one bucket and silently degrade the join to all-pairs.
     val bitCols = (0 until bits).map { j =>
       val plane = typedLit(hp(j).toSeq)
-      when(Similarity.cosine(col(vecCol), plane) >= 0, 1).otherwise(0)
+      val c = Similarity.cosine(col(vecCol), plane)
+      when(c >= 0, 1).when(c < 0, 0)
     }
     val bandStructs = (0 until bands).map { b =>
       val key = (0 until rows).map(k => bitCols(b * rows + k) * lit(1 << k)).reduce(_ + _)
@@ -122,6 +128,7 @@ object Dedup {
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         explode(array(bandStructs: _*)).as("x"))
       .select(col("id"), col("v"), col("x.band").as("band"), col("x.bk").as("bk"))
+      .filter(col("bk").isNotNull)
     val a = banded.select(col("id").as("d1"), col("v").as("v1"), col("band"), col("bk"))
     val b = banded.select(col("id").as("d2"), col("v").as("v2"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))

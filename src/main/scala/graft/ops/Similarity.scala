@@ -107,16 +107,27 @@ object Similarity {
     */
   def ivfAssignN(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, nprobe: Int): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
-    val spark = corpus.sparkSession
     val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     // centroids are metadata-scale by contract — K rows, the k-means output —
-    // so collecting them is a driver metadata read, not a data-path collect
-    val centRows: Seq[Row] = cents.collect().toSeq
+    // so collecting them is a driver metadata read, not a data-path collect.
+    // NOTE this is EAGER: the centroid pipeline runs here, at plan-build
+    // time (cache/localCheckpoint centroid DataFrames you reuse).
+    assignCollected(corpus, cents.collect().toSeq, cents.schema, vecCol, nprobe)
+  }
+
+  /** Assignment against already-collected centroid rows — shared by
+    * [[ivfAssignN]] and [[ivfTopK]] (which collects its centroids ONCE for
+    * both the corpus and query sides instead of re-running the centroid
+    * pipeline per side).
+    */
+  private def assignCollected(corpus: DataFrame, centRows: Seq[Row],
+      centSchema: StructType, vecCol: String, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val spark = corpus.sparkSession
     val oneRow = spark.createDataFrame(
       java.util.List.of(Row(centRows)),
       StructType(Seq(StructField("_cents",
-        ArrayType(cents.schema, containsNull = false), nullable = false))))
+        ArrayType(centSchema, containsNull = false), nullable = false))))
 
     // per-row fused argmax/top-n over the broadcast array — the native
     // `nearest_centroids` kernel: (cos desc, cid asc) ordering with NaN
@@ -206,9 +217,11 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    val ac = ivfAssign(corpus, centroids, idCol, vecCol)
+    val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val centRows = cents.collect().toSeq // once, for both sides
+    val ac = assignCollected(corpus, centRows, cents.schema, vecCol, nprobe = 1)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
-    val aq = ivfAssignN(queries, centroids, idCol, vecCol, nprobe)
+    val aq = assignCollected(queries, centRows, cents.schema, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
     val cands = aq.join(ac, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

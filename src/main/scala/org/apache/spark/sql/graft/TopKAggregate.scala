@@ -28,8 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Ordering matches `row_number() OVER (ORDER BY score DESC, payload ASC)`:
   * NaN scores count as larger than any number and equal to each other
   * (Spark's nan-safe comparison semantics, same as the window ordering the
-  * oracle uses). Rows whose score is NULL are dropped — a null similarity is
-  * never a neighbor.
+  * oracle uses). Rows with a NULL score or NULL payload are dropped — a null
+  * similarity is never a neighbor, and a null payload has nothing to rank
+  * (it would also make the tiebreak comparator partial).
   *
   * The heap is worst-first (min score, then max payload at the head), so an
   * insert into a full buffer is one comparison + O(log k) sift; merge streams
@@ -61,10 +62,24 @@ case class TopKByScore(
       StructField("payload", payload.dataType, nullable = true))),
     containsNull = false)
 
+  /** Payload types the shuffle codec ([[writePayload]]/[[readPayload]])
+    * handles — checked at analysis time so an unsupported type is a clear
+    * plan error, not an UnsupportedOperationException mid-shuffle.
+    */
+  private def supportedPayload(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
+         BooleanType | StringType | BinaryType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
     if (score.dataType != DoubleType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName needs a double score, got ${score.dataType.sql}")
+    else if (!supportedPayload(payload.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName supports primitive/string/binary payloads, got ${payload.dataType.sql}")
     else TypeUtils.checkForOrderingExpr(payload.dataType, prettyName)
   }
 
@@ -83,7 +98,7 @@ case class TopKByScore(
         case b: Array[Byte] => b.clone()
         case v => v
       }
-      buffer.insert(s.asInstanceOf[Double], p)
+      if (p != null) buffer.insert(s.asInstanceOf[Double], p)
     }
     buffer
   }
