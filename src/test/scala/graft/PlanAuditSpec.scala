@@ -109,6 +109,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"expected window-free assignment plan:\n$plan")
   }
 
+  test("hyperplane LSH signatures are a map-only projection (no shuffle before banding)") {
+    import graft.ops.Dedup
+    val pairs = Dedup.embeddingLshPairs(embeddings, "vec_id", "v", dims = 3, threshold = 0.99)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only exchanges allowed are the (band, bk) join sides and the
+    // distinct — no Window, no range/single-partition shuffle anywhere
+    assert(!plan.contains("Window"), s"expected window-free LSH plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"expected only hash exchanges in:\n$plan")
+  }
+
+  test("contamination corpus side is shingle-explode + one aggregation") {
+    import graft.ops.Curate
+    val evalSet = corpus.filter(col("id") % 7 === 0)
+    val df = Curate.contamination(corpus, evalSet, "id", "text", n = 3, minOverlap = 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"expected only hash exchanges in:\n$plan")
+  }
+
   test("per-query top-k aggregates partially before the shuffle (two-phase)") {
     import graft.ops.Similarity
     val df = Similarity.bruteForceTopK(embeddings,
