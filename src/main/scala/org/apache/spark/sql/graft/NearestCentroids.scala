@@ -81,23 +81,6 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
     case other => throw new UnsupportedOperationException(s"$prettyName over $other")
   }
 
-  /** cosine or null (length mismatch / null element), NaN for zero vectors —
-    * the CosineSimilarity contract, inlined to keep the loop allocation-free.
-    */
-  private def cosineOrNull(v: ArrayData, c: ArrayData): java.lang.Double = {
-    val n = v.numElements()
-    if (n != c.numElements()) return null
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      if (v.isNullAt(i) || c.isNullAt(i)) return null
-      val x = elem(v, vt, i); val y = elem(c, ct, i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
   /** (cos desc NaN-largest nulls-last, cid asc): is (ca, ia) better than
     * (cb, ib)?
     */
@@ -109,21 +92,85 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
     if (c != 0) c > 0 else cidOrdering.compare(ia, ib) < 0
   }
 
+  /** Per-task decode of the centroid array: ids, primitive double planes,
+    * and each plane's accumulated square-norm sum — hoisted out of the
+    * per-row path (the r4.0 version re-walked the array-of-structs with
+    * type-dispatched accessors per centroid per row). Decoded once per
+    * expression instance: the centroid child is the single build-side row of
+    * the 1-row broadcast join `ivfAssignN` constructs, constant for the
+    * whole plan (accessor wrappers change identity per row, so decode is
+    * keyed to first use, with a count guard only as a defensive re-check).
+    * A plane with a null/absent vector decodes to null (its cosine is always
+    * null). Norm sums accumulate left-to-right, so the final cosines are
+    * bit-identical to the single-loop CosineSimilarity contract.
+    */
+  @transient private var cacheIds: Array[Any] = _
+  @transient private var cachePlanes: Array[Array[Double]] = _
+  @transient private var cacheNormSums: Array[Double] = _
+
+  private def decodeCents(cents: ArrayData): Unit = {
+    val k = cents.numElements()
+    cacheIds = new Array[Any](k)
+    cachePlanes = new Array[Array[Double]](k)
+    cacheNormSums = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val cent = cents.getStruct(i, centStruct.length)
+      cacheIds(i) = if (cent.isNullAt(cidIdx)) null else cent.get(cidIdx, cidType)
+      if (!cent.isNullAt(cvIdx)) {
+        val cv = cent.getArray(cvIdx)
+        val m = cv.numElements()
+        var ok = true
+        val plane = new Array[Double](m)
+        var nb = 0.0
+        var j = 0
+        while (j < m && ok) {
+          if (cv.isNullAt(j)) ok = false
+          else { plane(j) = elem(cv, ct, j); nb += plane(j) * plane(j); j += 1 }
+        }
+        if (ok) { cachePlanes(i) = plane; cacheNormSums(i) = nb }
+      }
+      i += 1
+    }
+  }
+
   override def nullSafeEval(vecAny: Any, centsAny: Any): Any = {
     val vec = vecAny.asInstanceOf[ArrayData]
     val cents = centsAny.asInstanceOf[ArrayData]
-    val k = cents.numElements()
+    if (cacheIds == null || cacheIds.length != cents.numElements()) decodeCents(cents)
+    val ids = cacheIds; val planes = cachePlanes; val normSums = cacheNormSums
+    val k = ids.length
     val keep = math.min(nprobe, k)
+
+    // vector decoded once per row; its square-norm sum accumulates
+    // left-to-right exactly like the fused single loop did
+    val n = vec.numElements()
+    val xs = new Array[Double](n)
+    var vOk = true
+    var na = 0.0
+    var i = 0
+    while (i < n && vOk) {
+      if (vec.isNullAt(i)) vOk = false
+      else { xs(i) = elem(vec, vt, i); na += xs(i) * xs(i); i += 1 }
+    }
+    val sqrtNa = math.sqrt(na)
+
     // bounded insertion sort, best-first — nprobe is small (1..4 typical)
     val topCos = new Array[java.lang.Double](keep)
     val topCid = new Array[Any](keep)
     var size = 0
-    var i = 0
+    i = 0
     while (i < k) {
-      val cent = cents.getStruct(i, centStruct.length)
-      val cid = if (cent.isNullAt(cidIdx)) null else cent.get(cidIdx, cidType)
-      val cos = if (cent.isNullAt(cvIdx)) null
-        else cosineOrNull(vec, cent.getArray(cvIdx))
+      val plane = planes(i)
+      val cos: java.lang.Double =
+        if (!vOk || plane == null || plane.length != n) null
+        else {
+          var dot = 0.0
+          var j = 0
+          while (j < n) { dot += xs(j) * plane(j); j += 1 }
+          dot / (sqrtNa * math.sqrt(normSums(i)))
+        }
+      val cid = ids(i)
       if (size < keep || better(cos, cid, topCos(size - 1), topCid(size - 1))) {
         var j = if (size < keep) size else size - 1
         while (j > 0 && better(cos, cid, topCos(j - 1), topCid(j - 1))) {
