@@ -36,13 +36,20 @@ object Commands {
     * through one task.
     */
   def produce(spark: SparkSession, pool: Pool, path: String, topic: String): Long = {
-    // json/jsonl/csv/parquet (the reference reads any Zed format here,
-    // produce/command.go:72-81; ZSON itself has no Spark reader — callers
-    // convert, which is how the fixtures ship)
+    // json/jsonl/csv/zson/parquet (the reference reads any Zed format here,
+    // produce/command.go:72-81). ZSON goes through the Zson-lite transpiler
+    // on the driver — load files are batch-sized, and the reference's
+    // produce reads the whole file too (command.go:72-76).
     val df =
       if (path.endsWith(".json") || path.endsWith(".jsonl")) spark.read.json(path)
       else if (path.endsWith(".csv"))
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      else if (path.endsWith(".zson")) {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        import spark.implicits._
+        spark.read.json(spark.createDataset(Zson.toJsonLines(text)))
+      }
       else spark.read.parquet(path)
     val off = pool.nextOffset(topic) max 0L
     val sorted = df.withColumn("_row", monotonically_increasing_id())

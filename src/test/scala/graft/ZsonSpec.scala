@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.{Commands, Zson}
+import graft.pool.Pool
+
+/** ZSON-lite reader against the shapes the reference's demo fixtures use
+  * (demo/consume-1.zson, batch-1.zson, staging-1.zson): multi-line
+  * concatenated records, // comments, unquoted field names, trailing commas,
+  * and `(=type)` record decorators.
+  */
+class ZsonSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private val fixture =
+    """// Invoices
+      |// ID customer
+      |{
+      |  kafka: {
+      |    topic: "Invoices",
+      |    offset: 1
+      |  },
+      |  value: {
+      |    op:"r",
+      |    after:{
+      |      ID:100,
+      |      customer: "Alice",
+      |    }
+      |  }
+      |}
+      |{kafka:{topic:"Invoices",offset:2},value:{op:"u",after:{ID:101,customer:"Bob"}}}
+      |{seqno:2}(=cursor)
+      |""".stripMargin
+
+  test("transpiles demo-fixture shapes to JSON lines") {
+    val lines = Zson.toJsonLines(fixture)
+    assert(lines.length == 3)
+    assert(lines(0) ==
+      """{"kafka":{"topic":"Invoices","offset":1},"value":{"op":"r","after":{"ID":100,"customer":"Alice"}}}""")
+    assert(lines(1) ==
+      """{"kafka":{"topic":"Invoices","offset":2},"value":{"op":"u","after":{"ID":101,"customer":"Bob"}}}""")
+    assert(lines(2) == """{"_type":"cursor","seqno":2}""")
+  }
+
+  test("arrays, escapes, bare tokens, primitive decorators") {
+    val lines = Zson.toJsonLines(
+      """{xs:[1,2.5,-3e2,],s:"q\"uo\\te",flag:true,nil:null,word:pending,n:1(uint32)}""")
+    assert(lines == Seq(
+      """{"xs":[1,2.5,-3e2],"s":"q\"uo\\te","flag":true,"nil":null,"word":"pending","n":1}"""))
+  }
+
+  test("unsupported set literals raise a clear error") {
+    val e = intercept[IllegalArgumentException](Zson.toJsonLines("""{m:|["a"]|}"""))
+    assert(e.getMessage.contains("not supported"))
+  }
+
+  test("parses every reference demo fixture (when present)") {
+    val demo = java.nio.file.Paths.get("/root/reference/demo")
+    assume(Files.isDirectory(demo))
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(demo)
+    val zsons = try listing.iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".zson")) finally listing.close()
+    assert(zsons.nonEmpty)
+    zsons.foreach { p =>
+      val lines = Zson.toJsonLines(new String(Files.readAllBytes(p), "UTF-8"))
+      assert(lines.nonEmpty, s"$p produced no records")
+      // every line must be valid JSON for the Spark reader
+      val df = spark.read.json(
+        spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+      assert(df.count() == lines.length, s"$p: corrupt rows")
+      assert(!df.columns.contains("_corrupt_record"), s"$p: invalid JSON emitted")
+    }
+  }
+
+  test("produce loads a .zson file into a pool") {
+    val dir = Files.createTempDirectory("zson")
+    val f = dir.resolve("batch.zson")
+    Files.write(f, fixture.getBytes("UTF-8"))
+    val pool = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val n = Commands.produce(spark, pool, f.toString, "T")
+    assert(n == 3)
+    val rows = pool.read()
+    assert(rows.count() == 3)
+    // the decorator of the cursor record landed as the _type discriminator
+    assert(rows.filter(col("value._type") === "cursor").count() == 1)
+  }
+}
