@@ -153,46 +153,73 @@ object ConfluentAvro {
   /** Avro → Spark type. Non-optional unions become the tag struct
     * `{tag:int, b0, b1, …}` (SURVEY §1.2, mirroring the reference's tagged
     * union container, decoder.go:156-160); enums stringify; maps keep string
-    * keys. A genuinely recursive schema (a record containing itself) cannot
-    * map onto Spark's finite tree schemas and is rejected with a clear error.
+    * keys.
+    *
+    * Recursive schemas (a record containing itself — the reference's
+    * `RecursiveSchema` named refs, zavro/schema.go:36-37): Spark schemas are
+    * finite trees, so genuine recursion is UNROLLED to `recursiveFieldMaxDepth`
+    * occurrences of the type and the recursive field is dropped past that
+    * depth (deeper data decodes as absent) — the same contract as
+    * spark-avro's `recursiveFieldMaxDepth` option. The default 0 keeps the
+    * historical behavior: recursion is rejected with a clear error.
     */
-  def sparkType(schema: Schema): DataType = sparkType(schema, Set.empty)
+  def sparkType(schema: Schema): DataType = sparkType(schema, 0)
 
-  private def sparkType(schema: Schema, opened: Set[String]): DataType =
+  def sparkType(schema: Schema, recursiveFieldMaxDepth: Int): DataType =
+    sparkType(schema, Map.empty, recursiveFieldMaxDepth)
+      .getOrElse(throw new IllegalArgumentException(
+        s"recursive Avro schema ${schema.getFullName} cannot map onto a Spark schema; " +
+          "pass recursiveFieldMaxDepth >= 1 to unroll a bounded depth"))
+
+  /** None = this is a recursive reference past the allowed depth (the
+    * enclosing field is dropped).
+    */
+  private def sparkType(schema: Schema, seen: Map[String, Int],
+      maxDepth: Int): Option[DataType] =
     schema.getType match {
-      case Schema.Type.NULL => NullType
-      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.NULL => Some(NullType)
+      case Schema.Type.BOOLEAN => Some(BooleanType)
       case Schema.Type.INT =>
-        if (schema.getLogicalType != null && schema.getLogicalType.getName == "date") DateType
-        else IntegerType
+        if (schema.getLogicalType != null && schema.getLogicalType.getName == "date") Some(DateType)
+        else Some(IntegerType)
       case Schema.Type.LONG =>
         val lt: LogicalType = schema.getLogicalType
-        if (lt != null && lt.getName == "timestamp-micros") TimestampType else LongType
-      case Schema.Type.FLOAT => FloatType
-      case Schema.Type.DOUBLE => DoubleType
-      case Schema.Type.STRING | Schema.Type.ENUM => StringType
-      case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
-      case Schema.Type.ARRAY => ArrayType(sparkType(schema.getElementType, opened))
-      case Schema.Type.MAP => MapType(StringType, sparkType(schema.getValueType, opened))
+        if (lt != null && lt.getName == "timestamp-micros") Some(TimestampType) else Some(LongType)
+      case Schema.Type.FLOAT => Some(FloatType)
+      case Schema.Type.DOUBLE => Some(DoubleType)
+      case Schema.Type.STRING | Schema.Type.ENUM => Some(StringType)
+      case Schema.Type.BYTES | Schema.Type.FIXED => Some(BinaryType)
+      case Schema.Type.ARRAY =>
+        sparkType(schema.getElementType, seen, maxDepth).map(ArrayType(_))
+      case Schema.Type.MAP =>
+        sparkType(schema.getValueType, seen, maxDepth).map(MapType(StringType, _))
       case Schema.Type.RECORD =>
         val full = schema.getFullName
-        if (opened.contains(full))
-          throw new IllegalArgumentException(
-            s"recursive Avro schema $full cannot map onto a Spark schema; unroll or project a finite depth first")
-        val inner = opened + full
-        StructType(schema.getFields.asScala.toSeq.map { f =>
-          val ft = optionalBranch(f.schema()).getOrElse(f.schema())
-          StructField(f.name(), sparkType(ft, inner), nullable = true)
-        })
+        val depth = seen.getOrElse(full, 0)
+        if (depth > 0 && depth >= maxDepth) {
+          if (maxDepth <= 0)
+            throw new IllegalArgumentException(
+              s"recursive Avro schema $full cannot map onto a Spark schema; " +
+                "pass recursiveFieldMaxDepth >= 1 to unroll a bounded depth")
+          None // depth budget spent: drop the recursive field
+        } else {
+          val inner = seen.updated(full, depth + 1)
+          Some(StructType(schema.getFields.asScala.toSeq.flatMap { f =>
+            val ft = optionalBranch(f.schema()).getOrElse(f.schema())
+            sparkType(ft, inner, maxDepth).map(t =>
+              StructField(f.name(), t, nullable = true))
+          }))
+        }
       case Schema.Type.UNION =>
         optionalBranch(schema) match {
-          case Some(b) => sparkType(b, opened)
+          case Some(b) => sparkType(b, seen, maxDepth)
           case None =>
             // tag struct: selector + one nullable field per branch
-            StructType(StructField("tag", IntegerType, nullable = true) +:
-              schema.getTypes.asScala.toSeq.zipWithIndex.map { case (b, i) =>
-                StructField(s"b$i", sparkType(b, opened), nullable = true)
-              })
+            Some(StructType(StructField("tag", IntegerType, nullable = true) +:
+              schema.getTypes.asScala.toSeq.zipWithIndex.flatMap { case (b, i) =>
+                sparkType(b, seen, maxDepth).map(t =>
+                  StructField(s"b$i", t, nullable = true))
+              }))
         }
     }
 

@@ -249,6 +249,36 @@ class CodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recursive"))
   }
 
+  test("recursive schemas unroll to recursiveFieldMaxDepth like spark-avro") {
+    val nodeJson =
+      """{"type":"record","name":"Node","fields":[
+        |  {"name":"v","type":"long"},
+        |  {"name":"next","type":["null","Node"],"default":null}]}""".stripMargin
+    val schema = new org.apache.avro.Schema.Parser().parse(nodeJson)
+
+    // depth 2: the type occurs twice, the deeper recursive field is dropped
+    val t2 = ConfluentAvro.sparkType(schema, recursiveFieldMaxDepth = 2)
+      .asInstanceOf[StructType]
+    assert(t2 == StructType(Seq(
+      StructField("v", LongType),
+      StructField("next", StructType(Seq(StructField("v", LongType)))))))
+
+    // decode a 3-deep datum into the depth-2 type: level 3 is absent, not an error
+    import org.apache.avro.generic.GenericData
+    def node(v: Long, next: AnyRef): GenericData.Record = {
+      val r = new GenericData.Record(schema)
+      r.put("v", v); r.put("next", next); r
+    }
+    val datum = node(1, node(2, node(3, null)))
+    val row = ConfluentAvro.recordToInternal(datum, t2)
+    assert(row.getLong(0) == 1)
+    assert(row.getStruct(1, 1).getLong(0) == 2)
+
+    // default stays the historical clear rejection
+    val e = intercept[IllegalArgumentException](ConfluentAvro.sparkType(schema))
+    assert(e.getMessage.contains("recursiveFieldMaxDepth"))
+  }
+
   // --- HTTP registry against a stub Confluent REST endpoint ---
 
   test("HTTP schema registry speaks the Confluent REST API (decoder.go:54-72, encoder.go:37-57)") {
