@@ -45,10 +45,13 @@ object Commands {
       else if (path.endsWith(".csv"))
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       else if (path.endsWith(".zson")) {
-        val text = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        // wholeTextFiles resolves Hadoop filesystems and globs like the
+        // spark.read branches (records span lines, so per-file content is
+        // what the transpiler needs); load files are batch-sized by contract
+        val lines = spark.sparkContext.wholeTextFiles(path).collect()
+          .sortBy(_._1).toSeq.flatMap { case (_, text) => Zson.toJsonLines(text) }
         import spark.implicits._
-        spark.read.json(spark.createDataset(Zson.toJsonLines(text)))
+        spark.read.json(spark.createDataset(lines))
       }
       else spark.read.parquet(path)
     val off = pool.nextOffset(topic) max 0L

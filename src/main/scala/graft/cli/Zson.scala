@@ -56,15 +56,18 @@ object Zson {
 
     /** A value plus any trailing decorators (decorators bind to values at
       * ANY depth in ZSON): `(=name)` on a record injects the named type as
-      * a `_type` discriminator field; primitive cast decorators are dropped
-      * (the JSON reader re-infers).
+      * a `_type` discriminator field — unless the record already carries a
+      * top-level `_type` (either declared or from an earlier decorator):
+      * injecting twice would emit duplicate JSON keys and Jackson keeps the
+      * LAST one, silently dropping the decorator. Primitive cast decorators
+      * are dropped (the JSON reader re-infers).
       */
     private def value(): String = {
       var v = rawValue()
       skipWs()
       while (!eof && s.charAt(i) == '(') {
         decorator() match {
-          case Some(name) if v.startsWith("{") =>
+          case Some(name) if v.startsWith("{") && !hasTopLevelType(v) =>
             v = if (v == "{}") s"""{"_type":${quote(name)}}"""
             else s"""{"_type":${quote(name)},${v.drop(1)}"""
           case _ => ()
@@ -72,6 +75,32 @@ object Zson {
         skipWs()
       }
       v
+    }
+
+    /** Does the generated compact JSON record have a TOP-LEVEL `_type` key?
+      * (Scans at brace depth 1, skipping strings — the text is our own
+      * well-formed output, so this is a simple state walk.)
+      */
+    private def hasTopLevelType(json: String): Boolean = {
+      var depth = 0; var k = 0
+      while (k < json.length) {
+        json.charAt(k) match {
+          case '{' | '[' => depth += 1
+          case '}' | ']' => depth -= 1
+          case '"' =>
+            val start = k
+            k += 1
+            while (k < json.length && json.charAt(k) != '"') {
+              if (json.charAt(k) == '\\') k += 1
+              k += 1
+            }
+            if (depth == 1 && json.substring(start, k + 1) == "\"_type\"" &&
+              k + 1 < json.length && json.charAt(k + 1) == ':') return true
+          case _ => ()
+        }
+        k += 1
+      }
+      false
     }
 
     /** `( = name )` → Some(name); `( typename )` → None (consumed). */
@@ -157,13 +186,18 @@ object Zson {
     }
 
     /** Bare token: number/true/false/null pass through; anything else (bare
-      * enums, timestamps) is quoted as a string.
+      * enums, timestamps) is quoted as a string. A `//` glued to the token
+      * ends it (comment), and `0x…` bytes literals raise rather than
+      * silently decoding as strings.
       */
     private def primitive(): String = {
       val start = i
-      while (!eof && !",}])(".contains(s.charAt(i)) && !s.charAt(i).isWhitespace) i += 1
+      while (!eof && !",}])(".contains(s.charAt(i)) && !s.charAt(i).isWhitespace
+          && !(s.charAt(i) == '/' && i + 1 < s.length && s.charAt(i + 1) == '/')) i += 1
       val tok = s.substring(start, i)
       if (tok.isEmpty) fail("expected a value")
+      if (tok.startsWith("0x") || tok.startsWith("0X"))
+        fail("ZSON bytes literals are not supported by this reader")
       if (tok == "true" || tok == "false" || tok == "null") tok
       else if (tok.matches("-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?")) tok
       else quote(tok)

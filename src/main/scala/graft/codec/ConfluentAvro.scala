@@ -350,9 +350,12 @@ object ConfluentAvro {
           val st = dt.asInstanceOf[StructType] // tag struct by construction
           val vals = new Array[Any](st.fields.length)
           vals(0) = selector
-          val branchField = st.fieldIndex(s"b$selector")
-          vals(branchField) =
-            fromAvro(value, st.fields(branchField).dataType, schema.getTypes.get(selector))
+          // a branch absent from the target struct was dropped by recursive
+          // unrolling (sparkType recursiveFieldMaxDepth) — decode as absent
+          val branchField = st.fields.indexWhere(_.name == s"b$selector")
+          if (branchField >= 0)
+            vals(branchField) =
+              fromAvro(value, st.fields(branchField).dataType, schema.getTypes.get(selector))
           return Row.fromSeq(vals.toSeq)
       }
     }
@@ -427,9 +430,12 @@ object ConfluentAvro {
           val st = dt.asInstanceOf[StructType] // tag struct by construction
           val vals = new Array[Any](st.fields.length)
           vals(0) = selector
-          val branchField = st.fieldIndex(s"b$selector")
-          vals(branchField) = fromAvroInternal(
-            value, st.fields(branchField).dataType, schema.getTypes.get(selector))
+          // a branch absent from the target struct was dropped by recursive
+          // unrolling (sparkType recursiveFieldMaxDepth) — decode as absent
+          val branchField = st.fields.indexWhere(_.name == s"b$selector")
+          if (branchField >= 0)
+            vals(branchField) = fromAvroInternal(
+              value, st.fields(branchField).dataType, schema.getTypes.get(selector))
           return new GenericInternalRow(vals)
       }
     }

@@ -27,9 +27,12 @@ object SimScale {
 
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    // per-copy mask reads bit (i % 20) of the copy index: distinct orthant
+    // patterns for up to 2^20 copies (not just 64); the id offset keeps
+    // vec_ids collision-free for base tables under 100M rows
     val corpus = base.crossJoin(spark.range(copies).toDF("c"))
-      .select((col("vec_id") + col("c") * 1000000L).as("vec_id"),
-        expr("transform(v, (x, i) -> x * (1 - 2 * ((CAST(c AS INT) >> (i % 6)) & 1)))").as("v"))
+      .select((col("vec_id") + col("c") * 100000000L).as("vec_id"),
+        expr("transform(v, (x, i) -> x * (1 - 2 * ((CAST(c AS INT) >> (i % 20)) & 1)))").as("v"))
       .persist()
     val n = corpus.count() // materialize outside the timings
 

@@ -99,10 +99,16 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
     * expression instance: the centroid child is the single build-side row of
     * the 1-row broadcast join `ivfAssignN` constructs, constant for the
     * whole plan (accessor wrappers change identity per row, so decode is
-    * keyed to first use, with a count guard only as a defensive re-check).
-    * A plane with a null/absent vector decodes to null (its cosine is always
-    * null). Norm sums accumulate left-to-right, so the final cosines are
-    * bit-identical to the single-loop CosineSimilarity contract.
+    * keyed to first use). Each row cheaply re-verifies the centroid IDS
+    * against the cache (k id reads vs k×dims of dot-product work) and
+    * re-decodes on any mismatch, so a per-row-varying centroid column —
+    * outside this expression's intended construction — degrades to
+    * decode-per-row rather than silently reusing stale planes. (Same-ids-
+    * different-vectors misuse is not detected; the centroids child must be
+    * query-constant, which `ivfAssignN` guarantees.) A plane with a
+    * null/absent vector decodes to null (its cosine is always null). Norm
+    * sums accumulate left-to-right, so the final cosines are bit-identical
+    * to the single-loop CosineSimilarity contract.
     */
   @transient private var cacheIds: Array[Any] = _
   @transient private var cachePlanes: Array[Array[Double]] = _
@@ -134,10 +140,24 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
     }
   }
 
+  private def cacheValid(cents: ArrayData): Boolean = {
+    if (cacheIds == null || cacheIds.length != cents.numElements()) return false
+    var i = 0
+    while (i < cacheIds.length) {
+      val cent = cents.getStruct(i, centStruct.length)
+      val cid = if (cent.isNullAt(cidIdx)) null else cent.get(cidIdx, cidType)
+      val cached = cacheIds(i)
+      if (!(if (cached == null) cid == null else cid != null && cidOrdering.compare(cached, cid) == 0))
+        return false
+      i += 1
+    }
+    true
+  }
+
   override def nullSafeEval(vecAny: Any, centsAny: Any): Any = {
     val vec = vecAny.asInstanceOf[ArrayData]
     val cents = centsAny.asInstanceOf[ArrayData]
-    if (cacheIds == null || cacheIds.length != cents.numElements()) decodeCents(cents)
+    if (!cacheValid(cents)) decodeCents(cents)
     val ids = cacheIds; val planes = cachePlanes; val normSums = cacheNormSums
     val k = ids.length
     val keep = math.min(nprobe, k)

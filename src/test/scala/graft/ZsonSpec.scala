@@ -56,6 +56,21 @@ class ZsonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not supported"))
   }
 
+  test("edge shapes: glued comments, declared _type vs decorator, bytes literals") {
+    // a // comment glued to a bare token ends the token
+    assert(Zson.toJsonLines("{n:1//note\n,m:2}") == Seq("""{"n":1,"m":2}"""))
+    // a declared top-level _type wins over the decorator (no duplicate keys)
+    assert(Zson.toJsonLines("""{_type:"x",a:1}(=y)""") == Seq("""{"_type":"x","a":1}"""))
+    // stacked decorators: first wins, still a single _type key
+    assert(Zson.toJsonLines("""{a:1}(=y)(=z)""") == Seq("""{"_type":"y","a":1}"""))
+    // nested _type does NOT block the decorator
+    assert(Zson.toJsonLines("""{a:{_type:"inner"}}(=y)""") ==
+      Seq("""{"_type":"y","a":{"_type":"inner"}}"""))
+    // bytes literals error instead of decoding as strings
+    val e = intercept[IllegalArgumentException](Zson.toJsonLines("{b:0x0102}"))
+    assert(e.getMessage.contains("bytes"))
+  }
+
   test("parses every reference demo fixture (when present)") {
     val demo = java.nio.file.Paths.get("/root/reference/demo")
     assume(Files.isDirectory(demo))
