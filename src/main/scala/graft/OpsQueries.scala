@@ -522,6 +522,25 @@ object OpsQueries {
              |       hex(encode(substring(text, 1, 1))) AS first_byte
              |FROM documents""".stripMargin)),
 
+    // frame sampling: every 7th payload byte as a frame row (the video
+    // frame-extraction shape; frames emitted as hex TEXT — the driver's
+    // pandas compare cannot sort bytearray cells)
+    "mm_frames_stub" -> Q(
+      (s, d) => {
+        val media = Multimodal.attachPayload(
+          Tables.load(s, d, "documents"), "doc_id", "text")
+        Multimodal.sampleFrames(media, "payload", every = 7)
+          .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+            hex(col("frame_byte")).as("frame_hex"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |         unnest(range(((octet_length(encode(text)) - 1) // 7) + 1)) AS frame_idx
+             |  FROM documents)
+             |SELECT doc_id, frame_idx,
+             |       substring(h, CAST(frame_idx * 14 + 1 AS BIGINT), 2) AS frame_hex
+             |FROM f""".stripMargin)),
+
     // ---------------- curation ----------------
 
     // deterministic 25% sample: md5(doc_id) below the 0.25 hex threshold —
