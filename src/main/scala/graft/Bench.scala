@@ -94,8 +94,16 @@ object Bench {
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val totalMin = results.map(_._3).sum
-      // "adaptive": high-spread queries get 2 extra runs beyond the base N
-      val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      // The stdout machine line carries MEDIANS ONLY: the driver keeps a
+      // bounded tail of the run's output, and round 4's line (medians + mins)
+      // outgrew it — the driver recorded parsed:null and lost the numbers.
+      // Mins/spread go to a sidecar file instead of the contract line.
+      // "adaptive": high-spread queries get 2 extra runs beyond the base N.
+      val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => toErr.println(s"bench_detail.json write failed: $e") }
       spark.stop()
       realOut.println(line)
       realOut.flush()

@@ -292,7 +292,15 @@ object OpsQueries {
     // differently, so the exact means can differ by ~1e-16.
     "sim_kmeans_1iter" -> Q(
       (s, d) => Similarity.kmeans(embBase(s, d), "vec_id", "v", k = 8, iters = 1)
-        .select(col("centroid_id"), transform(col("v"), x => round(x, 9)).as("v")),
+        .select(col("centroid_id"),
+          // flattened to one canonical string: the driver's pandas oracle
+          // sorts every output column and cannot factorize ndarray cells, so
+          // an array<double> column is unhashable for it (r4 verdict). %.9f
+          // after round(·,9) renders identically in both engines; the +0.0
+          // folds round's -0.0 (tiny negative means) onto +0.0 — DuckDB and
+          // Java disagree on formatting the sign of negative zero.
+          array_join(transform(col("v"),
+            x => format_string("%.9f", round(x, 9) + lit(0.0))), ",").as("v")),
       Some(embBaseSql +
         s""", seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM base ORDER BY vec_id LIMIT 8),
            |scored AS (
@@ -305,7 +313,10 @@ object OpsQueries {
            |dims AS (SELECT centroid_id, i,
            |           round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS m
            |         FROM ex GROUP BY 1, 2)
-           |SELECT centroid_id, list(m ORDER BY i) AS v FROM dims GROUP BY centroid_id""".stripMargin)),
+           |SELECT centroid_id,
+           |       array_to_string(list_transform(list(m ORDER BY i),
+           |                                      x -> printf('%.9f', x + 0)), ',') AS v
+           |FROM dims GROUP BY centroid_id""".stripMargin)),
 
     // end-to-end ANN: train centroids in-engine (one Lloyd round), then IVF
     // search with them — the full "train + search" pipeline against one
@@ -357,14 +368,20 @@ object OpsQueries {
     // int8 quantization: the embedding storage-scale path (4× smaller than
     // float32); floor + IEEE doubles → codes bit-identical across engines
     "sim_quantize_int8" -> Q(
-      (s, d) => Similarity.quantizeInt8(embBase(s, d), "vec_id", "v"),
+      (s, d) => Similarity.quantizeInt8(embBase(s, d), "vec_id", "v")
+        // codes flattened to one canonical string (see sim_kmeans_1iter: the
+        // driver's oracle cannot sort array cells); ints render identically
+        .withColumn("codes",
+          array_join(transform(col("codes"), _.cast("string")), ",")),
       Some(embBaseSql +
         """, mm AS (SELECT vec_id, v, list_aggregate(v, 'min') AS vmin,
           |                           list_aggregate(v, 'max') AS vmax FROM base)
           |SELECT vec_id, vmin, (vmax - vmin) / 255.0 AS scale,
-          |       CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
-          |            ELSE list_transform(v, x ->
-          |              CAST(floor((x - vmin) * 255.0 / (vmax - vmin)) AS INT)) END AS codes
+          |       array_to_string(
+          |         CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
+          |              ELSE list_transform(v, x ->
+          |                CAST(floor((x - vmin) * 255.0 / (vmax - vmin)) AS INT)) END,
+          |         ',') AS codes
           |FROM mm""".stripMargin)),
 
     // ---------------- text analysis ----------------
