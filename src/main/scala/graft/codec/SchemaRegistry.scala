@@ -216,61 +216,79 @@ private[graft] object MiniJson {
     (b.toString, i + 1)
   }
 
-  /** Value of the top-level string field `name` in a JSON object. */
-  def stringField(json: String, name: String): Option[String] = {
-    var i = 0
-    val key = "\"" + name + "\""
-    while (i >= 0) {
-      i = json.indexOf(key, i)
-      if (i < 0) return None
-      var j = i + key.length
-      while (j < json.length && json.charAt(j).isWhitespace) j += 1
-      if (j < json.length && json.charAt(j) == ':') {
-        var k = j + 1
-        while (k < json.length && json.charAt(k).isWhitespace) k += 1
-        if (k < json.length && json.charAt(k) == '"') return Some(parseString(json, k)._1)
-      }
-      i += key.length
+  /** Index of the value of the TOP-LEVEL key `name` in a JSON object (first
+    * char past `"name":` and any whitespace). A real object walk — tracking
+    * string literals and nested objects/arrays — not an `indexOf` scan: a
+    * key name appearing inside another string value (e.g. a password
+    * containing `"user":`) or inside a nested object must not match.
+    */
+  private def topLevelValueStart(json: String, name: String): Option[Int] = {
+    var i = json.indexOf('{')
+    if (i < 0) return None
+    i += 1
+    while (i < json.length) {
+      while (i < json.length &&
+        (json.charAt(i).isWhitespace || json.charAt(i) == ',')) i += 1
+      if (i >= json.length || json.charAt(i) != '"') return None // '}' or malformed
+      val (key, afterKey) = parseString(json, i)
+      i = afterKey
+      while (i < json.length && json.charAt(i).isWhitespace) i += 1
+      if (i >= json.length || json.charAt(i) != ':') return None
+      i += 1
+      while (i < json.length && json.charAt(i).isWhitespace) i += 1
+      if (i >= json.length) return None
+      if (key == name) return Some(i)
+      i = skipValue(json, i)
     }
     None
   }
+
+  /** Index just past the JSON value starting at `i0` (string, number,
+    * literal, object, or array — nested structures skipped whole).
+    */
+  private def skipValue(json: String, i0: Int): Int = json.charAt(i0) match {
+    case '"' => parseString(json, i0)._2
+    case '{' | '[' =>
+      var depth = 0
+      var i = i0
+      while (i < json.length) {
+        json.charAt(i) match {
+          case '"' => i = parseString(json, i)._2
+          case '{' | '[' => depth += 1; i += 1
+          case '}' | ']' => depth -= 1; i += 1; if (depth == 0) return i
+          case _ => i += 1
+        }
+      }
+      i
+    case _ => // number / true / false / null
+      var i = i0
+      while (i < json.length && json.charAt(i) != ',' && json.charAt(i) != '}' &&
+        json.charAt(i) != ']' && !json.charAt(i).isWhitespace) i += 1
+      i
+  }
+
+  /** Value of the top-level string field `name` in a JSON object. */
+  def stringField(json: String, name: String): Option[String] =
+    topLevelValueStart(json, name) match {
+      case Some(k) if json.charAt(k) == '"' => Some(parseString(json, k)._1)
+      case _ => None
+    }
 
   /** Value of the top-level integer field `name` in a JSON object. */
-  def intField(json: String, name: String): Option[Int] = {
-    val key = "\"" + name + "\""
-    var i = json.indexOf(key)
-    while (i >= 0) {
-      var j = i + key.length
-      while (j < json.length && json.charAt(j).isWhitespace) j += 1
-      if (j < json.length && json.charAt(j) == ':') {
-        var k = j + 1
-        while (k < json.length && json.charAt(k).isWhitespace) k += 1
-        val start = k
-        while (k < json.length && (json.charAt(k).isDigit || json.charAt(k) == '-')) k += 1
-        if (k > start) return Some(json.substring(start, k).toInt)
-      }
-      i = json.indexOf(key, i + key.length)
+  def intField(json: String, name: String): Option[Int] =
+    topLevelValueStart(json, name).flatMap { start =>
+      var k = start
+      while (k < json.length && (json.charAt(k).isDigit || json.charAt(k) == '-')) k += 1
+      if (k > start) Some(json.substring(start, k).toInt) else None
     }
-    None
-  }
 
   /** Value of the top-level boolean field `name` in a JSON object. */
-  def boolField(json: String, name: String): Option[Boolean] = {
-    val key = "\"" + name + "\""
-    var i = json.indexOf(key)
-    while (i >= 0) {
-      var j = i + key.length
-      while (j < json.length && json.charAt(j).isWhitespace) j += 1
-      if (j < json.length && json.charAt(j) == ':') {
-        var k = j + 1
-        while (k < json.length && json.charAt(k).isWhitespace) k += 1
-        if (json.startsWith("true", k)) return Some(true)
-        if (json.startsWith("false", k)) return Some(false)
-      }
-      i = json.indexOf(key, i + key.length)
+  def boolField(json: String, name: String): Option[Boolean] =
+    topLevelValueStart(json, name) match {
+      case Some(k) if json.startsWith("true", k) => Some(true)
+      case Some(k) if json.startsWith("false", k) => Some(false)
+      case _ => None
     }
-    None
-  }
 
   /** A top-level JSON array of strings → decoded values. */
   def stringArray(json: String): Seq[String] = {

@@ -81,16 +81,23 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
     case other => throw new UnsupportedOperationException(s"$prettyName over $other")
   }
 
-  /** (cos desc NaN-largest nulls-last, cid asc): is (ca, ia) better than
-    * (cb, ib)?
+  /** (cos desc NaN-largest nulls-last, cid asc nulls-first): is (ca, ia)
+    * better than (cb, ib)? cid ASC NULLS FIRST matches Spark's default asc
+    * null ordering in the window this kernel replaces; comparing null cids
+    * explicitly here also keeps `cidOrdering` (which assumes non-null
+    * inputs) from NPE-ing on a null centroid id with tied cosines.
     */
   private def better(ca: java.lang.Double, ia: Any, cb: java.lang.Double, ib: Any): Boolean = {
-    if (ca == null && cb == null) return cidOrdering.compare(ia, ib) < 0
+    if (ca == null && cb == null) return cidLess(ia, ib)
     if (ca == null) return false
     if (cb == null) return true
-    val c = java.lang.Double.compare(ca, cb) // NaN > everything
-    if (c != 0) c > 0 else cidOrdering.compare(ia, ib) < 0
+    val c = java.lang.Double.compare(ca + 0.0, cb + 0.0) // NaN > everything; -0.0 == 0.0
+    if (c != 0) c > 0 else cidLess(ia, ib)
   }
+
+  private def cidLess(ia: Any, ib: Any): Boolean =
+    if (ia == null) ib != null // nulls first: null < non-null, null == null
+    else ib != null && cidOrdering.compare(ia, ib) < 0
 
   /** Per-task decode of the centroid array: ids, primitive double planes,
     * and each plane's accumulated square-norm sum — hoisted out of the
@@ -99,13 +106,12 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
     * expression instance: the centroid child is the single build-side row of
     * the 1-row broadcast join `ivfAssignN` constructs, constant for the
     * whole plan (accessor wrappers change identity per row, so decode is
-    * keyed to first use). Each row cheaply re-verifies the centroid IDS
-    * against the cache (k id reads vs k×dims of dot-product work) and
-    * re-decodes on any mismatch, so a per-row-varying centroid column —
-    * outside this expression's intended construction — degrades to
-    * decode-per-row rather than silently reusing stale planes. (Same-ids-
-    * different-vectors misuse is not detected; the centroids child must be
-    * query-constant, which `ivfAssignN` guarantees.) A plane with a
+    * keyed to first use). Each row cheaply re-verifies the centroid IDS plus
+    * a per-centroid vector fingerprint (length + first element) against the
+    * cache (O(k) reads vs k×dims of dot-product work) and re-decodes on any
+    * mismatch, so a per-row-varying centroid column — outside this
+    * expression's intended construction — degrades to decode-per-row rather
+    * than silently reusing stale planes. A plane with a
     * null/absent vector decodes to null (its cosine is always null). Norm
     * sums accumulate left-to-right, so the final cosines are bit-identical
     * to the single-loop CosineSimilarity contract.
@@ -113,16 +119,35 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
   @transient private var cacheIds: Array[Any] = _
   @transient private var cachePlanes: Array[Array[Double]] = _
   @transient private var cacheNormSums: Array[Double] = _
+  // per-centroid vector fingerprint (length + first-element bits), so
+  // same-ids-different-vectors misuse re-decodes instead of silently
+  // reusing stale planes; -1/NaN encodes a null cv
+  @transient private var cacheVecLen: Array[Int] = _
+  @transient private var cacheVec0: Array[Long] = _
+
+  private def vecFingerprint(cent: org.apache.spark.sql.catalyst.InternalRow): (Int, Long) =
+    if (cent.isNullAt(cvIdx)) (-1, java.lang.Double.doubleToLongBits(Double.NaN))
+    else {
+      val cv = cent.getArray(cvIdx)
+      val m = cv.numElements()
+      val v0 = if (m > 0 && !cv.isNullAt(0)) elem(cv, ct, 0) else Double.NaN
+      (m, java.lang.Double.doubleToLongBits(v0))
+    }
 
   private def decodeCents(cents: ArrayData): Unit = {
     val k = cents.numElements()
     cacheIds = new Array[Any](k)
     cachePlanes = new Array[Array[Double]](k)
     cacheNormSums = new Array[Double](k)
+    cacheVecLen = new Array[Int](k)
+    cacheVec0 = new Array[Long](k)
     var i = 0
     while (i < k) {
       val cent = cents.getStruct(i, centStruct.length)
       cacheIds(i) = if (cent.isNullAt(cidIdx)) null else cent.get(cidIdx, cidType)
+      val fp = vecFingerprint(cent)
+      cacheVecLen(i) = fp._1
+      cacheVec0(i) = fp._2
       if (!cent.isNullAt(cvIdx)) {
         val cv = cent.getArray(cvIdx)
         val m = cv.numElements()
@@ -149,6 +174,8 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
       val cached = cacheIds(i)
       if (!(if (cached == null) cid == null else cid != null && cidOrdering.compare(cached, cid) == 0))
         return false
+      val fp = vecFingerprint(cent)
+      if (fp._1 != cacheVecLen(i) || fp._2 != cacheVec0(i)) return false
       i += 1
     }
     true

@@ -204,9 +204,16 @@ final class TopKBuffer(k: Int, payloadOrdering: Ordering[Any]) {
 
   def size: Int = n
 
-  /** a strictly worse than b? (lower score; tie → larger payload) */
+  /** a strictly worse than b? (lower score; tie → larger payload)
+    *
+    * The `+ 0.0` folds -0.0 onto +0.0 (NaN and every other value pass
+    * through unchanged): `Double.compare` alone orders -0.0 < 0.0, but
+    * Spark's ordering and SQL engines treat them equal — without the fold,
+    * tied ±0.0 scores would skip the payload tiebreak and the kept set at
+    * the k boundary could diverge from row_number semantics.
+    */
   private def worse(sa: Double, pa: Any, sb: Double, pb: Any): Boolean = {
-    val c = java.lang.Double.compare(sa, sb) // NaN > everything, NaN == NaN
+    val c = java.lang.Double.compare(sa + 0.0, sb + 0.0) // NaN > everything, NaN == NaN
     if (c != 0) c < 0 else payloadOrdering.compare(pa, pb) > 0
   }
 
@@ -262,7 +269,7 @@ final class TopKBuffer(k: Int, payloadOrdering: Ordering[Any]) {
     while (i < n) { out(i) = (scores(i), payloads(i)); i += 1 }
     java.util.Arrays.sort(out, new java.util.Comparator[(Double, Any)] {
       override def compare(a: (Double, Any), b: (Double, Any)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
+        val c = java.lang.Double.compare(b._1 + 0.0, a._1 + 0.0) // ±0.0 tie → payload
         if (c != 0) c else payloadOrdering.compare(a._2, b._2)
       }
     })

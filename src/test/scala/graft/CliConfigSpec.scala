@@ -146,6 +146,17 @@ class CliConfigSpec extends AnyFunSuite {
     assert(Commands.Version.startsWith("graft "))
   }
 
+  test("MiniJson reads only top-level keys: nested objects and string bodies don't match") {
+    import graft.codec.MiniJson
+    val json = """{"password": "p\"user\": \"evil\"", "nested": {"user": "inner", "id": 99, "flag": true}, "user": "alice", "id": 7, "flag": false}"""
+    assert(MiniJson.stringField(json, "user").contains("alice")) // not "inner"/"evil"
+    assert(MiniJson.intField(json, "id").contains(7))            // not 99
+    assert(MiniJson.boolField(json, "flag").contains(false))     // not true
+    assert(MiniJson.stringField(json, "evil").isEmpty)
+    assert(MiniJson.stringField(json, "missing").isEmpty)
+    assert(MiniJson.stringField(json, "password").contains("""p"user": "evil""""))
+  }
+
   test("schemaTypeOf resolves a registry id to the decode target type") {
     val reg = new graft.codec.InMemoryRegistry
     val st = StructType(Seq(StructField("a", LongType), StructField("s", StringType)))

@@ -120,6 +120,39 @@ class ExpressionSpec extends AnyFunSuite {
     assert(top(9) == Seq(10L, 20L, 30L, 40L)) // nprobe > K: all, null-cos last
   }
 
+  test("nearest_centroids: same ids with different vectors re-decode; null cid orders without NPE") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.graft.NearestCentroids
+    val centType = ArrayType(StructType(Seq(
+      StructField("cid", LongType), StructField("cv", ArrayType(DoubleType)))))
+    val expr = NearestCentroids(
+      BoundReference(0, ArrayType(DoubleType), nullable = true),
+      BoundReference(1, centType, nullable = true), 2)
+    def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    def cents(rows: (java.lang.Long, Seq[Double])*): ArrayData = new GenericArrayData(
+      rows.map { case (id, v) => new GenericInternalRow(Array[Any](id,
+        if (v == null) null else ArrayData.toArrayData(v.toArray))) }.toArray[Any])
+    def cids(v: Seq[Double], cs: ArrayData): Seq[Any] = {
+      val out = expr.eval(InternalRow(ArrayData.toArrayData(v.toArray), cs))
+        .asInstanceOf[GenericArrayData]
+      (0 until out.numElements()).map { i =>
+        val s = out.getStruct(i, 2)
+        if (s.isNullAt(1)) null else s.getLong(1)
+      }
+    }
+    // first eval populates the per-instance plane cache
+    assert(cids(Seq(1.0, 0.0), cents(jl(10) -> Seq(1.0, 0.0), jl(20) -> Seq(0.0, 1.0)))
+      == Seq(10L, 20L))
+    // same ids, swapped vectors: a stale cache would still answer 10 first
+    assert(cids(Seq(1.0, 0.0), cents(jl(10) -> Seq(0.0, 1.0), jl(20) -> Seq(1.0, 0.0)))
+      == Seq(20L, 10L))
+    // tied cosines with a null centroid id: cid ASC NULLS FIRST, no NPE
+    assert(cids(Seq(1.0, 0.0), cents((null: java.lang.Long) -> Seq(1.0, 0.0),
+      jl(10) -> Seq(1.0, 0.0))) == Seq(null, 10L))
+  }
+
   test("SQL names registered via GraftExtensions") {
     wireDF(Array[Byte](0, 0, 0, 0, 7, 1)).createOrReplaceTempView("wire")
     val r = spark.sql("SELECT confluent_schema_id(b) AS id, octet_length(confluent_body(b)) AS n FROM wire")

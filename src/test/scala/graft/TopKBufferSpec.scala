@@ -90,4 +90,18 @@ class TopKBufferSpec extends AnyFunSuite {
     val ids = (0 until arr.numElements()).map(i => arr.getStruct(i, 2).getLong(1))
     assert(ids == Seq(3L, 4L)) // null-score row never entered
   }
+
+  test("-0.0 and 0.0 scores tie: payload breaks it, like SQL row_number") {
+    // Double.compare alone orders -0.0 < 0.0, which would let the 0.0 row
+    // displace a smaller payload at the k boundary and reorder the output.
+    val buf = new TopKBuffer(1, ordering)
+    buf.insert(-0.0, 1L)
+    buf.insert(0.0, 2L) // equal score under SQL semantics, larger payload → rejected
+    assert(buf.sortedDesc().toSeq.map(_._2) == Seq(1L))
+
+    val buf2 = new TopKBuffer(2, ordering)
+    buf2.insert(0.0, 2L)
+    buf2.insert(-0.0, 1L)
+    assert(buf2.sortedDesc().toSeq.map(_._2) == Seq(1L, 2L)) // payload asc, not -0.0 last
+  }
 }
