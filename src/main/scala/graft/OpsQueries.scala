@@ -558,6 +558,48 @@ object OpsQueries {
              |       substring(h, CAST(frame_idx * 14 + 1 AS BIGINT), 2) AS frame_hex
              |FROM f""".stripMargin)),
 
+    // real image decode: deterministic grayscale PNGs generated in-engine
+    // from doc_id (see Multimodal.imageFixture), decoded back with JDK
+    // javax.imageio; the oracle recomputes dimensions and the order-
+    // sensitive pixel hash from the closed-form pixel function — PNG is
+    // lossless, so any decoder defect breaks the hash
+    "mm_image_decode" -> Q(
+      (s, d) => Multimodal.decodeImages(
+        Multimodal.imageFixture(Tables.load(s, d, "documents"), "doc_id"), "png")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("channels"), col("pix_hash")),
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 13 AS width,
+             |                         8 + doc_id % 7 AS height FROM documents),
+             |px AS (SELECT doc_id, width, height,
+             |              unnest(range(width * height)) AS i FROM d)
+             |SELECT doc_id, width, height, 1 AS channels,
+             |       CAST(sum((i + 1) * ((doc_id * 31 + i) % 256)) AS BIGINT) AS pix_hash
+             |FROM px GROUP BY doc_id, width, height""".stripMargin)),
+
+    // real image resize: decode → nearest-neighbor ÷2 on the pixel grid →
+    // re-encode PNG → decode AGAIN; the oracle mirrors the sampling
+    // arithmetic (out(x,y) = in(2x, 2y)), so the hash proves the full
+    // decode→transform→encode→decode loop is lossless
+    "mm_image_resize" -> Q(
+      (s, d) => {
+        val imgs = Multimodal.imageFixture(Tables.load(s, d, "documents"), "doc_id")
+        Multimodal.decodeImages(
+          Multimodal.resizeImages(imgs, "png", factor = 2)
+            .select(col("doc_id"), col("png_resized").as("png")), "png")
+          .select(col("doc_id"), col("width"), col("height"), col("pix_hash"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 8 + doc_id % 13 AS w,
+             |                         8 + doc_id % 7 AS h FROM documents),
+             |d2 AS (SELECT doc_id, w, (w + 1) // 2 AS width,
+             |                         (h + 1) // 2 AS height FROM d),
+             |px AS (SELECT doc_id, w, width, height,
+             |              unnest(range(width * height)) AS i FROM d2)
+             |SELECT doc_id, width, height,
+             |       CAST(sum((i + 1) *
+             |            ((doc_id * 31 + (i // width) * 2 * w + (i % width) * 2) % 256))
+             |         AS BIGINT) AS pix_hash
+             |FROM px GROUP BY doc_id, width, height""".stripMargin)),
+
     // ---------------- curation ----------------
 
     // deterministic 25% sample: md5(doc_id) below the 0.25 hex threshold —

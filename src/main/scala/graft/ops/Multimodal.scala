@@ -7,9 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed in batched partition passes.
   *
-  * The decode step itself is STUBBED (no image/audio libs in this
+  * IMAGES decode for real: `decodeImages`/`resizeImages` run JDK-only
+  * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with the JDK — no external
+  * media libs needed), producing true dimensions, band counts, and pixel
+  * hashes, with a deterministic PNG fixture generator (`imageFixture`) that
+  * makes the whole decode→transform→re-encode path oracle-checkable. The
+  * AUDIO/VIDEO decode step remains stubbed (no codec libs in this
   * container): `FakeDecoder` produces deterministic features from the raw
-  * bytes. Everything around it — schema, batch shape, partition-parallel
+  * bytes, and everything around it — schema, batch shape, partition-parallel
   * execution, feature-vector output — is real: swap `Decoder` for a JNI/
   * Pandas-UDF-backed implementation and the pipeline is production-shaped.
   *
@@ -90,6 +95,139 @@ object Multimodal {
       explode(sequence(lit(0), floor((octet_length(col(payloadCol)) - 1) / every).cast("int"))))
       .withColumn("frame_byte",
         expr(s"substring($payloadCol, frame_idx * $every + 1, 1)"))
+
+  // ---------------- real image path (JDK javax.imageio) ----------------
+
+  /** Deterministic grayscale PNG per id — the oracle-checkable image
+    * fixture: width `8 + id%13`, height `8 + id%7`, pixel at row-major
+    * index `i` = `(id·31 + i) mod 256`. PNG is lossless, so a correct
+    * decoder recovers exactly these samples — which a SQL oracle can
+    * recompute from `id` alone, closing the loop on REAL codec work
+    * without shipping binary fixtures. Output: (idCol, png).
+    */
+  def imageFixture(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long").as(idCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("png", BinaryType)))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache per image
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(0)
+          val w = (8 + math.floorMod(id, 13)).toInt
+          val h = (8 + math.floorMod(id, 7)).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0,
+                math.floorMod(id * 31 + y.toLong * w + x, 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image decode (JDK `javax.imageio`): payload → true width, height,
+    * band count, and an order-sensitive pixel hash
+    * `Σ (i+1)·sample₀(i)` over row-major band-0 samples. Unreadable or
+    * null payloads yield null features (a production pipeline quarantines
+    * them rather than failing the batch). Batched partition pass, same
+    * shape as [[decodeFeatures]].
+    */
+  def decodeImages(df: DataFrame, payloadCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("width", LongType)
+      .add("height", LongType)
+      .add("channels", IntegerType)
+      .add("pix_hash", LongType)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { row =>
+          val b = row.getAs[Array[Byte]](idx)
+          val img =
+            if (b == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null) Row.fromSeq(row.toSeq ++ Seq(null, null, null, null))
+          else {
+            val raster = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            var hash = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                hash += (y.toLong * w + x + 1) * raster.getSample(x, y, 0)
+                x += 1
+              }
+              y += 1
+            }
+            // Seq[Any], not Seq(...): numeric inference would widen the Int
+            // band count to Long and break the external-type check
+            Row.fromSeq(row.toSeq ++
+              Seq[Any](w.toLong, h.toLong, raster.getNumBands, hash))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image resize: decode (`javax.imageio`), nearest-neighbor
+    * downsample by `factor` on band 0 (`out(x,y) = in(x·factor, y·factor)`,
+    * output dims `⌈dim/factor⌉` — integer sampling, so the result is
+    * bit-deterministic across JVMs, unlike interpolating Graphics2D
+    * scaling), re-encode as grayscale PNG. Output: input columns +
+    * `png_resized`. Unreadable/null payloads carry a null result.
+    */
+  def resizeImages(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "resize factor must be positive")
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema.add("png_resized", BinaryType)
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { row =>
+          val b = row.getAs[Array[Byte]](idx)
+          val img =
+            if (b == null) null
+            else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null) Row.fromSeq(row.toSeq :+ null)
+          else {
+            val inR = img.getRaster
+            val ow = (img.getWidth + factor - 1) / factor
+            val oh = (img.getHeight + factor - 1) / factor
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val outR = out.getRaster
+            var y = 0
+            while (y < oh) {
+              var x = 0
+              while (x < ow) {
+                outR.setSample(x, y, 0, inR.getSample(x * factor, y * factor, 0))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row.fromSeq(row.toSeq :+ bos.toByteArray)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** "Resize" stub: payload → smaller payload (every k-th byte) with the
     * metadata rewritten — the binary→binary transform shape of a real image

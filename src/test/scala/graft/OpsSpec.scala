@@ -165,6 +165,46 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]](1).toSeq == Seq('a'.toByte, 'e'.toByte, 'i'.toByte))
   }
 
+  test("imageio: PNG fixture decodes to its generating pixel function; resize samples the grid") {
+    val df = docs(3L -> "x", 10L -> "y").select(col("id").as("doc_id"))
+    val imgs = Multimodal.imageFixture(df, "doc_id")
+    val dec = Multimodal.decodeImages(imgs, "png")
+      .select("doc_id", "width", "height", "channels", "pix_hash").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def expected(id: Long): (Long, Long, Long) = {
+      val w = 8 + id % 13; val h = 8 + id % 7
+      val hash = (0L until w * h).map(i => (i + 1) * ((id * 31 + i) % 256)).sum
+      (w, h, hash)
+    }
+    Seq(3L, 10L).foreach { id =>
+      val (w, h, hash) = expected(id)
+      val r = dec(id)
+      assert((r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)) == (w, h, 1, hash))
+    }
+    // resize ÷2 keeps exactly the even-coordinate samples, re-encoded losslessly
+    val rs = Multimodal.decodeImages(
+      Multimodal.resizeImages(imgs, "png", factor = 2)
+        .select(col("doc_id"), col("png_resized").as("png")), "png")
+      .select("doc_id", "width", "height", "pix_hash").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(3L, 10L).foreach { id =>
+      val w = 8 + id % 13; val h = 8 + id % 7
+      val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+      val hash = (0L until w2 * h2).map(i =>
+        (i + 1) * ((id * 31 + (i / w2) * 2 * w + (i % w2) * 2) % 256)).sum
+      val r = rs(id)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == (w2, h2, hash))
+    }
+    // unreadable bytes → null features, not a batch failure
+    val junk = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, Array[Byte](1, 2, 3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("png", org.apache.spark.sql.types.BinaryType))))
+    val jr = Multimodal.decodeImages(junk, "png").select("width", "pix_hash").collect()(0)
+    assert(jr.isNullAt(0) && jr.isNullAt(1))
+  }
+
   test("frame sampling emits every k-th byte") {
     val df = docs(1L -> "abcdefghij")
     val media = Multimodal.attachPayload(df, "id", "text")
