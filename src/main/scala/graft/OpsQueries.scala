@@ -65,6 +65,36 @@ object OpsQueries {
   private def cos(a: String, b: String): String =
     cosSql.replace("%A", a).replace("%B", b)
 
+  /** Unrolled DuckDB CTE chain for `iters` Lloyd rounds over `base`
+    * (mirrors Similarity.kmeans with seedByHash=true, roundDigits=9):
+    * md5-ordered seeds, then per round cosine assignment (tie → lowest
+    * centroid) and exact-decimal means rounded to 9 digits. Ends with a
+    * `cents$iters(centroid_id, cv)` CTE.
+    */
+  private def kmeansRoundsSql(iters: Int, k: Int): String = {
+    val sb = new StringBuilder(
+      s"""seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin)
+    var prev = "seeds"
+    for (r <- 1 to iters) {
+      sb.append(
+        s"""
+           |,scored$r AS (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.cv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN $prev c),
+           |assigned$r AS (SELECT vec_id, v, centroid_id FROM scored$r WHERE rn = 1),
+           |ex$r AS (SELECT centroid_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM assigned$r),
+           |dims$r AS (SELECT centroid_id, i,
+           |             round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS m
+           |           FROM ex$r GROUP BY 1, 2),
+           |cents$r AS (SELECT centroid_id, list(m ORDER BY i) AS cv FROM dims$r GROUP BY centroid_id)""".stripMargin)
+      prev = s"cents$r"
+    }
+    sb.toString
+  }
+
   // DuckDB shingle expansion of corpus → (id, sh) distinct 3-grams
   private val shinglesSql =
     """words AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
@@ -317,6 +347,26 @@ object OpsQueries {
            |       array_to_string(list_transform(list(m ORDER BY i),
            |                                      x -> printf('%.9f', x + 0)), ',') AS v
            |FROM dims GROUP BY centroid_id""".stripMargin)),
+
+    // three Lloyd rounds, hash-sampled seeding — the production shape:
+    // iterated convergence with constant lineage (localCheckpoint per
+    // round), md5-ordered seeds (id order correlates with data layout; hash
+    // order doesn't), per-round means rounded to 9 digits on BOTH sides so
+    // every round starts from bit-identical centroids (see kmeans scaladoc).
+    // The oracle unrolls the same three rounds as chained CTEs.
+    "sim_kmeans_3iter" -> Q(
+      (s, d) => Similarity.kmeans(embBase(s, d), "vec_id", "v", k = 8, iters = 3,
+        seedByHash = true, roundDigits = 9)
+        .select(col("centroid_id"),
+          // already rounded per-round; flatten for the oracle like sim_kmeans_1iter
+          array_join(transform(col("v"),
+            x => format_string("%.9f", x + lit(0.0))), ",").as("v")),
+      Some(embBaseSql + ", " + kmeansRoundsSql(iters = 3, k = 8) +
+        s"""
+           |SELECT centroid_id,
+           |       array_to_string(list_transform(cv,
+           |                                      x -> printf('%.9f', x + 0)), ',') AS v
+           |FROM cents3""".stripMargin)),
 
     // end-to-end ANN: train centroids in-engine (one Lloyd round), then IVF
     // search with them — the full "train + search" pipeline against one

@@ -176,22 +176,39 @@ object Similarity {
     * [[ivfAssignN]]), then recompute each centroid as the elementwise mean
     * via `posexplode` + one partial-aggregating groupBy — shuffle volume is
     * vectors × dims rows per round, the corpus is never collected. Centroids
-    * are `localCheckpoint`ed per round so lineage stays constant. Seeds are
-    * the K lowest-id vectors (deterministic, engine-portable); a centroid
-    * whose cell empties drops out (k shrinks rather than NaN-ing).
+    * are `localCheckpoint`ed per round so lineage stays constant across any
+    * number of iterations. Seeds are the K lowest-id vectors by default, or
+    * — with `seedByHash` — the K lowest by `md5(id)` (the same portable-hash
+    * convention as `Curate.hashSample`): id order correlates with data
+    * layout and collection time, so hash order is the statistically safer
+    * production seeding; both are deterministic and engine-portable. A
+    * centroid whose cell empties drops out (k shrinks rather than NaN-ing).
     * Output: (centroid_id, `vecCol` as array<double>).
     *
     * The mean is computed as an EXACT decimal sum divided by the count
     * (not `avg(double)`): double summation order varies with partitioning,
     * so a float avg would make centroids run-dependent. Decimal sums make
     * the result bit-identical on any engine/partitioning — which is also
-    * what lets the driver hash-compare a Lloyd round against DuckDB.
+    * what lets the driver hash-compare Lloyd rounds against DuckDB.
+    * `roundDigits >= 0` additionally rounds each round's means to that many
+    * digits before the next assignment — the cross-engine reproducibility
+    * mode: it pins the centroids every engine iterates FROM to bit-identical
+    * values, so a multi-round run can be replayed exactly anywhere (the
+    * mean's final double rounding is the one step engines may disagree on by
+    * one ulp).
     */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int, seedByHash: Boolean = false,
+      roundDigits: Int = -1): DataFrame = {
     val pts = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
-    var cents = pts.orderBy(col("_pid")).limit(k)
+    val seedOrder =
+      if (seedByHash) Seq(md5(col("_pid").cast("string")), col("_pid"))
+      else Seq(col("_pid"))
+    def maybeRound(c: Column): Column =
+      if (roundDigits >= 0) transform(c, x => round(x, roundDigits)) else c
+    var cents = pts.orderBy(seedOrder: _*).limit(k)
       .select(col("_pid").as("centroid_id"),
+        // seeds are raw input vectors — exact on every engine, never rounded
         transform(col("_pv"), x => x.cast("double")).as("cv"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -203,8 +220,8 @@ object Similarity {
         .agg((sum(col("col").cast("double").cast("decimal(30,15)")).cast("double") /
           count(lit(1))).as("m"))
         .groupBy("centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
+        .agg(maybeRound(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m"))).as("cv"))
         .localCheckpoint(true)
     }
     cents.select(col("centroid_id"), col("cv").as(vecCol))

@@ -215,6 +215,42 @@ class OpsSpec extends AnyFunSuite {
       Seq('a'.toByte, 'd'.toByte, 'g'.toByte, 'j'.toByte))
   }
 
+  test("kmeans: multi-iteration converges, shrinks empty cells, and is partition-invariant") {
+    import org.apache.spark.sql.types._
+    def emb(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map { case (id, v) => Row(id, v) }.asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))))
+
+    // two clean angular clusters, one seed in each (ids 1,2 are the seeds)
+    val two = emb(
+      1L -> Seq(1.0, 0.0), 3L -> Seq(0.9, 0.1), 5L -> Seq(0.8, 0.2),
+      2L -> Seq(0.0, 1.0), 4L -> Seq(0.1, 0.9), 6L -> Seq(0.2, 0.8))
+    val cents = Similarity.kmeans(two, "vec_id", "v", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet == Set(1L, 2L))
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.lazyZip(b).forall((x, y) => math.abs(x - y) < 1e-12)
+    assert(close(cents(1L), Seq(0.9, 0.1)))       // mean of cluster A
+    assert(close(cents(2L), Seq(0.1, 0.9)))       // mean of cluster B
+
+    // identical directions: round-1 cosine ties all break to centroid 1, so
+    // centroid 2's cell empties and k shrinks instead of NaN-ing — and the
+    // later iterations keep running on the shrunken set
+    val collinear = emb(1L -> Seq(1.0, 0.0), 2L -> Seq(2.0, 0.0), 3L -> Seq(3.0, 0.0))
+    val shrunk = Similarity.kmeans(collinear, "vec_id", "v", k = 2, iters = 2).collect()
+    assert(shrunk.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(close(shrunk(0).getSeq[Double](1), Seq(2.0, 0.0)))
+
+    // partitioning must not change a single bit (exact decimal means)
+    val base = emb((1L to 40L).map(i =>
+      i -> Seq(math.sin(i.toDouble), math.cos(i.toDouble), i / 40.0)): _*)
+    def run(parts: Int) = Similarity.kmeans(base.repartition(parts), "vec_id", "v",
+      k = 4, iters = 3, seedByHash = true)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("ivf nprobe=2 recovers a neighbor hiding in the query's second cell") {
     import org.apache.spark.sql.types._
     val rows = Seq(
