@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Commands
+import graft.pool.Pool
+import graft.streaming.{KafkaTopicAdmin, KafkaTopicSink, KafkaTopicSource, StreamSync}
+
+/** Marks tests that need a reachable Kafka broker:
+  * `sbt "testOnly * -- -n graft.KafkaLive"`.
+  */
+object KafkaLive extends Tag("graft.KafkaLive")
+
+/** The live-broker half of S1/S2 — executable form of the README's
+  * run-once-on-deployment recipe (the analog of the reference's CI-gated
+  * ztests/from-kafka.yaml:1-50, which its CI runs against a Kafka service
+  * container).
+  *
+  * This sandbox has no broker or connector jars, so the suite CANCELS
+  * (not fails) unless `GRAFT_KAFKA_BOOTSTRAP` points at a broker; on a
+  * deployment with `spark-sql-kafka-0-10` + `kafka-clients` on the
+  * classpath it becomes the turn-key smoke:
+  *
+  * {{{ GRAFT_KAFKA_BOOTSTRAP=host:9092 sbt "testOnly graft.KafkaLiveSmokeSpec" }}}
+  *
+  * Flow (mirrors from-kafka.yaml): create topic → produce a batch into a
+  * pool → drain pool → broker (`to-kafka`) → stream broker → fresh pool
+  * (`from-kafka`) → values round-trip → produce more → resume from the
+  * broker HWM on one side and the pool HWM on the other → no duplicates.
+  * Values travel as JSON envelopes: broker plumbing is what's under test
+  * here; the Avro/registry codec has its own oracle-checked coverage.
+  */
+class KafkaLiveSmokeSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def bootstrap: String = sys.env.getOrElse("GRAFT_KAFKA_BOOTSTRAP",
+    cancel("GRAFT_KAFKA_BOOTSTRAP not set — live-broker smoke skipped " +
+      "(this sandbox has no broker; run on deployment, see README)"))
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** JSON envelope decoder: wire batch → pool envelope batch. */
+  private def jsonDecode(valueType: StructType)(wire: DataFrame): DataFrame =
+    wire.select(
+      struct(col("topic"), col("partition"), col("offset")).as("kafka"),
+      col("key").cast("string").as("key"),
+      from_json(col("value").cast("string"), valueType).as("value"),
+      lit("record").as("_kind"))
+
+  /** JSON producer encoder: pool rows → (topic, key, value) wire rows. */
+  private def jsonEncode(batch: DataFrame): DataFrame =
+    batch.select(col("kafka.topic").as("topic"),
+      col("key").cast("binary").as("key"),
+      to_json(col("value")).cast("binary").as("value"))
+
+  private def awaitCount(pool: Pool, expected: Long, timeoutMs: Long = 90000): Long = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var n = -1L
+    while (n != expected && System.nanoTime() < deadline) {
+      n = pool.read().count()
+      if (n != expected) Thread.sleep(500)
+    }
+    n
+  }
+
+  test("pool → broker → pool round trip, then HWM resume without duplicates", KafkaLive) {
+    val bs = bootstrap
+    val topic = s"graft-smoke-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+    val admin = new KafkaTopicAdmin(bs)
+    try {
+      // topic admin (S7): idempotent create, fresh watermarks
+      admin.createMissingTopics(partitions = 1, replicationFactor = 1, Seq(topic))
+      admin.createMissingTopics(partitions = 1, replicationFactor = 1, Seq(topic)) // no-op
+      assert(admin.listTopics().contains(topic))
+      assert(Commands.infoTopics(admin, Seq(topic)) == Seq((topic, 0L, 0L)))
+
+      // produce a 20-record batch into the source pool
+      val sess = spark
+      import sess.implicits._
+      val data = tmp("smoke-data")
+      (0 until 20).map(i => (i.toLong, s"rec-$i")).toSeq.toDF("id", "s")
+        .coalesce(1).write.mode("overwrite").parquet(s"$data/batch.parquet")
+      val inPool = Pool.create(spark, tmp("smoke-in"))
+      assert(Commands.produce(spark, inPool, s"$data/batch.parquet", topic) == 20L)
+
+      // pool → broker from offset 0 (to-kafka), HWM advances to 20
+      val sink = new KafkaTopicSink(bs)
+      assert(Commands.toKafka(inPool, topic, 0L, jsonEncode, sink.write) == 20L)
+      assert(Commands.infoTopics(admin, Seq(topic)) == Seq((topic, 0L, 20L)))
+
+      // broker → fresh pool (from-kafka)
+      val valueType = StructType.fromDDL("id long, s string")
+      val outPool = Pool.create(spark, tmp("smoke-out"))
+      val source = new KafkaTopicSource(bs)
+      val q1 = StreamSync.fromTopics(spark, source, Seq(topic), outPool,
+        jsonDecode(valueType), None, tmp("smoke-ckpt1"), "1 second")
+      try assert(awaitCount(outPool, 20L) == 20L)
+      finally q1.stop()
+      assert(Commands.consume(outPool).map(parseValue) ==
+        Commands.consume(inPool).map(parseValue))
+
+      // 5 more records; to-kafka resumes at the broker HWM (no re-produce)
+      (100 until 105).map(i => (i.toLong, s"rec-$i")).toSeq.toDF("id", "s")
+        .coalesce(1).write.mode("overwrite").parquet(s"$data/more.parquet")
+      assert(Commands.produce(spark, inPool, s"$data/more.parquet", topic) == 5L)
+      val (_, hwm) = admin.watermarks(topic)
+      assert(Commands.toKafka(inPool, topic, hwm, jsonEncode, sink.write) == 5L)
+
+      // from-kafka with the SAME pool but a FRESH checkpoint: resumes at the
+      // pool's own high-water mark — 25 distinct offsets, no duplicates
+      val q2 = StreamSync.fromTopics(spark, source, Seq(topic), outPool,
+        jsonDecode(valueType), None, tmp("smoke-ckpt2"), "1 second")
+      try assert(awaitCount(outPool, 25L) == 25L)
+      finally q2.stop()
+      assert(outPool.read().select(col("kafka.offset")).distinct().count() == 25L)
+    } finally admin.close()
+  }
+
+  /** Order-insensitive value projection: (topic, value-json). */
+  private def parseValue(line: String): String = line.replaceAll("\"offset\":\\d+,", "")
+}
