@@ -15,14 +15,23 @@ import graft.pool.Pool
 object Commands {
 
   /** `consume`: read a pool (optionally from an offset) and print/return as
-    * JSON lines (cmd/zync/consume/command.go:71-107).
+    * JSON lines or ZSON lines (`-f`; the reference writes any Zed output
+    * format, cmd/zync/consume/command.go:71-107 — JSON stays our default
+    * since it is the interchange format everywhere else in this port).
     */
-  def consume(pool: Pool, topic: Option[String] = None, fromOffset: Long = 0L): Seq[String] = {
+  def consume(pool: Pool, topic: Option[String] = None, fromOffset: Long = 0L,
+      format: String = "json"): Seq[String] = {
     val base = pool.read()
     val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
-    scoped.filter(col("kafka.offset") >= fromOffset)
+    val jsonLines = scoped.filter(col("kafka.offset") >= fromOffset)
       .orderBy(col("kafka.topic"), col("kafka.offset"))
       .toJSON.collect().toSeq
+    format match {
+      case "json" => jsonLines
+      case "zson" => jsonLines.map(Zson.fromJsonLine)
+      case other  => throw new IllegalArgumentException(
+        s"unknown consume format '$other' (expected json or zson)")
+    }
   }
 
   /** `produce`: load a file of records into a pool as enveloped values
@@ -36,7 +45,7 @@ object Commands {
     * through one task.
     */
   def produce(spark: SparkSession, pool: Pool, path: String, topic: String): Long = {
-    // json/jsonl/csv/zson/parquet (the reference reads any Zed format here,
+    // json/jsonl/csv/zson/zng/parquet (the reference reads any Zed format here,
     // produce/command.go:72-81). ZSON goes through the Zson-lite transpiler
     // on the driver — load files are batch-sized, and the reference's
     // produce reads the whole file too (command.go:72-76).
@@ -44,6 +53,14 @@ object Commands {
       if (path.endsWith(".json") || path.endsWith(".jsonl")) spark.read.json(path)
       else if (path.endsWith(".csv"))
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      else if (path.endsWith(".zng")) {
+        // binary Zed: decode to the same JSON lines the ZSON branch yields,
+        // so a .zng fixture and its .zson twin load identical pool contents
+        val lines = spark.sparkContext.binaryFiles(path).collect()
+          .sortBy(_._1).toSeq.flatMap { case (_, pds) => Zng.readJsonLines(pds.toArray()) }
+        import spark.implicits._
+        spark.read.json(spark.createDataset(lines))
+      }
       else if (path.endsWith(".zson")) {
         // wholeTextFiles resolves Hadoop filesystems and globs like the
         // spark.read branches (records span lines, so per-file content is
@@ -149,10 +166,16 @@ object Commands {
     */
   def main(args: Array[String]): Unit = args.toList match {
     case "consume" :: path :: rest =>
-      // [topic] [fromOffset] — the reference's -offset flag (consume/command.go:57)
+      // [-f json|zson] [topic] [fromOffset] — the reference's -f/-offset
+      // flags (consume/command.go:57-107)
       val spark = GraftSession.get()
-      val fromOffset = rest.lift(1).map(_.toLong).getOrElse(0L)
-      consume(Pool.open(spark, path), rest.headOption, fromOffset).foreach(println)
+      val (format, positional) = rest match {
+        case "-f" :: f :: tail => (f, tail)
+        case _                 => ("json", rest)
+      }
+      val fromOffset = positional.lift(1).map(_.toLong).getOrElse(0L)
+      consume(Pool.open(spark, path), positional.headOption, fromOffset, format)
+        .foreach(println)
     case "info" :: path :: Nil =>
       val spark = GraftSession.get()
       info(Pool.open(spark, path)).show(truncate = false)
@@ -201,7 +224,7 @@ object Commands {
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: consume <pool> [topic] | info <pool> |
+           |usage: consume <pool> [-f json|zson] [topic] [offset] | info <pool> |
            |       produce <pool> <file> <topic> | etl <yaml> <poolRoot> |
            |       ls [registryUrl] | from-kafka <pool> <checkpoint> <topics> <schemaId> |
            |       to-kafka <pool> <topic> | version""".stripMargin)

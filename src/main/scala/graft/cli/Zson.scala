@@ -17,6 +17,52 @@ package graft.cli
   */
 object Zson {
 
+  /** ZSON serializer — the inverse of [[toJsonLines]] on its subset, used by
+    * `consume -f zson` (the reference writes any Zed output format,
+    * cmd/zync/consume/command.go:71-107; ZSON is its terminal default).
+    * Field names are emitted unquoted when identifier-safe, strings quoted,
+    * numbers/booleans/null bare, and a record's string `_type` field (at any
+    * depth) becomes a trailing `(=name)` type decorator, exactly undoing the
+    * parser's decorator injection.
+    */
+  def fromJsonLine(json: String): String = renderZson(mapper.readTree(json))
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  private val BareName = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private def renderZson(n: com.fasterxml.jackson.databind.JsonNode): String = {
+    if (n.isNull) "null"
+    else if (n.isTextual) quoteJson(n.asText)
+    else if (n.isNumber || n.isBoolean) n.asText
+    else if (n.isArray)
+      (0 until n.size).map(i => renderZson(n.get(i))).mkString("[", ",", "]")
+    else if (n.isObject) {
+      val names = {
+        val it = n.fieldNames()
+        val buf = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      }
+      val decorator = names.collectFirst {
+        case "_type" if n.get("_type").isTextual => n.get("_type").asText
+      }
+      val body = names.filterNot(name => decorator.isDefined && name == "_type")
+        .map { name =>
+          val key = name match {
+            case BareName() => name
+            case other      => quoteJson(other)
+          }
+          s"$key:${renderZson(n.get(name))}"
+        }
+        .mkString("{", ",", "}")
+      decorator.fold(body)(d => s"$body(=$d)")
+    } else
+      throw new IllegalArgumentException(s"cannot render ${n.getNodeType} as ZSON")
+  }
+
+  private def quoteJson(v: String): String = graft.codec.MiniJson.quote(v)
+
   def toJsonLines(text: String): Seq[String] = {
     val p = new Parser(text)
     val out = scala.collection.mutable.ArrayBuffer[String]()

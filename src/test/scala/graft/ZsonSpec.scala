@@ -102,4 +102,40 @@ class ZsonSpec extends AnyFunSuite {
     // the decorator of the cursor record landed as the _type discriminator
     assert(rows.filter(col("value._type") === "cursor").count() == 1)
   }
+
+  test("fromJsonLine serializes the parser's subset back to ZSON") {
+    // serialize → parse is the identity on compact JSON
+    val jsons = Seq(
+      """{"kafka":{"topic":"Invoices","offset":1},"value":{"op":"r","n":-2,"f":2.5}}""",
+      """{"_type":"cursor","seqno":2}""",
+      """{"xs":[1,2],"s":"q\"uote","flag":true,"nil":null,"weird field":1}""")
+    for (j <- jsons) {
+      val zson = Zson.fromJsonLine(j)
+      assert(Zson.toJsonLines(zson) == Seq(j), s"round trip of $j via $zson")
+    }
+    // golden forms: unquoted identifier names, (=name) decorator restored
+    assert(Zson.fromJsonLine("""{"_type":"cursor","seqno":2}""") == "{seqno:2}(=cursor)")
+    assert(Zson.fromJsonLine("""{"a":{"_type":"t","b":"x"}}""") == """{a:{b:"x"}(=t)}""")
+    assert(Zson.fromJsonLine("""{"weird field":1}""") == """{"weird field":1}""")
+  }
+
+  test("consume -f emits JSON or ZSON lines over the same pool") {
+    val dir = Files.createTempDirectory("zson-consume")
+    val f = dir.resolve("batch.zson")
+    Files.write(f, fixture.getBytes("UTF-8"))
+    val pool = Pool.create(spark, dir.resolve("pool").toString)
+    Commands.produce(spark, pool, f.toString, "T")
+
+    val json = Commands.consume(pool, format = "json")
+    val zson = Commands.consume(pool, format = "zson")
+    assert(json.size == 3 && zson.size == 3)
+    // same records, each line re-parses to its JSON twin
+    assert(zson.flatMap(z => Zson.toJsonLines(z)) == json)
+    // golden: first record (offset 0; null key omitted by toJSON) in both syntaxes
+    assert(json.head ==
+      """{"kafka":{"topic":"T","partition":0,"offset":0},"value":{"kafka":{"offset":1,"topic":"Invoices"},"value":{"after":{"ID":100,"customer":"Alice"},"op":"r"}},"_kind":"record"}""")
+    assert(zson.head ==
+      """{kafka:{topic:"T",partition:0,offset:0},value:{kafka:{offset:1,topic:"Invoices"},value:{after:{ID:100,customer:"Alice"},op:"r"}},_kind:"record"}""")
+    intercept[IllegalArgumentException](Commands.consume(pool, format = "tsv"))
+  }
 }
