@@ -89,17 +89,32 @@ object Bench {
       // Locale.ROOT: the f"" interpolator uses the default JVM locale, which
       // can render decimal commas and break the driver's JSON parse.
       def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      def num2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       val qs = results.map { case (k, med, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
       val qmins = results.map { case (k, _, min) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val totalMin = results.map(_._3).sum
-      // The stdout machine line carries MEDIANS ONLY: the driver keeps a
-      // bounded tail of the run's output, and round 4's line (medians + mins)
-      // outgrew it — the driver recorded parsed:null and lost the numbers.
-      // Mins/spread go to a sidecar file instead of the contract line.
+      // The stdout machine line must fit ENTIRELY inside the driver's
+      // 2000-char output tail or it records parsed:null (round 4's lesson;
+      // at 83 queries even a medians-only map at 3 decimals is ~2.1k chars).
+      // Budget the line to 1800 chars — 2-decimal per-query medians, error
+      // strings clipped, and if needed the FASTEST queries pruned from the
+      // map (slow ones are the signal) with a "q_omitted" count. The sidecar
+      // always carries everything at full precision.
       // "adaptive": high-spread queries get 2 extra runs beyond the base N.
-      val line = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      val lineBudget = 1800
+      val esShort = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
+      val bySlowest = results.sortBy { case (_, med, _) => -med }
+      def lineFor(keep: Int): String = {
+        val kept = bySlowest.take(keep).sortBy(_._1)
+        val q = kept.map { case (k, med, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
+        val omitted = if (keep < results.size) s""","q_omitted":${results.size - keep}""" else ""
+        s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$q,"errors":$esShort$omitted,"sf":${jstr(sfDir)}}"""
+      }
+      val line = (results.size to 1 by -1).iterator.map(lineFor)
+        .find(_.length <= lineBudget)
+        .getOrElse(lineFor(0))
       val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -21,17 +21,15 @@ object Commands {
     */
   def consume(pool: Pool, topic: Option[String] = None, fromOffset: Long = 0L,
       format: String = "json"): Seq[String] = {
+    if (format != "json" && format != "zson")
+      throw new IllegalArgumentException(
+        s"unknown consume format '$format' (expected json or zson)") // before the pool scan
     val base = pool.read()
     val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
     val jsonLines = scoped.filter(col("kafka.offset") >= fromOffset)
       .orderBy(col("kafka.topic"), col("kafka.offset"))
       .toJSON.collect().toSeq
-    format match {
-      case "json" => jsonLines
-      case "zson" => jsonLines.map(Zson.fromJsonLine)
-      case other  => throw new IllegalArgumentException(
-        s"unknown consume format '$other' (expected json or zson)")
-    }
+    if (format == "zson") jsonLines.map(Zson.fromJsonLine) else jsonLines
   }
 
   /** `produce`: load a file of records into a pool as enveloped values

@@ -137,7 +137,11 @@ object Zng {
     dst
   }
 
-  /** LEB128 unsigned varint; bounds-checked against `limit`. */
+  /** LEB128 unsigned varint; bounds-checked against `limit`. Capped at 63
+    * bits so no length/tag/id ever decodes negative — sign-blind guards
+    * downstream would otherwise turn a crafted 10-byte varint into a
+    * NegativeArraySizeException instead of a clear error.
+    */
   private def uvarint(b: Array[Byte], start: Int, limit: Int): (Long, Int) = {
     var v = 0L; var shift = 0; var p = start
     while (true) {
@@ -146,7 +150,10 @@ object Zng {
       val byte = b(p) & 0xff
       v |= (byte & 0x7fL) << shift
       p += 1
-      if ((byte & 0x80) == 0) return (v, p)
+      if ((byte & 0x80) == 0) {
+        if (v < 0L) fail(start, "uvarint exceeds 63 bits")
+        return (v, p)
+      }
       shift += 7
     }
     sys.error("unreachable")
@@ -261,6 +268,8 @@ object Zng {
       case ZUnion(branches) =>
         val (selTag, selBody) = uvarint(b, bodyStart, end)
         if (selTag == 0L) fail(bodyStart, "union selector is null")
+        if (selBody + (selTag - 1) > end)
+          fail(bodyStart, s"union selector of ${selTag - 1} bytes overruns its container")
         val sel = decodeSignedInt(b, selBody, selBody + selTag.toInt - 1)
         val branch = branches.lift(sel.toInt)
           .getOrElse(fail(bodyStart, s"union selector $sel out of range (${branches.size} branches)"))
@@ -374,8 +383,10 @@ object Zng {
   private def renderDouble(d: Double): String =
     if (java.lang.Double.isFinite(d)) {
       if (d == Math.rint(d) && Math.abs(d) < 1e15) {
-        // keep a fractional marker so the JSON reader infers double, not long
-        s"${d.toLong}.0"
+        // keep a fractional marker so the JSON reader infers double, not
+        // long; d.toLong would drop the sign of -0.0
+        val sign = if (java.lang.Double.doubleToRawLongBits(d) < 0L) "-" else ""
+        s"$sign${Math.abs(d).toLong}.0"
       } else d.toString
     } else "\"" + d.toString + "\""
 
@@ -446,14 +457,14 @@ object Zng {
         ZPrim(IdInt64)
       } else if (n.isNumber) ZPrim(IdFloat64)
       else if (n.isArray) {
-        if (n.size == 0) ZArray(ZPrim(IdNull))
-        else {
-          val elemTypes = (0 until n.size).map(i => infer(n.get(i))).distinct
-          if (elemTypes.size > 1)
-            throw new IllegalArgumentException(
-              s"mixed array element types ${elemTypes.mkString(", ")} need a union; not emitted by this writer")
-          ZArray(elemTypes.head)
-        }
+        // nulls are compatible with any element type (a null encodes as
+        // tag 0 regardless), so [1,null] is array<int64>, not a union
+        val elemTypes = (0 until n.size).map(i => infer(n.get(i)))
+          .distinct.filterNot(_ == ZPrim(IdNull))
+        if (elemTypes.size > 1)
+          throw new IllegalArgumentException(
+            s"mixed array element types ${elemTypes.mkString(", ")} need a union; not emitted by this writer")
+        ZArray(elemTypes.headOption.getOrElse(ZPrim(IdNull)))
       } else if (n.isObject) {
         val names = iterFields(n)
         names.find { case (k, v) => k == "_type" && v.isTextual } match {
@@ -465,7 +476,9 @@ object Zng {
         }
       } else throw new IllegalArgumentException(s"unsupported JSON node ${n.getNodeType}")
 
-    def encode(out: ByteArrayOutputStream, n: JsonNode, t: ZType): Unit = t match {
+    def encode(out: ByteArrayOutputStream, n: JsonNode, t: ZType): Unit = if (n.isNull) {
+      writeUvarint(out, 0L) // null encodes as tag 0 under ANY type
+    } else t match {
       case ZPrim(IdNull) => writeUvarint(out, 0L)
       case ZPrim(IdString) =>
         val b = n.asText.getBytes(UTF_8); writeTag(out, b.length); out.write(b)
@@ -480,21 +493,15 @@ object Zng {
         var i = 0
         while (i < 8) { out.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
       case ZArray(elem) =>
-        if (n.isNull) writeUvarint(out, 0L)
-        else {
-          val body = new ByteArrayOutputStream()
-          (0 until n.size).foreach(i => encode(body, n.get(i), elem))
-          writeTag(out, body.size); body.writeTo(out)
-        }
+        val body = new ByteArrayOutputStream()
+        (0 until n.size).foreach(i => encode(body, n.get(i), elem))
+        writeTag(out, body.size); body.writeTo(out)
       case ZRecord(fields) =>
-        if (n.isNull) writeUvarint(out, 0L)
-        else {
-          val body = new ByteArrayOutputStream()
-          fields.foreach { case (name, ft) =>
-            encode(body, Option(n.get(name)).getOrElse(com.fasterxml.jackson.databind.node.NullNode.getInstance), ft)
-          }
-          writeTag(out, body.size); body.writeTo(out)
+        val body = new ByteArrayOutputStream()
+        fields.foreach { case (name, ft) =>
+          encode(body, Option(n.get(name)).getOrElse(com.fasterxml.jackson.databind.node.NullNode.getInstance), ft)
         }
+        writeTag(out, body.size); body.writeTo(out)
       case ZNamed(_, inner) => encode(out, n, inner)
       case other => sys.error(s"writer does not encode $other")
     }

@@ -192,10 +192,12 @@ object Similarity {
     * what lets the driver hash-compare Lloyd rounds against DuckDB.
     * `roundDigits >= 0` additionally rounds each round's means to that many
     * digits before the next assignment — the cross-engine reproducibility
-    * mode: it pins the centroids every engine iterates FROM to bit-identical
-    * values, so a multi-round run can be replayed exactly anywhere (the
-    * mean's final double rounding is the one step engines may disagree on by
-    * one ulp).
+    * mode: the mean's final double rounding is the one step engines may
+    * disagree on by one ulp, and snapping to a coarser grid makes the
+    * centroids agree unless a mean lands within an ulp of a half-way point
+    * at that digit (engines break HALF_UP ties on different
+    * representations; ~1e-16 probability per mean, absent on the test
+    * data, diagnosable as a single-round centroid diff if ever hit).
     */
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, seedByHash: Boolean = false,

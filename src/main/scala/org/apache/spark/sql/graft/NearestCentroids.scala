@@ -109,9 +109,12 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
     * keyed to first use). Each row cheaply re-verifies the centroid IDS plus
     * a per-centroid vector fingerprint (length + first element) against the
     * cache (O(k) reads vs k×dims of dot-product work) and re-decodes on any
-    * mismatch, so a per-row-varying centroid column — outside this
-    * expression's intended construction — degrades to decode-per-row rather
-    * than silently reusing stale planes. A plane with a
+    * mismatch. The fingerprint is deliberately partial: a per-row-varying
+    * centroid column — outside this expression's intended construction —
+    * is caught when ids, lengths, or first elements change, but vectors
+    * that differ ONLY beyond element 0 under identical ids would still
+    * reuse the cache; `ivfAssignN`'s query-constant build side cannot
+    * produce that shape. A plane with a
     * null/absent vector decodes to null (its cosine is always null). Norm
     * sums accumulate left-to-right, so the final cosines are bit-identical
     * to the single-loop CosineSimilarity contract.
@@ -119,9 +122,9 @@ case class NearestCentroids(left: Expression, right: Expression, nprobe: Int)
   @transient private var cacheIds: Array[Any] = _
   @transient private var cachePlanes: Array[Array[Double]] = _
   @transient private var cacheNormSums: Array[Double] = _
-  // per-centroid vector fingerprint (length + first-element bits), so
-  // same-ids-different-vectors misuse re-decodes instead of silently
-  // reusing stale planes; -1/NaN encodes a null cv
+  // per-centroid vector fingerprint (length + first-element bits): catches
+  // same-ids-different-vectors misuse unless vectors differ only beyond
+  // element 0; -1/NaN encodes a null cv
   @transient private var cacheVecLen: Array[Int] = _
   @transient private var cacheVec0: Array[Long] = _
 
