@@ -68,6 +68,20 @@ object Bench {
       def medianOf(ts: Seq[Double]): Double =
         if (ts.length % 2 == 1) ts(ts.length / 2)
         else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2
+      // Between queries, drop state the finished query leaked into the
+      // shared JVM: cached plans (Etl.run caches its batch), persisted RDDs
+      // (localCheckpoint keeps its blocks alive until the RDD is GC'd), and
+      // accumulated broadcast blocks. Without this, block-manager occupancy
+      // grows monotonically across the 80-query suite and later queries
+      // measure the GC pressure of earlier ones (r5: text_vocab 0.2s
+      // isolated, 3.5s in-suite).
+      def reclaim(): Unit = {
+        try spark.sharedState.cacheManager.clearCache()
+        catch { case _: Throwable => () }
+        try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        catch { case _: Throwable => () }
+        System.gc() // lets ContextCleaner collect unreferenced broadcasts/RDDs
+      }
       val results = selected.map { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -83,6 +97,7 @@ object Bench {
         // without taxing the stable 95% of the suite.
         if (runs > 1 && times.last - times.head > 0.5 * medianOf(times))
           times = (times ++ (1 to 2).map(_ => once())).sorted
+        reclaim()
         (name, medianOf(times), times.head)
       }
 

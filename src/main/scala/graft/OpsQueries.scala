@@ -15,6 +15,12 @@ object OpsQueries {
 
   // --- shared corpora (Spark side) -----------------------------------------
 
+  // Both corpora are spread round-robin across the cluster before the
+  // CPU-heavy operators (shingle explode, signature hashing): the small test
+  // parquet is a single split, which would otherwise serialize the map side
+  // onto 1-3 cores — unrepresentative of production, where the input arrives
+  // in thousands of splits. The repartition shuffles only the (tiny) doc
+  // rows and is what a real pipeline does when its source is under-split.
   private def textCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
     docs
@@ -23,6 +29,7 @@ object OpsQueries {
           concat(col("text"), lit(" extra words appended")).as("text")))
       .unionByName(docs.filter(col("id") % 7 === 0)
         .select((col("id") + 200000).as("id"), col("text")))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   private def embBase(s: SparkSession, d: String): DataFrame =
@@ -34,6 +41,7 @@ object OpsQueries {
     base.unionByName(base.filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("label"),
         transform(col("v"), x => x * 1.01).as("v")))
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   // --- shared corpora (oracle side) ----------------------------------------

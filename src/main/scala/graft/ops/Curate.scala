@@ -116,20 +116,26 @@ object Curate {
     *
     * Output: (id, n_overlap) for contaminated documents only.
     *
-    * Scale shape: the corpus side is a map-only shingle explode + one
-    * partial-aggregated groupBy; the eval side (benchmarks — thousands of
-    * documents, not billions) collapses to a distinct-shingle set that AQE
-    * broadcasts, so the join adds no corpus shuffle beyond the count
-    * aggregation. Same tokenization as the dedup family
-    * ([[Dedup.shingles]]), so one shingle pass can feed both at scale.
+    * Scale shape: the corpus side is a map-only shingle explode; the eval
+    * side (benchmarks — thousands of documents, not billions) collapses to a
+    * distinct-shingle set that AQE broadcasts. Crucially the broadcast join
+    * runs BEFORE any corpus-side dedup: it discards every non-overlapping
+    * shingle map-side, so the only corpus shuffle is the count-distinct
+    * aggregation over the (tiny) overlap stream — deduping the corpus's
+    * full shingle stream first, as the naive formulation does, would
+    * shuffle the whole corpus to drop 99.9% of it right after. Same
+    * tokenization as the dedup family ([[Dedup.rawShingles]]).
     */
   def contamination(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int, minOverlap: Int = 1): DataFrame = {
-    val c = Dedup.shingles(corpus, idCol, textCol, n)
-    val e = Dedup.shingles(evalSet, idCol, textCol, n).select(col("sh")).distinct()
+    val c = Dedup.rawShingles(corpus, idCol, textCol, n)
+    val e = Dedup.rawShingles(evalSet, idCol, textCol, n).select(col("sh")).distinct()
     c.join(e, Seq("sh"))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_overlap")) // (id, sh) distinct → count = distinct overlap
+      // countDistinct, not count: c is the raw (duplicate-bearing) shingle
+      // stream; a doc repeating one contaminated shingle k times still
+      // overlaps the eval set in exactly one distinct shingle
+      .agg(countDistinct(col("sh")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
 }

@@ -30,13 +30,24 @@ object Dedup {
       .filter(col("cnt") > 1)
 
   /** Distinct word n-gram shingles: (id, sh). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    rawShingles(df, idCol, textCol, n).distinct()
+
+  /** As [[shingles]] but WITHOUT the distinct — no shuffle, map-only.
+    * Correct whenever the consumer is insensitive to within-doc duplicate
+    * shingles (e.g. a `min`-based minhash: min over duplicates == min over
+    * distinct), or dedups later on a much smaller row set. The distinct in
+    * [[shingles]] is a full shuffle of the corpus's shingle stream — the
+    * single most expensive step of the text-dedup family at scale — so
+    * every consumer that can skip it should.
+    */
+  def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val w = split(col(textCol), " ")
     val grams = when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), explode(grams).as("sh")).distinct()
+    df.select(col(idCol).as("id"), explode(grams).as("sh"))
   }
 
   /** MinHash signatures over md5-string permutations: (id, p, mv).
@@ -49,6 +60,16 @@ object Dedup {
       .groupBy("id", "p")
       .agg(min(md5(concat(col("p"), lit("|"), col("sh")))).as("mv"))
 
+  /** 64-bit shingle key for join/count purposes: xxhash64 of the shingle
+    * string. Shuffling 8-byte longs instead of ~n·word-length strings
+    * roughly halves-to-quarters the exchange volume of the inverted-index
+    * family. Collision odds over S distinct shingles are ≈ S²/2⁶⁵
+    * (~3e-8 at a billion shingles) — negligible against a 64-bit space,
+    * and a collision only merges two shingles' postings (slight overcount),
+    * it cannot drop a true pair.
+    */
+  private def shKey(c: Column): Column = xxhash64(c)
+
   /** LSH banding: signature rows grouped into `bands` bands, each hashed to
     * a band key; docs sharing any (band, key) bucket are candidate pairs.
     *
@@ -60,7 +81,11 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numPerms / bands
-    val sh = shingles(df, idCol, textCol, n)
+    // rawShingles, not shingles: min() is insensitive to duplicate shingles,
+    // so the usual distinct-shuffle is skipped — the whole signature phase
+    // collapses to this one partial-aggregating groupBy (shuffle volume =
+    // ids × numPerms mins, not the corpus's shingle stream).
+    val sh = rawShingles(df, idCol, textCol, n)
     val mins = (0 until numPerms).map(p =>
       min(md5(concat(lit(p.toString), lit("|"), col("sh")))).as(s"m$p"))
     val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
@@ -143,7 +168,11 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, maxDf: Int = 100): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // Every step downstream only joins/counts shingles, never reads them
+    // back as text — so hash each to a 64-bit key right after the explode
+    // ([[shKey]]) and dedup (id, long) pairs instead of (id, string).
+    val sh = rawShingles(df, idCol, textCol, n)
+      .select(col("id"), shKey(col("sh")).as("sh")).distinct()
     // doc frequency via partial-aggregating groupBy + semi-join of rare
     // shingles — NOT a window over partitionBy(sh), which would route every
     // occurrence of a hot shingle to one partition (the exact skew maxDf
