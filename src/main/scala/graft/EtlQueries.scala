@@ -52,7 +52,10 @@ object EtlQueries {
         after(nullL, nullL, nullD, col("o_orderkey").cast("bigint"), col("o_orderstatus")).as("after")).as("value"),
       lit("record").as("_kind"))
 
-    ord.unionByName(stat)
+    // Spread the synthesized CDC stream across the cluster: orders.parquet
+    // is a single split at test SFs, so without this the envelope build,
+    // its persist, and the pool-append sampling pass all run 2-wide.
+    ord.unionByName(stat).repartition(s.sparkContext.defaultParallelism)
   }
 
   private[graft] val transform = Transform(
