@@ -18,12 +18,13 @@ object Commands {
     * JSON lines or ZSON lines (`-f`; the reference writes any Zed output
     * format, cmd/zync/consume/command.go:71-107 — JSON stays our default
     * since it is the interchange format everywhere else in this port).
+    * For the binary ZNG format use [[consumeZng]].
     */
   def consume(pool: Pool, topic: Option[String] = None, fromOffset: Long = 0L,
       format: String = "json"): Seq[String] = {
     if (format != "json" && format != "zson")
       throw new IllegalArgumentException(
-        s"unknown consume format '$format' (expected json or zson)") // before the pool scan
+        s"unknown consume format '$format' (expected json, zson or zng)") // before the pool scan
     val base = pool.read()
     val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
     val jsonLines = scoped.filter(col("kafka.offset") >= fromOffset)
@@ -31,6 +32,16 @@ object Commands {
       .toJSON.collect().toSeq
     if (format == "zson") jsonLines.map(Zson.fromJsonLine) else jsonLines
   }
+
+  /** `consume -f zng`: the same record stream as [[consume]], serialized as
+    * one binary ZNG stream (consume/command.go:71-107 writes any Zed format;
+    * this closes the binary loop with `produce`'s `.zng` reader — a pool
+    * consumed as ZNG re-produces identical pool contents). Values-frame
+    * compression on by default, as zed's own writer does.
+    */
+  def consumeZng(pool: Pool, topic: Option[String] = None,
+      fromOffset: Long = 0L, compress: Boolean = true): Array[Byte] =
+    Zng.write(consume(pool, topic, fromOffset), compress)
 
   /** `produce`: load a file of records into a pool as enveloped values
     * (cmd/zync/produce/command.go:72-81).
@@ -164,7 +175,7 @@ object Commands {
     */
   def main(args: Array[String]): Unit = args.toList match {
     case "consume" :: path :: rest =>
-      // [-f json|zson] [topic] [fromOffset] — the reference's -f/-offset
+      // [-f json|zson|zng] [topic] [fromOffset] — the reference's -f/-offset
       // flags (consume/command.go:57-107)
       val spark = GraftSession.get()
       val (format, positional) = rest match {
@@ -172,8 +183,14 @@ object Commands {
         case _                 => ("json", rest)
       }
       val fromOffset = positional.lift(1).map(_.toLong).getOrElse(0L)
-      consume(Pool.open(spark, path), positional.headOption, fromOffset, format)
-        .foreach(println)
+      if (format == "zng") {
+        // binary stream → raw stdout, like `zed -f zng` to a pipe
+        System.out.write(consumeZng(Pool.open(spark, path),
+          positional.headOption, fromOffset))
+        System.out.flush()
+      } else
+        consume(Pool.open(spark, path), positional.headOption, fromOffset, format)
+          .foreach(println)
     case "info" :: path :: Nil =>
       val spark = GraftSession.get()
       info(Pool.open(spark, path)).show(truncate = false)
@@ -222,7 +239,7 @@ object Commands {
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: consume <pool> [-f json|zson] [topic] [offset] | info <pool> |
+           |usage: consume <pool> [-f json|zson|zng] [topic] [offset] | info <pool> |
            |       produce <pool> <file> <topic> | etl <yaml> <poolRoot> |
            |       ls [registryUrl] | from-kafka <pool> <checkpoint> <topics> <schemaId> |
            |       to-kafka <pool> <topic> | version""".stripMargin)
