@@ -54,5 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.TopKByScore].getName, "top_k_by_score"),
       (children: Seq[Expression]) =>
         new org.apache.spark.sql.graft.TopKByScore(children(0), children(1), children(2))))
+    ext.injectFunction((
+      FunctionIdentifier("nearest_centroids"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.NearestCentroids].getName,
+        "nearest_centroids"),
+      (children: Seq[Expression]) => {
+        // third arg is the nprobe knob — a plan-time constant by contract
+        // (it shapes the output arity), like top_k_by_score's k
+        val nprobe = children(2) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"nearest_centroids: nprobe must be a literal, got $other")
+        }
+        org.apache.spark.sql.graft.NearestCentroids(children(0), children(1), nprobe)
+      }))
   }
 }

@@ -166,5 +166,15 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT top_k_by_score(s, id, 2) AS top FROM VALUES (1.0d, 10L), (3.0d, 30L), (2.0d, 20L) AS v(s, id)")
       .selectExpr("transform(top, x -> x.payload) AS ids").collect()(0)
     assert(t.getSeq[Long](0) == Seq(30L, 20L))
+    // nearest_centroids: nprobe literal, centroid array<struct<cid,cv>>
+    val n = spark.sql(
+      """SELECT nearest_centroids(array(1.0d, 0.0d),
+        |  array(named_struct('cid', 1L, 'cv', array(0.0d, 1.0d)),
+        |        named_struct('cid', 2L, 'cv', array(1.0d, 0.0d))), 1) AS cells""".stripMargin)
+      .selectExpr("transform(cells, x -> x.cid) AS cids").collect()(0)
+    assert(n.getSeq[Long](0) == Seq(2L))
+    val err = intercept[Exception](spark.sql(
+      "SELECT nearest_centroids(array(1.0d), array(named_struct('cid', 1L, 'cv', array(1.0d))), id) FROM range(1)"))
+    assert(err.getMessage.contains("literal"))
   }
 }

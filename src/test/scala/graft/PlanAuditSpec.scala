@@ -70,6 +70,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected runtime exchange reuse in:\n$finalPlan")
   }
 
+  test("minhash signature phase shuffles once, keyed on id only (no shingle distinct)") {
+    val df = Dedup.lshCandidatePairs(corpus, "id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // min() is duplicate-insensitive, so the shingle stream must flow
+    // straight into the partial-aggregating groupBy(id): any exchange whose
+    // key list includes the shingle column means a distinct crept back in
+    // and the corpus's full shingle stream is being shuffled again
+    val shKeyed = "Exchange hashpartitioning\\([^)]*sh#".r.findAllIn(plan).length
+    assert(shKeyed == 0, s"expected no shingle-keyed exchange in:\n$plan")
+    // remaining exchanges: the id-keyed signature groupBy and the (d1, d2)
+    // candidate-pair distinct — both tiny relative to the shingle stream
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected only signature + pair-distinct exchanges, got $exchanges:\n$plan")
+  }
+
+  test("contamination corpus side reaches the broadcast eval join unshuffled") {
+    import graft.ops.Curate
+    val evalSet = corpus.filter(col("id") % 7 === 0)
+    val df = Curate.contamination(corpus, evalSet, "id", "text", n = 3, minOverlap = 1)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the eval set broadcast in:\n$plan")
+    // allowed exchanges: eval-side shingle distinct (under the broadcast),
+    // the post-join (id, sh) distinct over overlap rows only, and the final
+    // groupBy(id) — a 4th means the corpus shingle stream is being deduped
+    // BEFORE the join again (the shape this operator exists to avoid)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <= 3 exchanges, got $exchanges:\n$plan")
+  }
+
   test("sequential offset assignment stays in the DataFrame plan (no RDD hop)") {
     val df = spark.range(0, 1000).toDF("id")
       .repartitionByRange(8, col("id")).sortWithinPartitions("id").persist()
