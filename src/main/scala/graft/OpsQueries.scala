@@ -153,6 +153,25 @@ object OpsQueries {
           |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id""".stripMargin),
       headline = true),
 
+    // LSH candidates verified by signature-estimated Jaccard (fraction of
+    // agreeing minhash slots) — near-dup end-to-end without re-reading the
+    // texts; estimates are multiples of 1/16, exact doubles on any engine
+    "dedup_minhash_est" -> Q(
+      (s, d) => Dedup.minhashEstimatePairs(textCorpus(s, d), "id", "text",
+        n = 3, numPerms = 16, bands = 4, threshold = 0.5),
+      Some(textCorpusSql + "," + shinglesSql +
+        """, perms AS (SELECT id, sh, unnest(range(16)) AS p FROM sh0),
+          |mh AS (SELECT id, p, min(md5(concat(p, '|', sh))) AS mv FROM perms GROUP BY 1, 2),
+          |bands AS (SELECT id, p // 4 AS band, md5(string_agg(mv, ',' ORDER BY p)) AS bk
+          |          FROM mh GROUP BY 1, 2),
+          |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2
+          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id)
+          |SELECT d1, d2, est FROM (
+          |  SELECT c.d1, c.d2, sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) / 16.0 AS est
+          |  FROM cand c JOIN mh a ON a.id = c.d1 JOIN mh b ON b.id = c.d2 AND b.p = a.p
+          |  GROUP BY 1, 2)
+          |WHERE est >= 0.5""".stripMargin)),
+
     "dedup_simhash" -> Q(
       (s, d) => Dedup.simhash(
         Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text")),

@@ -78,27 +78,77 @@ object Dedup {
     * — no permutation explode, so the shuffled row count is the shingle
     * count, not shingles × perms. Results are identical to the narrow form.
     */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numPerms: Int = 16, bands: Int = 4): DataFrame = {
-    val rows = numPerms / bands
-    // rawShingles, not shingles: min() is insensitive to duplicate shingles,
-    // so the usual distinct-shuffle is skipped — the whole signature phase
-    // collapses to this one partial-aggregating groupBy (shuffle volume =
-    // ids × numPerms mins, not the corpus's shingle stream).
+  /** Wide-form minhash signature frame: (id, m0..m{numPerms-1}).
+    * Built from the RAW shingle stream — min() is insensitive to duplicate
+    * shingles, so the usual distinct-shuffle is skipped and the whole
+    * signature phase collapses to one partial-aggregating groupBy (shuffle
+    * volume = ids × numPerms mins, not the corpus's shingle stream).
+    */
+  def minhashSignatureFrame(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerms: Int): DataFrame = {
     val sh = rawShingles(df, idCol, textCol, n)
     val mins = (0 until numPerms).map(p =>
       min(md5(concat(lit(p.toString), lit("|"), col("sh")))).as(s"m$p"))
-    val sig = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded bucket keys of a signature frame: (id, band, bk). */
+  private def bandKeys(sig: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+    val rows = numPerms / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (b * rows until (b + 1) * rows).map(p => col(s"m$p")): _*)).as("bk"))
     }
-    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("x"))
+    sig.select(col("id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("id"), col("x.band").as("band"), col("x.bk").as("bk"))
+  }
+
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = bandKeys(minhashSignatureFrame(df, idCol, textCol, n, numPerms),
+      numPerms, bands)
     val a = banded.select(col("id").as("d1"), col("band"), col("bk"))
     val b = banded.select(col("id").as("d2"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
+  }
+
+  /** End-to-end minhash near-dup WITHOUT touching the documents again:
+    * LSH candidates are verified by the signature-estimated Jaccard — the
+    * fraction of agreeing minhash slots, an unbiased estimator of the true
+    * Jaccard (Broder's theorem: P[min agrees] = J). Output: (d1, d2, est)
+    * for pairs with est >= threshold.
+    *
+    * This is the 100 TB shape for similarity-thresholded near-dup: the
+    * texts are read ONCE (signature pass); candidate verification joins the
+    * candidate pairs (tiny) against the signature frame (one narrow row per
+    * doc) twice, instead of re-joining the inverted shingle index the exact
+    * [[jaccardPairs]] needs. With numPerms=16 the estimate is coarse
+    * (multiples of 1/16 — exactly representable doubles, so results are
+    * hash-stable across engines); production near-dup at ~0.8 thresholds
+    * typically runs 128 perms for a ~±0.035 std error.
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatureFrame(df, idCol, textCol, n, numPerms)
+    val cand = {
+      val banded = bandKeys(sig, numPerms, bands)
+      val a = banded.select(col("id").as("d1"), col("band"), col("bk"))
+      val b = banded.select(col("id").as("d2"), col("band"), col("bk"))
+      a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+    }
+    val s1 = sig.select(col("id").as("d1") +:
+      (0 until numPerms).map(p => col(s"m$p").as(s"a$p")): _*)
+    val s2 = sig.select(col("id").as("d2") +:
+      (0 until numPerms).map(p => col(s"m$p").as(s"b$p")): _*)
+    val agree = (0 until numPerms)
+      .map(p => when(col(s"a$p") === col(s"b$p"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .select(col("d1"), col("d2"), (agree / lit(numPerms.toDouble)).as("est"))
+      .filter(col("est") >= threshold)
   }
 
   /** Deterministic ±1 random-hyperplane matrix for [[embeddingLshPairs]]:

@@ -49,6 +49,18 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(3) == 1.0)
   }
 
+  test("minhash estimate: exact dup scores 1.0, disjoint docs produce no pair") {
+    val df = docs(
+      1L -> "one two three four five six seven eight nine ten eleven twelve",
+      2L -> "one two three four five six seven eight nine ten eleven twelve",
+      3L -> "unrelated garbage text with no overlap at all whatsoever in shingles")
+    val rows = Dedup.minhashEstimatePairs(df, "id", "text").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getLong(1) == 2L)
+    // identical shingle sets agree in every minhash slot
+    assert(rows(0).getDouble(2) == 1.0)
+  }
+
   test("canonical ids collapse dup groups to the minimum, singletons keep their id") {
     val df = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
     val pairs = spark.createDataFrame(
