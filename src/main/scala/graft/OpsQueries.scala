@@ -677,6 +677,26 @@ object OpsQueries {
              |         AS BIGINT) AS pix_hash
              |FROM px GROUP BY doc_id, width, height""".stripMargin)),
 
+    // real audio decode: deterministic 16-bit PCM WAVs generated in-engine
+    // from doc_id (Multimodal.audioFixture), decoded back with JDK
+    // javax.sound.sampled; the oracle recomputes rate/length and the order-
+    // sensitive sample hash from the closed-form sample function — PCM is
+    // lossless, so any decoder defect breaks the hash
+    "mm_audio_decode" -> Q(
+      (s, d) => Multimodal.decodeAudio(
+        Multimodal.audioFixture(Tables.load(s, d, "documents"), "doc_id"), "wav")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("pcm_hash"), col("peak")),
+      Some("""WITH d AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+             |                         64 + doc_id % 50 AS n FROM documents),
+             |s AS (SELECT doc_id, sample_rate, n, unnest(range(n)) AS i FROM d),
+             |v AS (SELECT doc_id, sample_rate, n, i,
+             |             ((doc_id * 7919 + i * 104729) % 65536) - 32768 AS smp FROM s)
+             |SELECT doc_id, sample_rate, 1 AS channels, n AS n_samples,
+             |       CAST(sum((i + 1) * smp) AS BIGINT) AS pcm_hash,
+             |       CAST(max(abs(smp)) AS BIGINT) AS peak
+             |FROM v GROUP BY doc_id, sample_rate, n""".stripMargin)),
+
     // ---------------- curation ----------------
 
     // deterministic 25% sample: md5(doc_id) below the 0.25 hex threshold —

@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship with the JDK — no external
   * media libs needed), producing true dimensions, band counts, and pixel
   * hashes, with a deterministic PNG fixture generator (`imageFixture`) that
-  * makes the whole decode→transform→re-encode path oracle-checkable. The
-  * AUDIO/VIDEO decode step remains stubbed (no codec libs in this
-  * container): `FakeDecoder` produces deterministic features from the raw
-  * bytes, and everything around it — schema, batch shape, partition-parallel
-  * execution, feature-vector output — is real: swap `Decoder` for a JNI/
-  * Pandas-UDF-backed implementation and the pipeline is production-shaped.
+  * makes the whole decode→transform→re-encode path oracle-checkable.
+  * AUDIO decodes for real too: `decodeAudio` runs JDK-only
+  * `javax.sound.sampled` (WAV/AIFF/AU parsers ship with the JDK) over the
+  * `audioFixture` deterministic PCM WAVs. The VIDEO decode step remains
+  * stubbed (no codec libs in this container): `FakeDecoder` produces
+  * deterministic features from the raw bytes, and everything around it —
+  * schema, batch shape, partition-parallel execution, feature-vector
+  * output — is real: swap `Decoder` for a JNI/Pandas-UDF-backed
+  * implementation and the pipeline is production-shaped.
   *
   * Scale notes: payloads stay columnar binary (parquet keeps them out of
   * unrelated scans via column pruning); decode runs once per partition
@@ -223,6 +226,105 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(out, "png", bos)
             Row.fromSeq(row.toSeq :+ bos.toByteArray)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ---------------- real audio path (JDK javax.sound) ----------------
+
+  /** Deterministic mono 16-bit PCM WAV per id — the audio analog of
+    * [[imageFixture]]: sample rate `8000 + (id%3)·4000`, length
+    * `64 + id%50` samples, sample at index `i` =
+    * `((id·7919 + i·104729) mod 65536) − 32768` (spans the full signed
+    * range). PCM WAV is lossless and the container is a fixed RIFF layout,
+    * so a correct decoder recovers exactly these samples — recomputable by
+    * a SQL oracle from `id` alone. Output: (idCol, wav).
+    */
+  def audioFixture(df: DataFrame, idCol: String): DataFrame = {
+    val in = df.select(col(idCol).cast("long").as(idCol))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType), StructField("wav", BinaryType)))
+    in.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(0)
+          val rate = (8000 + math.floorMod(id, 3) * 4000).toInt
+          val n = (64 + math.floorMod(id, 50)).toInt
+          val dataLen = n * 2
+          val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2) // byte rate
+            .putShort(2).putShort(16) // block align, bits
+            .put("data".getBytes("US-ASCII")).putInt(dataLen)
+          var i = 0
+          while (i < n) {
+            bb.putShort((math.floorMod(id * 7919 + i.toLong * 104729, 65536) - 32768).toShort)
+            i += 1
+          }
+          Row(id, bb.array())
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled` — WAV/AIFF/AU parsers
+    * ship with the JDK): payload → true sample rate, channel count, frame
+    * count, an order-sensitive sample hash `Σ (i+1)·s(i)` over channel-0
+    * 16-bit samples, and the peak amplitude. Unreadable or null payloads
+    * yield null features (quarantine, don't fail the batch). Batched
+    * partition pass, same shape as [[decodeImages]].
+    */
+  def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema
+      .add("sample_rate", LongType)
+      .add("channels", IntegerType)
+      .add("n_samples", LongType)
+      .add("pcm_hash", LongType)
+      .add("peak", LongType)
+    df.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { row =>
+          val b = row.getAs[Array[Byte]](idx)
+          val decoded: Option[(Long, Int, Long, Long, Long)] =
+            if (b == null) None
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(b))
+              try {
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16) None
+                else {
+                  val bytes = ais.readAllBytes()
+                  val bb = java.nio.ByteBuffer.wrap(bytes).order(
+                    if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN)
+                  val ch = fmt.getChannels
+                  val nFrames = bytes.length / (2 * ch)
+                  var hash = 0L
+                  var peak = 0L
+                  var i = 0
+                  while (i < nFrames) {
+                    val s = bb.getShort(i * 2 * ch).toLong // channel 0
+                    hash += (i + 1) * s
+                    if (math.abs(s) > peak) peak = math.abs(s)
+                    i += 1
+                  }
+                  Some((fmt.getSampleRate.toLong, ch, nFrames.toLong, hash, peak))
+                }
+              } finally ais.close()
+            } catch { case _: Exception => None }
+          decoded match {
+            case Some((rate, ch, n, hash, peak)) =>
+              Row.fromSeq(row.toSeq ++ Seq[Any](rate, ch, n, hash, peak))
+            case None =>
+              Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null))
           }
         }
       }

@@ -217,6 +217,30 @@ class OpsSpec extends AnyFunSuite {
     assert(jr.isNullAt(0) && jr.isNullAt(1))
   }
 
+  test("javax.sound: WAV fixture decodes to its generating sample function") {
+    val df = docs(3L -> "x", 11L -> "y").select(col("id").as("doc_id"))
+    val dec = Multimodal.decodeAudio(Multimodal.audioFixture(df, "doc_id"), "wav")
+      .select("doc_id", "sample_rate", "channels", "n_samples", "pcm_hash", "peak")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(3L, 11L).foreach { id =>
+      val n = 64 + id % 50
+      val samples = (0L until n).map(i => ((id * 7919 + i * 104729) % 65536) - 32768)
+      val r = dec(id)
+      assert(r.getLong(1) == 8000 + (id % 3) * 4000)
+      assert(r.getInt(2) == 1 && r.getLong(3) == n)
+      assert(r.getLong(4) == samples.zipWithIndex.map { case (s, i) => (i + 1) * s }.sum)
+      assert(r.getLong(5) == samples.map(math.abs).max)
+    }
+    // unreadable bytes → null features, not a batch failure
+    val junk = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, Array[Byte](9, 9, 9))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("wav", org.apache.spark.sql.types.BinaryType))))
+    val jr = Multimodal.decodeAudio(junk, "wav").select("sample_rate", "pcm_hash").collect()(0)
+    assert(jr.isNullAt(0) && jr.isNullAt(1))
+  }
+
   test("frame sampling emits every k-th byte") {
     val df = docs(1L -> "abcdefghij")
     val media = Multimodal.attachPayload(df, "id", "text")
