@@ -697,6 +697,29 @@ object OpsQueries {
              |       CAST(max(abs(smp)) AS BIGINT) AS peak
              |FROM v GROUP BY doc_id, sample_rate, n""".stripMargin)),
 
+    // real audio resample: decode → keep every 2nd sample → re-encode WAV
+    // at rate/2 → decode AGAIN; the oracle mirrors the decimation
+    // arithmetic (out(i) = in(2i)), proving the full audio
+    // decode→transform→encode→decode loop is lossless
+    "mm_audio_resample" -> Q(
+      (s, d) => {
+        val wavs = Multimodal.audioFixture(Tables.load(s, d, "documents"), "doc_id")
+        Multimodal.decodeAudio(
+          Multimodal.resampleAudio(wavs, "wav", factor = 2)
+            .select(col("doc_id"), col("wav_resampled").as("wav")), "wav")
+          .select(col("doc_id"), col("sample_rate"), col("n_samples"), col("pcm_hash"))
+      },
+      Some("""WITH d AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+             |                         64 + doc_id % 50 AS n FROM documents),
+             |d2 AS (SELECT doc_id, rate // 2 AS sample_rate,
+             |                      (n + 1) // 2 AS n2 FROM d),
+             |s AS (SELECT doc_id, sample_rate, n2, unnest(range(n2)) AS i FROM d2),
+             |v AS (SELECT doc_id, sample_rate, n2, i,
+             |             ((doc_id * 7919 + (i * 2) * 104729) % 65536) - 32768 AS smp FROM s)
+             |SELECT doc_id, sample_rate, n2 AS n_samples,
+             |       CAST(sum((i + 1) * smp) AS BIGINT) AS pcm_hash
+             |FROM v GROUP BY doc_id, sample_rate, n2""".stripMargin)),
+
     // ---------------- curation ----------------
 
     // deterministic 25% sample: md5(doc_id) below the 0.25 hex threshold —

@@ -331,6 +331,63 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL audio resample (decimation): decode (`javax.sound.sampled`),
+    * keep every `factor`-th channel-0 sample (`out(i) = in(i·factor)` —
+    * integer selection, bit-deterministic across JVMs, the audio analog of
+    * [[resizeImages]]'s nearest-neighbor grid), re-encode as mono 16-bit
+    * PCM WAV at `rate/factor`. Output: input columns + `wav_resampled`.
+    * Unreadable/null payloads carry a null result.
+    */
+  def resampleAudio(df: DataFrame, payloadCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "resample factor must be positive")
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema.add("wav_resampled", BinaryType)
+    df.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.map { row =>
+          val b = row.getAs[Array[Byte]](idx)
+          val out: Array[Byte] =
+            if (b == null) null
+            else try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(b))
+              try {
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16) null
+                else {
+                  val bytes = ais.readAllBytes()
+                  val bb = java.nio.ByteBuffer.wrap(bytes).order(
+                    if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN)
+                  val ch = fmt.getChannels
+                  val nFrames = bytes.length / (2 * ch)
+                  val outN = (nFrames + factor - 1) / factor
+                  val outRate = math.max(1, fmt.getSampleRate.toInt / factor)
+                  val dataLen = outN * 2
+                  val ob = java.nio.ByteBuffer.allocate(44 + dataLen)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  ob.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+                    .put("WAVE".getBytes("US-ASCII"))
+                    .put("fmt ".getBytes("US-ASCII")).putInt(16)
+                    .putShort(1).putShort(1)
+                    .putInt(outRate).putInt(outRate * 2)
+                    .putShort(2).putShort(16)
+                    .put("data".getBytes("US-ASCII")).putInt(dataLen)
+                  var i = 0
+                  while (i < outN) {
+                    ob.putShort(bb.getShort(i * factor * 2 * ch))
+                    i += 1
+                  }
+                  ob.array()
+                }
+              } finally ais.close()
+            } catch { case _: Exception => null }
+          Row.fromSeq(row.toSeq :+ out)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** "Resize" stub: payload → smaller payload (every k-th byte) with the
     * metadata rewritten — the binary→binary transform shape of a real image
     * resize (decode → scale → re-encode per batch; a real implementation

@@ -231,6 +231,22 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getLong(4) == samples.zipWithIndex.map { case (s, i) => (i + 1) * s }.sum)
       assert(r.getLong(5) == samples.map(math.abs).max)
     }
+    // resample ÷2 keeps exactly the even-index samples at half the rate
+    val fixture = Multimodal.audioFixture(df, "doc_id")
+    val rs = Multimodal.decodeAudio(
+      Multimodal.resampleAudio(fixture, "wav", factor = 2)
+        .select(col("doc_id"), col("wav_resampled").as("wav")), "wav")
+      .select("doc_id", "sample_rate", "n_samples", "pcm_hash")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(3L, 11L).foreach { id =>
+      val n = 64 + id % 50
+      val n2 = (n + 1) / 2
+      val hash = (0L until n2).map(i =>
+        (i + 1) * (((id * 7919 + (i * 2) * 104729) % 65536) - 32768)).sum
+      val r = rs(id)
+      assert(r.getLong(1) == (8000 + (id % 3) * 4000) / 2)
+      assert(r.getLong(2) == n2 && r.getLong(3) == hash)
+    }
     // unreadable bytes → null features, not a batch failure
     val junk = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(1L, Array[Byte](9, 9, 9))),
@@ -239,6 +255,8 @@ class OpsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("wav", org.apache.spark.sql.types.BinaryType))))
     val jr = Multimodal.decodeAudio(junk, "wav").select("sample_rate", "pcm_hash").collect()(0)
     assert(jr.isNullAt(0) && jr.isNullAt(1))
+    assert(Multimodal.resampleAudio(junk, "wav", 2)
+      .select("wav_resampled").collect()(0).isNullAt(0))
   }
 
   test("frame sampling emits every k-th byte") {
