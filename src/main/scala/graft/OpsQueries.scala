@@ -809,6 +809,18 @@ object OpsQueries {
              |QUALIFY row_number() OVER
              |  (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 50""".stripMargin)),
 
+    // same cap, skew-proof shape: bounded top-n-ids aggregate + semi-join
+    // instead of a rank window — identical output (same order, same
+    // tiebreak), no hot-group partition; the oracle is the SAME window SQL
+    "curate_cap_bounded" -> Q(
+      (s, d) => Curate.capPerGroupBounded(
+        Tables.load(s, d, "documents"),
+        col("source"), col("n_chars"), "doc_id", n = 50)
+        .select("doc_id", "source", "n_chars"),
+      Some("""SELECT doc_id, source, n_chars FROM documents
+             |QUALIFY row_number() OVER
+             |  (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 50""".stripMargin)),
+
     // sequence packing: ~1000-token packs filled in doc_id order per source
     "curate_pack_sequences" -> Q(
       (s, d) => Curate.packSequences(

@@ -109,6 +109,32 @@ object Curate {
       .drop("_cum")
   }
 
+  /** Skew-proof per-group cap: keep the top `n` rows per group by
+    * (`score` DESC, `idCol` ASC), like [[capPerGroup]] with a descending
+    * order — but WITHOUT the rank window. A window over
+    * `partitionBy(group)` routes every row of a hot group through one
+    * partition; group sizes in training corpora are power-law (domains,
+    * sources), so the biggest group IS the bottleneck at 100 TB. Here the
+    * per-group top-n ids are collected by the bounded `top_k_by_score`
+    * aggregate — ≤n ids per (group, partition) survive map-side, the
+    * shuffle carries n×partitions ids per group no matter how hot the
+    * group — and the kept-id set then prunes the corpus with a semi-join
+    * (AQE broadcasts it while groups×n stays small, shuffles when not).
+    *
+    * Contract: `idCol` must be unique non-null (the deterministic
+    * tiebreak + join key) and `score` non-null (null-score rows are
+    * excluded, unlike a rank window which sorts them last); score must be
+    * exactly representable as double (longs beyond 2^53 lose ties).
+    */
+  def capPerGroupBounded(df: DataFrame, groupCol: Column, score: Column,
+      idCol: String, n: Int): DataFrame = {
+    val kept = df.groupBy(groupCol.as("_g"))
+      .agg(graft.ops.Similarity.topKByScore(score.cast("double"), col(idCol), n).as("_top"))
+      .select(explode(col("_top")).as("_t"))
+      .select(col("_t.payload").as(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** Benchmark-contamination gate: corpus documents sharing at least
     * `minOverlap` distinct word n-gram shingles with an evaluation set —
     * the decontamination step every pretraining pipeline runs before

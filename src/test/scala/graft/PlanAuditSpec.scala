@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.Dedup
 
@@ -164,6 +164,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange rangepartitioning") &&
       !plan.contains("Exchange SinglePartition"),
       s"expected only hash exchanges in:\n$plan")
+  }
+
+  test("bounded per-group cap is window-free with a partial top-k below the shuffle") {
+    import graft.ops.Curate
+    val df = Curate.capPerGroupBounded(corpus, length(col("text")) % 3, length(col("text")), "id", 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the whole point vs capPerGroup: no rank window partitioned by group
+    assert(!plan.contains("Window"), s"expected window-free cap plan:\n$plan")
+    val partialIdx = plan.indexOf("partial_top_k_by_score")
+    assert(partialIdx >= 0, s"expected a partial top-k aggregate in:\n$plan")
   }
 
   test("per-query top-k aggregates partially before the shuffle (two-phase)") {
