@@ -54,7 +54,7 @@ object Commands {
     * through one task.
     */
   def produce(spark: SparkSession, pool: Pool, path: String, topic: String): Long = {
-    // json/jsonl/csv/zson/zng/parquet (the reference reads any Zed format here,
+    // json/jsonl/csv/tsv/zson/zng/parquet (the reference reads any Zed format here,
     // produce/command.go:72-81). ZSON goes through the Zson-lite transpiler
     // on the driver — load files are batch-sized, and the reference's
     // produce reads the whole file too (command.go:72-76).
@@ -62,6 +62,9 @@ object Commands {
       if (path.endsWith(".json") || path.endsWith(".jsonl")) spark.read.json(path)
       else if (path.endsWith(".csv"))
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      else if (path.endsWith(".tsv"))
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("delimiter", "\t").csv(path)
       else if (path.endsWith(".zng")) {
         // binary Zed: decode to the same JSON lines the ZSON branch yields,
         // so a .zng fixture and its .zson twin load identical pool contents

@@ -103,6 +103,20 @@ class ZsonSpec extends AnyFunSuite {
     assert(rows.filter(col("value._type") === "cursor").count() == 1)
   }
 
+  test("produce loads csv and tsv files with identical pool contents") {
+    val dir = Files.createTempDirectory("sv")
+    val csv = dir.resolve("d.csv")
+    val tsv = dir.resolve("d.tsv")
+    Files.write(csv, "a,b\n1,x\n2,y\n".getBytes("UTF-8"))
+    Files.write(tsv, "a\tb\n1\tx\n2\ty\n".getBytes("UTF-8"))
+    val p1 = Pool.create(spark, dir.resolve("p1").toString)
+    val p2 = Pool.create(spark, dir.resolve("p2").toString)
+    assert(Commands.produce(spark, p1, csv.toString, "T") == 2)
+    assert(Commands.produce(spark, p2, tsv.toString, "T") == 2)
+    assert(p1.read().toJSON.collect().sorted.toSeq ==
+      p2.read().toJSON.collect().sorted.toSeq)
+  }
+
   test("fromJsonLine serializes the parser's subset back to ZSON") {
     // serialize → parse is the identity on compact JSON
     val jsons = Seq(
