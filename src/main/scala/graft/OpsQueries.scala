@@ -269,6 +269,28 @@ object OpsQueries {
            |WHERE rank <= 3""".stripMargin),
       headline = true),
 
+    // top-k with neighbor metadata riding the bounded aggregate as a struct
+    // payload — no second corpus join to fetch the label (cos itself stays
+    // out of the oracle output: float-sum hashing across engines is the
+    // one check this family deliberately avoids)
+    "sim_topk_meta" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        Similarity.bruteForceTopKMeta(base, base.filter(col("vec_id") < 5),
+          "vec_id", "v", k = 3, metaCols = Seq("label"))
+          .select("query_id", "rank", "neighbor_id", "label")
+      },
+      Some(embBaseSql +
+        s""", q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+           |pairs AS (
+           |  SELECT query_id, vec_id AS neighbor_id, label, ${cos("qv", "v")} AS cos
+           |  FROM q JOIN base ON vec_id <> query_id)
+           |SELECT query_id, rank, neighbor_id, label FROM (
+           |  SELECT query_id, neighbor_id, label,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin)),
+
     "sim_ivf_assign" -> Q(
       (s, d) => {
         val base = embBase(s, d)

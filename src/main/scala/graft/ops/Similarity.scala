@@ -85,6 +85,32 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** As [[bruteForceTopK]], additionally carrying named corpus metadata
+    * columns with each neighbor — a struct payload rides the bounded top-k
+    * aggregate, so neighbor attributes (label, source, score features)
+    * arrive WITHOUT a second join against the corpus. At 100 TB that second
+    * join is a full corpus shuffle; this is one extra struct per surviving
+    * candidate. Output: (query_id, rank, neighbor_id, cos, metaCols*).
+    * The tiebreak on equal cosines is the payload struct ASC, which leads
+    * with neighbor_id — same order as [[bruteForceTopK]].
+    */
+  def bruteForceTopKMeta(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, metaCols: Seq[String]): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+      metaCols.map(col): _*)
+    val payload = struct(col("neighbor_id") +: metaCols.map(col): _*)
+    val out = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .groupBy("query_id")
+      .agg(topKByScore(col("cos"), payload, k).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")))
+    out.select(col("query_id") +: (col("pos") + 1).as("rank") +:
+      col("col").getField("payload").getField("neighbor_id").as("neighbor_id") +:
+      col("col").getField("score").as("cos") +:
+      metaCols.map(m => col("col").getField("payload").getField(m).as(m)): _*)
+  }
+
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
     * id). Centroids must be small (broadcast); at scale they come from a
     * k-means sample. Output: corpus columns + `centroid_id`.

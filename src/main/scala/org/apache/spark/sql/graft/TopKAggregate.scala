@@ -70,6 +70,9 @@ case class TopKByScore(
     case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType |
          BooleanType | StringType | BinaryType | DateType |
          TimestampType | TimestampNTZType => true
+    // structs ride the shuffle as UnsafeRow bytes; orderability of the
+    // fields (the ASC tiebreak) is enforced by checkForOrderingExpr below
+    case st: StructType => st.fields.forall(f => supportedPayload(f.dataType))
     case _ => false
   }
 
@@ -79,7 +82,7 @@ case class TopKByScore(
         s"$prettyName needs a double score, got ${score.dataType.sql}")
     else if (!supportedPayload(payload.dataType))
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName supports primitive/string/binary payloads, got ${payload.dataType.sql}")
+        s"$prettyName supports primitive/string/binary/struct payloads, got ${payload.dataType.sql}")
     else TypeUtils.checkForOrderingExpr(payload.dataType, prettyName)
   }
 
@@ -96,6 +99,7 @@ case class TopKByScore(
       val p = payload.eval(input) match {
         case u: UTF8String => u.copy()
         case b: Array[Byte] => b.clone()
+        case r: InternalRow => r.copy()
         case v => v
       }
       if (p != null) buffer.insert(s.asInstanceOf[Double], p)
@@ -161,9 +165,16 @@ case class TopKByScore(
     case BinaryType =>
       val b = p.asInstanceOf[Array[Byte]]
       out.writeInt(b.length); out.write(b)
+    case _: StructType =>
+      val b = structProj(p.asInstanceOf[InternalRow]).getBytes
+      out.writeInt(b.length); out.write(b)
     case other => throw new UnsupportedOperationException(
       s"top_k_by_score: unsupported payload type ${other.sql}")
   }
+
+  @transient private lazy val structProj =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      payload.dataType.asInstanceOf[StructType])
 
   private def readPayload(in: DataInputStream): Any = payload.dataType match {
     case LongType | TimestampType | TimestampNTZType => in.readLong()
@@ -177,6 +188,11 @@ case class TopKByScore(
       val b = new Array[Byte](in.readInt()); in.readFully(b); UTF8String.fromBytes(b)
     case BinaryType =>
       val b = new Array[Byte](in.readInt()); in.readFully(b); b
+    case st: StructType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(st.length)
+      row.pointTo(b, b.length)
+      row
     case other => throw new UnsupportedOperationException(
       s"top_k_by_score: unsupported payload type ${other.sql}")
   }

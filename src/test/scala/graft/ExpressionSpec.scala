@@ -177,4 +177,25 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT nearest_centroids(array(1.0d), array(named_struct('cid', 1L, 'cv', array(1.0d))), id) FROM range(1)"))
     assert(err.getMessage.contains("literal"))
   }
+
+  test("top_k_by_score carries struct payloads through the partial-merge shuffle") {
+    // 8 input partitions force real partial buffers + serialized merge;
+    // payload carries the id AND a label so no re-join is needed
+    val t = spark.range(0, 100, 1, 8)
+      .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS s",
+        "named_struct('nid', id, 'tag', concat('t', CAST(id % 3 AS STRING))) AS p")
+      .groupBy()
+      .agg(org.apache.spark.sql.graft.GraftColumnsBridge.of(
+        org.apache.spark.sql.graft.TopKByScore(
+          org.apache.spark.sql.graft.GraftColumnsBridge.expr(org.apache.spark.sql.functions.col("s")),
+          org.apache.spark.sql.graft.GraftColumnsBridge.expr(org.apache.spark.sql.functions.col("p")),
+          3).toAggregateExpression()).as("top"))
+      .selectExpr("transform(top, x -> x.payload.nid) AS ids",
+        "transform(top, x -> x.payload.tag) AS tags")
+      .collect()(0)
+    // score = id % 7, max score 6 at ids 6,13,20,... tie-break payload ASC
+    // → struct comparison leads with nid: 6, 13, 20
+    assert(t.getSeq[Long](0) == Seq(6L, 13L, 20L))
+    assert(t.getSeq[String](1) == Seq("t0", "t1", "t2"))
+  }
 }
