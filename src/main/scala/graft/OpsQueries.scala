@@ -334,6 +334,34 @@ object OpsQueries {
            |  FROM pairs)
            |WHERE rank <= 3""".stripMargin)),
 
+    // IVF search with label metadata riding the top-k payload struct
+    "sim_ivf_topk_meta" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        Similarity.ivfTopKMeta(base, base.filter(col("vec_id") >= 100 && col("vec_id") < 110),
+          base.filter(col("vec_id") < 8), "vec_id", "v", k = 3, metaCols = Seq("label"))
+          .select("query_id", "rank", "neighbor_id", "label")
+      },
+      Some(embBaseSql +
+        s""", cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT vec_id, v, label, centroid_id FROM (
+           |    SELECT b.vec_id, b.v, b.label, c.centroid_id,
+           |           row_number() OVER (PARTITION BY b.vec_id
+           |                              ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.label,
+           |         ${cos("q.v", "n.v")} AS cos
+           |  FROM assigned q JOIN assigned n
+           |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+           |  WHERE q.vec_id >= 100 AND q.vec_id < 110)
+           |SELECT query_id, rank, neighbor_id, label FROM (
+           |  SELECT query_id, neighbor_id, label,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin)),
+
     // nprobe=2: queries probe their two nearest cells (the IVF recall knob);
     // corpus rows stay in exactly one cell so no pair is generated twice
     "sim_ivf_topk_probe2" -> Q(

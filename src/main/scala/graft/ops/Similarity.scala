@@ -85,23 +85,18 @@ object Similarity {
     rankTopK(cands, k)
   }
 
-  /** As [[bruteForceTopK]], additionally carrying named corpus metadata
-    * columns with each neighbor — a struct payload rides the bounded top-k
-    * aggregate, so neighbor attributes (label, source, score features)
-    * arrive WITHOUT a second join against the corpus. At 100 TB that second
-    * join is a full corpus shuffle; this is one extra struct per surviving
-    * candidate. Output: (query_id, rank, neighbor_id, cos, metaCols*).
-    * The tiebreak on equal cosines is the payload struct ASC, which leads
-    * with neighbor_id — same order as [[bruteForceTopK]].
+  /** Ranking with a metadata-carrying struct payload: like [[rankTopK]]
+    * but each candidate's `metaCols` ride the bounded aggregate, so
+    * neighbor attributes arrive WITHOUT a second join against the corpus —
+    * at 100 TB that second join is a full corpus shuffle; this is one
+    * extra struct per surviving candidate. The tiebreak on equal cosines
+    * is the payload struct ASC, which leads with neighbor_id — same order
+    * as the bare form. Output: (query_id, rank, neighbor_id, cos, metaCols*).
     */
-  def bruteForceTopKMeta(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, metaCols: Seq[String]): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
-      metaCols.map(col): _*)
+  private def rankTopKMeta(candidates: DataFrame, k: Int,
+      metaCols: Seq[String]): DataFrame = {
     val payload = struct(col("neighbor_id") +: metaCols.map(col): _*)
-    val out = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val out = candidates
       .groupBy("query_id")
       .agg(topKByScore(col("cos"), payload, k).as("_top"))
       .select(col("query_id"), posexplode(col("_top")))
@@ -109,6 +104,17 @@ object Similarity {
       col("col").getField("payload").getField("neighbor_id").as("neighbor_id") +:
       col("col").getField("score").as("cos") +:
       metaCols.map(m => col("col").getField("payload").getField(m).as(m)): _*)
+  }
+
+  /** As [[bruteForceTopK]] with neighbor metadata (see [[rankTopKMeta]]). */
+  def bruteForceTopKMeta(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, metaCols: Seq[String]): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+      metaCols.map(col): _*)
+    val cands = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    rankTopKMeta(cands, k, metaCols)
   }
 
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
@@ -272,5 +278,25 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     rankTopK(cands, k)
+  }
+
+  /** As [[ivfTopK]] with neighbor metadata (see [[rankTopKMeta]]): the
+    * probed-cell search returns `metaCols` per hit without re-joining the
+    * corpus.
+    */
+  def ivfTopKMeta(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
+      metaCols: Seq[String] = Nil): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val centRows = cents.collect().toSeq
+    val ac = assignCollected(corpus, centRows, cents.schema, vecCol, nprobe = 1)
+      .select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+        col("centroid_id") +: metaCols.map(col): _*)
+    val aq = assignCollected(queries, centRows, cents.schema, vecCol, nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
+    val cands = aq.join(ac, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    rankTopKMeta(cands, k, metaCols)
   }
 }
