@@ -871,6 +871,23 @@ object OpsQueries {
              |QUALIFY row_number() OVER
              |  (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 50""".stripMargin)),
 
+    // sliding-window chunking: 64-token windows advancing by 32 — the
+    // long-doc → training-sequence step; map-only, one pass over the scan
+    "curate_chunks" -> Q(
+      (s, d) => Curate.chunkDocuments(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", chunkTokens = 64, stride = 32)
+        .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("chunk_md5"), col("n_tok")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |d AS (SELECT doc_id, w, len(w) AS n FROM w),
+             |c AS (SELECT doc_id, w, n,
+             |             unnest(range(CAST(greatest(0, ceil((n - 64) / 32.0)) AS BIGINT) + 1)) AS j
+             |      FROM d)
+             |SELECT doc_id, j AS chunk_idx,
+             |       md5(array_to_string(w[j*32+1 : j*32+64], ' ')) AS chunk_md5,
+             |       least(64, n - j*32) AS n_tok
+             |FROM c""".stripMargin)),
+
     // sequence packing: ~1000-token packs filled in doc_id order per source
     "curate_pack_sequences" -> Q(
       (s, d) => Curate.packSequences(

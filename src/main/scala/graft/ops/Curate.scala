@@ -109,6 +109,33 @@ object Curate {
       .drop("_cum")
   }
 
+  /** Document chunking: split each document into word-token windows of
+    * `chunkTokens` advancing by `stride` (stride < chunkTokens gives the
+    * standard overlapping pretraining windows; stride == chunkTokens is
+    * disjoint chunking). The last window may be shorter; every token is
+    * covered. Output: input columns minus text, plus (chunk_idx, chunk,
+    * n_tok).
+    *
+    * Entirely map-only — the window starts are a per-row `sequence` and the
+    * chunks are `slice`s of the one split: no shuffle, no state; chunking
+    * 100 TB is exactly one pass over the scan.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val w = split(col(textCol), " ")
+    val lastStart = greatest(lit(0),
+      ceil((size(w) - lit(chunkTokens)) / lit(stride.toDouble))).cast("int")
+    df.withColumn("_w", w)
+      .withColumn("chunk_idx", explode(sequence(lit(0), lastStart)))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_w"), col("chunk_idx") * stride + 1, lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens), size(col("_w")) - col("chunk_idx") * stride).cast("long").as("n_tok"))
+  }
+
   /** Skew-proof per-group cap: keep the top `n` rows per group by
     * (`score` DESC, `idCol` ASC), like [[capPerGroup]] with a descending
     * order — but WITHOUT the rank window. A window over

@@ -49,6 +49,26 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(3) == 1.0)
   }
 
+  test("chunking: sliding windows cover every token, short docs get one chunk") {
+    val df = docs(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 10 words
+      2L -> "a b c") // shorter than one chunk
+    val chunks = Curate.chunkDocuments(df, "id", "text", chunkTokens = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getLong(3))).toMap
+    // doc 1: starts 0,2,4,6 → last window (w7..w10) reaches the end
+    assert(chunks((1L, 0L)) == ("w1 w2 w3 w4", 4L))
+    assert(chunks((1L, 1L)) == ("w3 w4 w5 w6", 4L))
+    assert(chunks((1L, 3L)) == ("w7 w8 w9 w10", 4L))
+    assert(!chunks.contains((1L, 4L)))
+    // doc 2: one short chunk
+    assert(chunks((2L, 0L)) == ("a b c", 3L))
+    assert(!chunks.contains((2L, 1L)))
+    // disjoint mode: stride == chunkTokens partitions the tokens
+    val disjoint = Curate.chunkDocuments(df.filter(col("id") === 1), "id", "text", 4, 4)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(disjoint == Map(0L -> "w1 w2 w3 w4", 1L -> "w5 w6 w7 w8", 2L -> "w9 w10"))
+  }
+
   test("minhash estimate: exact dup scores 1.0, disjoint docs produce no pair") {
     val df = docs(
       1L -> "one two three four five six seven eight nine ten eleven twelve",
