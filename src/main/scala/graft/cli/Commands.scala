@@ -24,7 +24,8 @@ object Commands {
       format: String = "json"): Seq[String] = {
     if (format != "json" && format != "zson")
       throw new IllegalArgumentException(
-        s"unknown consume format '$format' (expected json, zson or zng)") // before the pool scan
+        s"unknown consume format '$format' (expected json or zson; " +
+          "binary zng is consumeZng)") // before the pool scan
     val base = pool.read()
     val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
     val jsonLines = scoped.filter(col("kafka.offset") >= fromOffset)

@@ -113,8 +113,8 @@ object Curate {
     * `chunkTokens` advancing by `stride` (stride < chunkTokens gives the
     * standard overlapping pretraining windows; stride == chunkTokens is
     * disjoint chunking). The last window may be shorter; every token is
-    * covered. Output: input columns minus text, plus (chunk_idx, chunk,
-    * n_tok).
+    * covered. Null-text documents produce no chunks. Output: input columns
+    * minus `textCol`, plus (chunk_idx, chunk, n_tok).
     *
     * Entirely map-only — the window starts are a per-row `sequence` and the
     * chunks are `slice`s of the one split: no shuffle, no state; chunking
@@ -127,13 +127,14 @@ object Curate {
     val w = split(col(textCol), " ")
     val lastStart = greatest(lit(0),
       ceil((size(w) - lit(chunkTokens)) / lit(stride.toDouble))).cast("int")
-    df.withColumn("_w", w)
+    val carried = df.columns.filter(_ != textCol).map(col).toSeq
+    df.filter(col(textCol).isNotNull) // null text → no chunks (size() = -1 otherwise)
+      .withColumn("_w", w)
       .withColumn("chunk_idx", explode(sequence(lit(0), lastStart)))
-      .select(
-        col(idCol),
+      .select(carried ++ Seq(
         col("chunk_idx").cast("long").as("chunk_idx"),
         concat_ws(" ", slice(col("_w"), col("chunk_idx") * stride + 1, lit(chunkTokens))).as("chunk"),
-        least(lit(chunkTokens), size(col("_w")) - col("chunk_idx") * stride).cast("long").as("n_tok"))
+        least(lit(chunkTokens), size(col("_w")) - col("chunk_idx") * stride).cast("long").as("n_tok")): _*)
   }
 
   /** Skew-proof per-group cap: keep the top `n` rows per group by

@@ -103,15 +103,18 @@ object Dedup {
       .select(col("id"), col("x.band").as("band"), col("x.bk").as("bk"))
   }
 
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numPerms: Int = 16, bands: Int = 4): DataFrame = {
-    val banded = bandKeys(minhashSignatureFrame(df, idCol, textCol, n, numPerms),
-      numPerms, bands)
+  /** Distinct candidate pairs (d1 < d2) of a banded key frame. */
+  private def candidatePairs(banded: DataFrame): DataFrame = {
     val a = banded.select(col("id").as("d1"), col("band"), col("bk"))
     val b = banded.select(col("id").as("d2"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
   }
+
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 16, bands: Int = 4): DataFrame =
+    candidatePairs(bandKeys(minhashSignatureFrame(df, idCol, textCol, n, numPerms),
+      numPerms, bands))
 
   /** End-to-end minhash near-dup WITHOUT touching the documents again:
     * LSH candidates are verified by the signature-estimated Jaccard — the
@@ -132,13 +135,7 @@ object Dedup {
       n: Int = 3, numPerms: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val sig = minhashSignatureFrame(df, idCol, textCol, n, numPerms)
-    val cand = {
-      val banded = bandKeys(sig, numPerms, bands)
-      val a = banded.select(col("id").as("d1"), col("band"), col("bk"))
-      val b = banded.select(col("id").as("d2"), col("band"), col("bk"))
-      a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-    }
+    val cand = candidatePairs(bandKeys(sig, numPerms, bands))
     val s1 = sig.select(col("id").as("d1") +:
       (0 until numPerms).map(p => col(s"m$p").as(s"a$p")): _*)
     val s2 = sig.select(col("id").as("d2") +:

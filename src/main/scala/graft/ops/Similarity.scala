@@ -73,17 +73,25 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col").getField("payload").as("neighbor_id"))
 
+  /** Scored brute-force candidate frame shared by the topK variants:
+    * (query_id, neighbor_id, cos, metaCols*), self-match excluded,
+    * broadcast(q) chosen by AQE.
+    */
+  private def bruteCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, metaCols: Seq[String]): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+      metaCols.map(col): _*)
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+  }
+
   /** Exact top-k neighbors per query vector (self-match excluded).
     * Output: (query_id, rank, neighbor_id).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val cands = q.join(c, col("query_id") =!= col("neighbor_id")) // broadcast(q) chosen by AQE
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    rankTopK(cands, k)
-  }
+      vecCol: String, k: Int): DataFrame =
+    rankTopK(bruteCandidates(corpus, queries, idCol, vecCol, Nil), k)
 
   /** Ranking with a metadata-carrying struct payload: like [[rankTopK]]
     * but each candidate's `metaCols` ride the bounded aggregate, so
@@ -108,14 +116,8 @@ object Similarity {
 
   /** As [[bruteForceTopK]] with neighbor metadata (see [[rankTopKMeta]]). */
   def bruteForceTopKMeta(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, metaCols: Seq[String]): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
-      metaCols.map(col): _*)
-    val cands = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    rankTopKMeta(cands, k, metaCols)
-  }
+      vecCol: String, k: Int, metaCols: Seq[String]): DataFrame =
+    rankTopKMeta(bruteCandidates(corpus, queries, idCol, vecCol, metaCols), k, metaCols)
 
   /** IVF cell assignment: nearest centroid by cosine (ties → lowest centroid
     * id). Centroids must be small (broadcast); at scale they come from a
@@ -266,19 +268,28 @@ object Similarity {
     * Output: (query_id, rank, neighbor_id). A corpus row lives in exactly
     * one cell, so no candidate pair appears twice regardless of nprobe.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+  /** Scored probed-cell candidate frame shared by the ivfTopK variants:
+    * centroids collected ONCE for both sides, corpus rows in exactly one
+    * cell (nprobe applies to queries only).
+    */
+  private def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, nprobe: Int,
+      metaCols: Seq[String]): DataFrame = {
     val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val centRows = cents.collect().toSeq // once, for both sides
     val ac = assignCollected(corpus, centRows, cents.schema, vecCol, nprobe = 1)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+      .select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+        col("centroid_id") +: metaCols.map(col): _*)
     val aq = assignCollected(queries, centRows, cents.schema, vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
-    val cands = aq.join(ac, Seq("centroid_id"))
+    aq.join(ac, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    rankTopK(cands, k)
   }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame =
+    rankTopK(ivfCandidates(corpus, queries, centroids, idCol, vecCol, nprobe, Nil), k)
 
   /** As [[ivfTopK]] with neighbor metadata (see [[rankTopKMeta]]): the
     * probed-cell search returns `metaCols` per hit without re-joining the
@@ -286,17 +297,7 @@ object Similarity {
     */
   def ivfTopKMeta(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1,
-      metaCols: Seq[String] = Nil): DataFrame = {
-    val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val centRows = cents.collect().toSeq
-    val ac = assignCollected(corpus, centRows, cents.schema, vecCol, nprobe = 1)
-      .select(col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
-        col("centroid_id") +: metaCols.map(col): _*)
-    val aq = assignCollected(queries, centRows, cents.schema, vecCol, nprobe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id"))
-    val cands = aq.join(ac, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
-    rankTopKMeta(cands, k, metaCols)
-  }
+      metaCols: Seq[String] = Nil): DataFrame =
+    rankTopKMeta(ivfCandidates(corpus, queries, centroids, idCol, vecCol, nprobe, metaCols),
+      k, metaCols)
 }

@@ -59,10 +59,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[org.apache.spark.sql.graft.NearestCentroids].getName,
         "nearest_centroids"),
       (children: Seq[Expression]) => {
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            s"nearest_centroids(vector, centroids, nprobe) takes 3 arguments, got ${children.length}")
         // third arg is the nprobe knob — a plan-time constant by contract
         // (it shapes the output arity), like top_k_by_score's k
         val nprobe = children(2) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"nearest_centroids: nprobe must be a non-null integer literal, got $other")
+          }
           case other => throw new IllegalArgumentException(
             s"nearest_centroids: nprobe must be a literal, got $other")
         }
