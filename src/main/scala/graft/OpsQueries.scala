@@ -781,6 +781,18 @@ object OpsQueries {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'""".stripMargin)),
 
+    // weighted: per-row keep-probability n_chars/400 (clamped) — the
+    // quality-weighted mixing primitive, same md5 space, per-row threshold
+    "curate_weighted_sample" -> Q(
+      (s, d) => Curate.weightedSample(
+        Tables.load(s, d, "documents"), col("doc_id"),
+        least(col("n_chars") / 400.0, lit(1.0)))
+        .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE md5(CAST(doc_id AS VARCHAR)) <
+             |      printf('%08x', CAST(least(floor(least(n_chars / 400.0, 1.0) * 4294967296.0),
+             |                                4294967295.0) AS BIGINT))""".stripMargin)),
+
     // stratified: keep 50% of English, 12.5% of everything else, one scan
     "curate_stratified_sample" -> Q(
       (s, d) => Curate.stratifiedSample(

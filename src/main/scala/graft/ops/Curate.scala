@@ -42,6 +42,23 @@ object Curate {
       salt: String = ""): DataFrame =
     df.filter(md5(concat(lit(salt), keyCol.cast("string"))) < lit(sampleThreshold(fraction)))
 
+  /** Weighted deterministic sample: each row's keep-probability is its own
+    * `weightCol` (clamped to [0,1]) — the data-mixing primitive behind
+    * quality-weighted corpus construction ("keep high-quality docs with
+    * p≈1, boilerplate with p≈0.1"). Same md5-space trick as [[hashSample]]
+    * with a per-row threshold: deterministic on any engine/cluster/rerun,
+    * one scan, no shuffle, no RNG state.
+    */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+      salt: String = ""): DataFrame = {
+    val scaled = least(
+      floor(greatest(weightCol.cast("double"), lit(0.0)) * 4294967296.0),
+      lit(4294967295.0)).cast("bigint")
+    // hex() is uppercase in Spark, md5() is lowercase — normalize
+    val thr = lower(lpad(hex(scaled), 8, "0"))
+    df.filter(md5(concat(lit(salt), keyCol.cast("string"))) < thr)
+  }
+
   /** Stratified deterministic sample: per-stratum fractions (e.g. keep 50%
     * of English, 12.5% of everything else). One scan — the stratum's
     * threshold is a CASE lookup, then the same md5 filter as `hashSample`.

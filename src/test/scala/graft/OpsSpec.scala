@@ -49,6 +49,22 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(3) == 1.0)
   }
 
+  test("weighted sample: weight 1 keeps (nearly) all, 0 keeps none, deterministic") {
+    val df = spark.range(0, 2000).toDF("id")
+    def kept(w: Double): Long =
+      Curate.weightedSample(df, col("id"), lit(w)).count()
+    assert(kept(0.0) == 0)
+    assert(kept(1.0) >= 1999) // only an exact 'ffffffff' md5 prefix is excluded
+    val half = kept(0.5)
+    assert(half > 800 && half < 1200)
+    // same weight, same rows — and a per-row weight mixes independently
+    assert(Curate.weightedSample(df, col("id"), lit(0.5)).collect().toSeq ==
+      Curate.weightedSample(df, col("id"), lit(0.5)).collect().toSeq)
+    val mixed = Curate.weightedSample(df, col("id"),
+      when(col("id") < 1000, 1.0).otherwise(0.0)).collect().map(_.getLong(0))
+    assert(mixed.forall(_ < 1000) && mixed.length >= 999)
+  }
+
   test("chunking: sliding windows cover every token, short docs get one chunk") {
     val df = docs(
       1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 10 words
