@@ -166,6 +166,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected only hash exchanges in:\n$plan")
   }
 
+  test("document chunking is map-only: no exchange, no window") {
+    import graft.ops.Curate
+    val df = Curate.chunkDocuments(corpus, "id", "text", chunkTokens = 8, stride = 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange") && !plan.contains("Window"),
+      s"expected a single map-only pass in:\n$plan")
+  }
+
   test("bounded per-group cap is window-free with a partial top-k below the shuffle") {
     import graft.ops.Curate
     val df = Curate.capPerGroupBounded(corpus, length(col("text")) % 3, length(col("text")), "id", 2)
