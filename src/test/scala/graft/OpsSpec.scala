@@ -49,6 +49,18 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(0).getDouble(3) == 1.0)
   }
 
+  test("bounded cap returns exactly the window cap's rows on skewed groups") {
+    // skewed: group 0 holds ~70% of rows — the shape the bounded form exists for
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("g", when(col("id") < 700, 0).otherwise(col("id") % 7 + 1))
+      .withColumn("score", (col("id") * 37 % 101).cast("double"))
+    val window = Curate.capPerGroup(df, col("g"), col("score").desc, col("id"), n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val bounded = Curate.capPerGroupBounded(df, col("g"), col("score"), "id", n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(bounded == window)
+  }
+
   test("weighted sample: weight 1 keeps (nearly) all, 0 keeps none, deterministic") {
     val df = spark.range(0, 2000).toDF("id")
     def kept(w: Double): Long =
