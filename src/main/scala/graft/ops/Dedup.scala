@@ -70,19 +70,15 @@ object Dedup {
     */
   private def shKey(c: Column): Column = xxhash64(c)
 
-  /** LSH banding: signature rows grouped into `bands` bands, each hashed to
-    * a band key; docs sharing any (band, key) bucket are candidate pairs.
-    *
-    * Implementation is wide-form for scale: all `numPerms` minhashes are
-    * computed as parallel aggregate expressions over the (id, shingle) rows
-    * — no permutation explode, so the shuffled row count is the shingle
-    * count, not shingles × perms. Results are identical to the narrow form.
-    */
-  /** Wide-form minhash signature frame: (id, m0..m{numPerms-1}).
-    * Built from the RAW shingle stream — min() is insensitive to duplicate
-    * shingles, so the usual distinct-shuffle is skipped and the whole
-    * signature phase collapses to one partial-aggregating groupBy (shuffle
-    * volume = ids × numPerms mins, not the corpus's shingle stream).
+  /** Wide-form minhash signature frame: (id, m0..m{numPerms-1}) — all
+    * `numPerms` minhashes as parallel aggregate expressions over the
+    * (id, shingle) rows, no permutation explode, so the aggregated row
+    * count is the shingle count, not shingles × perms (identical results
+    * to the narrow [[minhashSignatures]] form). Built from the RAW shingle
+    * stream — min() is insensitive to duplicate shingles, so the usual
+    * distinct-shuffle is skipped and the whole signature phase collapses
+    * to one partial-aggregating groupBy (shuffle volume = ids × numPerms
+    * mins, not the corpus's shingle stream).
     */
   def minhashSignatureFrame(df: DataFrame, idCol: String, textCol: String,
       n: Int, numPerms: Int): DataFrame = {
