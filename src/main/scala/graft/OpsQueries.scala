@@ -172,6 +172,35 @@ object OpsQueries {
           |  GROUP BY 1, 2)
           |WHERE est >= 0.5""".stripMargin)),
 
+    // the recommended 100 TB composition end-to-end: LSH candidates +
+    // exact-Jaccard verification restricted to those pairs (cost linear in
+    // the candidate list, never the inverted index's df-squared)
+    "dedup_lsh_jaccard" -> Q(
+      (s, d) => {
+        val corpus = textCorpus(s, d)
+        Dedup.jaccardForPairs(corpus,
+          Dedup.lshCandidatePairs(corpus, "id", "text"), "id", "text")
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some(textCorpusSql + "," + shinglesSql +
+        """, perms AS (SELECT id, sh, unnest(range(16)) AS p FROM sh0),
+          |mh AS (SELECT id, p, min(md5(concat(p, '|', sh))) AS mv FROM perms GROUP BY 1, 2),
+          |bands AS (SELECT id, p // 4 AS band, md5(string_agg(mv, ',' ORDER BY p)) AS bk
+          |          FROM mh GROUP BY 1, 2),
+          |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2
+          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+          |sizes AS (SELECT id, count(*) AS sz FROM sh0 GROUP BY id),
+          |inters AS (SELECT c.d1, c.d2, count(*) AS inter
+          |           FROM cand c JOIN sh0 a ON a.id = c.d1
+          |                       JOIN sh0 b ON b.id = c.d2 AND b.sh = a.sh
+          |           GROUP BY 1, 2)
+          |SELECT d1, d2, inter, jaccard FROM (
+          |  SELECT d1, d2, coalesce(inter, 0) AS inter,
+          |         coalesce(inter, 0) * 1.0 / (s1.sz + s2.sz - coalesce(inter, 0)) AS jaccard
+          |  FROM cand LEFT JOIN inters USING (d1, d2)
+          |  JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id)
+          |WHERE jaccard >= 0.5""".stripMargin)),
+
     "dedup_simhash" -> Q(
       (s, d) => Dedup.simhash(
         Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text")),

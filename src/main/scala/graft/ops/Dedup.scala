@@ -237,6 +237,38 @@ object Dedup {
       .select("d1", "d2", "inter", "jaccard")
   }
 
+  /** Exact Jaccard for GIVEN pairs — the verification half of the
+    * recommended 100 TB shape `jaccardForPairs(df, lshCandidatePairs(df))`:
+    * candidate generation is sub-quadratic LSH, exactness comes from this
+    * pass, whose cost is Σ_pairs |shingles(d1)| — linear in the candidate
+    * list, never the inverted index's Σ_shingles df². The shingle sets are
+    * first pruned to docs that appear in some pair (semi-join), so the
+    * corpus-wide shingle stream is filtered map-side against a (typically
+    * broadcastable) id set. Output: (d1, d2, inter, jaccard) for every
+    * input pair, including jaccard = 0 when nothing is shared.
+    */
+  def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val ids = pairs.select(col("d1").as("id"))
+      .unionByName(pairs.select(col("d2").as("id"))).distinct()
+    val sh = rawShingles(df, idCol, textCol, n)
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"), shKey(col("sh")).as("sh")).distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(sh.select(col("id").as("d1"), col("sh")), Seq("d1"))
+      .join(sh.select(col("id").as("d2"), col("sh")), Seq("d2", "sh"), "left_semi")
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        coalesce(col("inter"), lit(0L)).as("inter"),
+        (coalesce(col("inter"), lit(0L)) * lit(1.0) /
+          (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+  }
+
   /** 16-bit SimHash per document over distinct word tokens. Bit b of a
     * token's hash comes from the first 4 hex chars of its md5; the simhash
     * bit is the sign of the ±1 token votes — all integer arithmetic, so

@@ -97,6 +97,20 @@ class OpsSpec extends AnyFunSuite {
     assert(disjoint == Map(0L -> "w1 w2 w3 w4", 1L -> "w5 w6 w7 w8", 2L -> "w9 w10"))
   }
 
+  test("jaccardForPairs scores exactly, including 0 for shingle-disjoint pairs") {
+    val df = docs(
+      1L -> "one two three four five six seven eight nine ten eleven twelve",
+      2L -> "one two three four five six seven eight nine ten eleven twelve",
+      3L -> "unrelated garbage text with no overlap at all whatsoever in shingles")
+    val pairs = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, 2L), org.apache.spark.sql.Row(1L, 3L)),
+      org.apache.spark.sql.types.StructType.fromDDL("d1 bigint, d2 bigint"))
+    val m = Dedup.jaccardForPairs(df, pairs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(m((1L, 2L)) == (10L, 1.0)) // 12 words → 10 identical 3-gram shingles
+    assert(m((1L, 3L)) == (0L, 0.0)) // disjoint pair still reported, at 0
+  }
+
   test("minhash estimate: exact dup scores 1.0, disjoint docs produce no pair") {
     val df = docs(
       1L -> "one two three four five six seven eight nine ten eleven twelve",
