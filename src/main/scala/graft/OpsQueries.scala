@@ -178,8 +178,10 @@ object OpsQueries {
     "dedup_lsh_jaccard" -> Q(
       (s, d) => {
         val corpus = textCorpus(s, d)
-        Dedup.jaccardForPairs(corpus,
-          Dedup.lshCandidatePairs(corpus, "id", "text"), "id", "text")
+        // candidates materialized once: jaccardForPairs references them 3×
+        // and the LSH subtree would otherwise execute three times
+        val cand = Dedup.lshCandidatePairs(corpus, "id", "text").localCheckpoint(true)
+        Dedup.jaccardForPairs(corpus, cand, "id", "text")
           .filter(col("jaccard") >= 0.5)
       },
       Some(textCorpusSql + "," + shinglesSql +

@@ -246,6 +246,13 @@ object Dedup {
     * corpus-wide shingle stream is filtered map-side against a (typically
     * broadcastable) id set. Output: (d1, d2, inter, jaccard) for every
     * input pair, including jaccard = 0 when nothing is shared.
+    *
+    * `pairs` is referenced three times (id pruning, intersection, output
+    * join) — pass it MATERIALIZED (`localCheckpoint(true)` / persisted /
+    * read back from storage) when it is itself an expensive plan like LSH
+    * candidate generation, or that plan executes three times. Candidate
+    * lists are small by construction, so materializing them is the cheap
+    * side of that trade at any scale.
     */
   def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
