@@ -233,34 +233,73 @@ object Similarity {
     * representations; ~1e-16 probability per mean, absent on the test
     * data, diagnosable as a single-round centroid diff if ever hit).
     */
-  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, seedByHash: Boolean = false,
-      roundDigits: Int = -1): DataFrame = {
-    val pts = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
+  private def kmeansSeeds(pts: DataFrame, k: Int, seedByHash: Boolean): DataFrame = {
     val seedOrder =
       if (seedByHash) Seq(md5(col("_pid").cast("string")), col("_pid"))
       else Seq(col("_pid"))
-    def maybeRound(c: Column): Column =
-      if (roundDigits >= 0) transform(c, x => round(x, roundDigits)) else c
-    var cents = pts.orderBy(seedOrder: _*).limit(k)
+    pts.orderBy(seedOrder: _*).limit(k)
       .select(col("_pid").as("centroid_id"),
         // seeds are raw input vectors — exact on every engine, never rounded
         transform(col("_pv"), x => x.cast("double")).as("cv"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val assigned = ivfAssign(pts, cents.select(col("centroid_id").as("_pid"),
-        col("cv").as("_pv")), "_pid", "_pv")
-      cents = assigned
-        .select(col("centroid_id"), posexplode(col("_pv")))
-        .groupBy("centroid_id", "pos")
-        .agg((sum(col("col").cast("double").cast("decimal(30,15)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy("centroid_id")
-        .agg(maybeRound(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m"))).as("cv"))
-        .localCheckpoint(true)
-    }
+  }
+
+  private def lloydRound(pts: DataFrame, cents: DataFrame,
+      roundDigits: Int): DataFrame = {
+    def maybeRound(c: Column): Column =
+      if (roundDigits >= 0) transform(c, x => round(x, roundDigits)) else c
+    val assigned = ivfAssign(pts, cents.select(col("centroid_id").as("_pid"),
+      col("cv").as("_pv")), "_pid", "_pv")
+    assigned
+      .select(col("centroid_id"), posexplode(col("_pv")))
+      .groupBy("centroid_id", "pos")
+      .agg((sum(col("col").cast("double").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("centroid_id")
+      .agg(maybeRound(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m"))).as("cv"))
+      .localCheckpoint(true)
+  }
+
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, seedByHash: Boolean = false,
+      roundDigits: Int = -1): DataFrame = {
+    val pts = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
+    var cents = kmeansSeeds(pts, k, seedByHash)
+    for (_ <- 1 to iters)
+      cents = lloydRound(pts, cents, roundDigits)
     cents.select(col("centroid_id"), col("cv").as(vecCol))
+  }
+
+  /** As [[kmeans]] with a convergence stopping rule: rounds run until the
+    * largest centroid movement (L2 between a centroid's old and new vector)
+    * drops to `tol` or `maxIters` is hit — the production training loop,
+    * where a fixed round count either wastes passes or stops short.
+    * Returns (centroids, roundsRun). The shift check is one K-row join +
+    * aggregate per round (metadata-scale collect — the corpus is never
+    * collected); a centroid whose cell empties drops out and does not
+    * count toward the shift.
+    */
+  def kmeansConverged(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIters: Int, tol: Double, seedByHash: Boolean = false,
+      roundDigits: Int = -1): (DataFrame, Int) = {
+    require(maxIters >= 1 && tol >= 0.0, "need maxIters >= 1 and tol >= 0")
+    val pts = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
+    var cents = kmeansSeeds(pts, k, seedByHash)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      val next = lloydRound(pts, cents, roundDigits)
+      val shiftRow = cents.select(col("centroid_id"), col("cv").as("_old"))
+        .join(next, Seq("centroid_id"))
+        .select(sqrt(aggregate(zip_with(col("_old"), col("cv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)).as("d"))
+        .agg(max(col("d"))).collect()(0)
+      cents = next
+      rounds += 1
+      converged = !shiftRow.isNullAt(0) && shiftRow.getDouble(0) <= tol
+    }
+    (cents.select(col("centroid_id"), col("cv").as(vecCol)), rounds)
   }
 
   /** IVF search: assign corpus rows to one cell each, queries to their

@@ -206,6 +206,15 @@ class OpsSpec extends AnyFunSuite {
       StructType.fromDDL("vec_id bigint, v array<double>"))
     val cents = Similarity.kmeans(df, "vec_id", "v", k = 2, iters = 3)
     assert(cents.count() == 2)
+    // convergence-stopped variant: well-separated clusters settle in
+    // round 2 (round 1 moves seeds to means, round 2 confirms no shift)
+    // and the result equals the fixed-iteration run
+    val (cc, rounds) = Similarity.kmeansConverged(df, "vec_id", "v",
+      k = 2, maxIters = 10, tol = 1e-12)
+    assert(rounds < 10)
+    assert(cc.collect().map(_.toString).sorted.toSeq ==
+      Similarity.kmeans(df, "vec_id", "v", k = 2, iters = rounds)
+        .collect().map(_.toString).sorted.toSeq)
     val m = Similarity.ivfAssign(df,
         cents.select(col("centroid_id").as("vec_id"), col("v")), "vec_id", "v")
       .select("vec_id", "centroid_id").collect()
