@@ -33,6 +33,12 @@ object Curate {
     f"$scaled%08x"
   }
 
+  /** The family's shared selector: `md5(salt || key)` as a lowercase hex
+    * string, compared against 8-hex-char thresholds.
+    */
+  private def md5Key(keyCol: Column, salt: String): Column =
+    md5(concat(lit(salt), keyCol.cast("string")))
+
   /** Uniform deterministic sample: keep rows whose `md5(salt || key)` falls
     * below the fraction threshold. Same (key, salt, fraction) → same rows,
     * on any engine and at any scale; changing `salt` draws an independent
@@ -40,7 +46,7 @@ object Curate {
     */
   def hashSample(df: DataFrame, keyCol: Column, fraction: Double,
       salt: String = ""): DataFrame =
-    df.filter(md5(concat(lit(salt), keyCol.cast("string"))) < lit(sampleThreshold(fraction)))
+    df.filter(md5Key(keyCol, salt) < lit(sampleThreshold(fraction)))
 
   /** Weighted deterministic sample: each row's keep-probability is its own
     * `weightCol` (clamped to [0,1]) — the data-mixing primitive behind
@@ -56,7 +62,7 @@ object Curate {
       lit(4294967295.0)).cast("bigint")
     // hex() is uppercase in Spark, md5() is lowercase — normalize
     val thr = lower(lpad(hex(scaled), 8, "0"))
-    df.filter(md5(concat(lit(salt), keyCol.cast("string"))) < thr)
+    df.filter(md5Key(keyCol, salt) < thr)
   }
 
   /** Stratified deterministic sample: per-stratum fractions (e.g. keep 50%
@@ -70,7 +76,7 @@ object Curate {
       case (acc, (stratum, rate)) =>
         when(strataCol === stratum, lit(sampleThreshold(rate))).otherwise(acc)
     }
-    df.filter(md5(concat(lit(salt), keyCol.cast("string"))) < thr)
+    df.filter(md5Key(keyCol, salt) < thr)
   }
 
   /** Deterministic train/val/test split assignment: one `split` column from
@@ -84,7 +90,7 @@ object Curate {
     require(splits.nonEmpty, "need at least one split")
     val total = splits.map(_._2).sum
     require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
-    val h = md5(concat(lit(salt), keyCol.cast("string")))
+    val h = md5Key(keyCol, salt)
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
     val expr = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), upper), els) =>
@@ -174,7 +180,7 @@ object Curate {
   def capPerGroupBounded(df: DataFrame, groupCol: Column, score: Column,
       idCol: String, n: Int): DataFrame = {
     val kept = df.groupBy(groupCol.as("_g"))
-      .agg(graft.ops.Similarity.topKByScore(score.cast("double"), col(idCol), n).as("_top"))
+      .agg(Similarity.topKByScore(score.cast("double"), col(idCol), n).as("_top"))
       .select(explode(col("_top")).as("_t"))
       .select(col("_t.payload").as(idCol))
     df.join(kept, Seq(idCol), "left_semi")

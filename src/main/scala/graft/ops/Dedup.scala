@@ -270,10 +270,10 @@ object Dedup {
       .join(inter, Seq("d1", "d2"), "left")
       .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), Seq("d1"))
       .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), Seq("d2"))
-      .select(col("d1"), col("d2"),
-        coalesce(col("inter"), lit(0L)).as("inter"),
-        (coalesce(col("inter"), lit(0L)) * lit(1.0) /
-          (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter") * lit(1.0) /
+          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
   }
 
   /** 16-bit SimHash per document over distinct word tokens. Bit b of a

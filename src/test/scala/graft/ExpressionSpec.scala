@@ -185,11 +185,9 @@ class ExpressionSpec extends AnyFunSuite {
       .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS s",
         "named_struct('nid', id, 'tag', concat('t', CAST(id % 3 AS STRING))) AS p")
       .groupBy()
-      .agg(org.apache.spark.sql.graft.GraftColumnsBridge.of(
-        org.apache.spark.sql.graft.TopKByScore(
-          org.apache.spark.sql.graft.GraftColumnsBridge.expr(org.apache.spark.sql.functions.col("s")),
-          org.apache.spark.sql.graft.GraftColumnsBridge.expr(org.apache.spark.sql.functions.col("p")),
-          3).toAggregateExpression()).as("top"))
+      .agg(graft.ops.Similarity.topKByScore(
+        org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.col("p"), 3).as("top"))
       .selectExpr("transform(top, x -> x.payload.nid) AS ids",
         "transform(top, x -> x.payload.tag) AS tags")
       .collect()(0)
