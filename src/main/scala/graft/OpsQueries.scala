@@ -812,6 +812,18 @@ object OpsQueries {
       Some("""SELECT doc_id, lang FROM documents
              |WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'""".stripMargin)),
 
+    // deterministic global shuffle: rank under md5 order, assigned by
+    // range-partition + prefix sums — never a single-partition window
+    "curate_shuffle_rank" -> Q(
+      (s, d) => Curate.shuffleRank(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"))
+        .select("doc_id", "lang", "shuffle_pos"),
+      Some("""SELECT doc_id, lang,
+             |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+             |         AS shuffle_pos
+             |FROM documents""".stripMargin)),
+
     // weighted: per-row keep-probability n_chars/400 (clamped) — the
     // quality-weighted mixing primitive, same md5 space, per-row threshold
     "curate_weighted_sample" -> Q(

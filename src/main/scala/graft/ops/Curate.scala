@@ -99,6 +99,32 @@ object Curate {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic global training-order shuffle: every row gets a
+    * `shuffle_pos` (0-based) equal to its rank under `md5(salt || key)`
+    * order — the standard "shuffle the corpus before training" step, made
+    * reproducible (same salt → same order on any engine/cluster/rerun;
+    * new salt → an independent permutation).
+    *
+    * Distributed by construction: rows are RANGE-partitioned on the hash
+    * (so the order is globally correct across partitions), sorted within
+    * partitions, and numbered by the prefix-sum machinery of
+    * [[graft.etl.Offsets.assignSequential]] — only P per-partition counts
+    * touch the driver. A `row_number()` over a global ORDER BY would pull
+    * every row through ONE partition; this never does.
+    */
+  def shuffleRank(df: DataFrame, keyCol: Column, salt: String = ""): DataFrame = {
+    val h = md5Key(keyCol, salt)
+    val sorted = df
+      .withColumn("_h", h)
+      .repartitionByRange(col("_h"), keyCol)
+      .sortWithinPartitions(col("_h"), keyCol)
+      .persist() // assignSequential's counts job + output must see one order
+    try graft.etl.Offsets.assignSequential(sorted, 0L, "shuffle_pos")
+      .drop("_h")
+      .localCheckpoint(true) // materialize before unpersisting the input
+    finally sorted.unpersist()
+  }
+
   /** Keep at most `n` rows per group, best-first by `orderBy` (ties broken
     * by `tieBreak` for determinism). The shuffle is one hash exchange on
     * `groupCol`; a pathologically hot group serializes through one task —
