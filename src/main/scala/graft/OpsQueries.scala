@@ -957,6 +957,35 @@ object OpsQueries {
              |       (PARTITION BY source ORDER BY doc_id
              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |     - len(string_split(text, ' '))) / 1000.0) AS BIGINT) AS pack_id
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // packing emitted end-to-end: each pack's documents concatenated in
+    // doc order into one training sequence (md5'd for the compare); one
+    // groupBy per (source, pack) — packs are the parallelism unit
+    "curate_pack_emit" -> Q(
+      (s, d) => Curate.packSequences(
+        Tables.load(s, d, "documents")
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+        col("source"), col("doc_id"), col("n_tok"), budgetTokens = 1000)
+        .groupBy(col("source"), col("pack_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("pack_tokens"),
+          md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              s => s.getField("text")))).as("seq_md5")),
+      Some("""WITH packed AS (
+             |  SELECT doc_id, source, text,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    CAST(floor(
+             |      (sum(len(string_split(text, ' '))) OVER
+             |         (PARTITION BY source ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |       - len(string_split(text, ' '))) / 1000.0) AS BIGINT) AS pack_id
+             |  FROM documents)
+             |SELECT source, pack_id, count(*) AS n_docs,
+             |       sum(n_tok) AS pack_tokens,
+             |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
+             |FROM packed GROUP BY source, pack_id""".stripMargin))
   )
 }
