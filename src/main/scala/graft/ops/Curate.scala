@@ -105,6 +105,11 @@ object Curate {
     * reproducible (same salt → same order on any engine/cluster/rerun;
     * new salt → an independent permutation).
     *
+    * Contract: `keyCol` must be UNIQUE per row — rows sharing a key share a
+    * sort key, and their relative order is then shuffle-fetch order, which
+    * varies between runs. For derived rows (chunks, packs) build a unique
+    * key first, e.g. `concat(doc_id, ':', chunk_idx)`.
+    *
     * Distributed by construction: rows are RANGE-partitioned on the hash
     * (so the order is globally correct across partitions), sorted within
     * partitions, and numbered by the prefix-sum machinery of

@@ -266,14 +266,19 @@ object Dedup {
       .join(sh.select(col("id").as("d1"), col("sh")), Seq("d1"))
       .join(sh.select(col("id").as("d2"), col("sh")), Seq("d2", "sh"), "left_semi")
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    // sizes joins are LEFT (size 0 when a doc has no shingles — shorter than
+    // n tokens or null text) so every input pair really is reported; two
+    // empty sets score 0.0 by convention rather than dividing by zero
     pairs
       .join(inter, Seq("d1", "d2"), "left")
-      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), Seq("d1"), "left")
+      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), Seq("d2"), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("_union",
+        coalesce(col("sz1"), lit(0L)) + coalesce(col("sz2"), lit(0L)) - col("inter"))
       .select(col("d1"), col("d2"), col("inter"),
-        (col("inter") * lit(1.0) /
-          (col("sz1") + col("sz2") - col("inter"))).as("jaccard"))
+        when(col("_union") > 0, col("inter") * lit(1.0) / col("_union"))
+          .otherwise(lit(0.0)).as("jaccard"))
   }
 
   /** 16-bit SimHash per document over distinct word tokens. Bit b of a

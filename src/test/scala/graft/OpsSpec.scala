@@ -109,6 +109,15 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(m((1L, 2L)) == (10L, 1.0)) // 12 words → 10 identical 3-gram shingles
     assert(m((1L, 3L)) == (0L, 0.0)) // disjoint pair still reported, at 0
+
+    // a pair member shorter than n tokens has NO shingles — the pair must
+    // still come back (at 0), not be silently dropped by the size join
+    val short = docs(1L -> "one two three four five six", 2L -> "one two")
+    val sp = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, 2L)),
+      org.apache.spark.sql.types.StructType.fromDDL("d1 bigint, d2 bigint"))
+    val sm = Dedup.jaccardForPairs(short, sp, "id", "text").collect()
+    assert(sm.length == 1 && sm(0).getLong(2) == 0L && sm(0).getDouble(3) == 0.0)
   }
 
   test("minhash estimate: exact dup scores 1.0, disjoint docs produce no pair") {

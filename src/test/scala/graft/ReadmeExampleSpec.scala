@@ -36,8 +36,10 @@ class ReadmeExampleSpec extends AnyFunSuite {
     // 3. mix by quality weight, chunk, pack, shuffle
     val mixed = Curate.weightedSample(capped, $"doc_id", least($"quality_score" * 2.0, lit(1.0)))
     val chunks = Curate.chunkDocuments(mixed, "doc_id", "text", chunkTokens = 2048, stride = 2048)
-    val packed = Curate.packSequences(chunks, $"source", $"chunk_idx", $"n_tok", budgetTokens = 4096)
-    val order = Curate.shuffleRank(packed, $"doc_id", salt = "epoch-0")
+      .withColumn("chunk_key", concat($"doc_id", lit(":"), $"chunk_idx")) // unique per row
+    val packed = Curate.packSequences(chunks, $"source", struct($"doc_id", $"chunk_idx"),
+      $"n_tok", budgetTokens = 4096)
+    val order = Curate.shuffleRank(packed, $"chunk_key", salt = "epoch-0")
 
     val out = order.cache()
     try {

@@ -4,12 +4,14 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.cli.Zng
 
-/** Property fuzz for the ZNG binary codec: arbitrary JSON-line batches
-  * (nested records, arrays, the full primitive subset the writer emits)
+/** Property fuzz for the ZNG binary codec: generated JSON-line batches
   * must round-trip write → read exactly, compressed and not. Complements
-  * ZngSpec's fixture/golden tests with generated shapes — field-name
-  * collisions, deep nesting, empty strings/arrays, int64 edges, float
-  * specials are all in the generator's range.
+  * ZngSpec's fixture/golden tests with generated shapes. Generator range:
+  * nested records (distinct field names), homogeneous scalar arrays
+  * (including empty), int64 extremes, empty / whitespace / control-char
+  * strings, booleans, nulls. Floats and duplicate field names are NOT
+  * generated — float rendering is pinned by ZngSpec's golden cases, and
+  * duplicate names aren't representable in a Zed record type.
   */
 class ZngPropertySpec extends AnyFunSuite {
 
