@@ -76,10 +76,12 @@ object Bench {
       // measure the GC pressure of earlier ones (r5: text_vocab 0.2s
       // isolated, 3.5s in-suite).
       def reclaim(): Unit = {
+        // NonFatal only: an OOM/linkage error between queries means the JVM
+        // is corrupted and the run's numbers are garbage — let it die.
         try spark.sharedState.cacheManager.clearCache()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
         System.gc() // lets ContextCleaner collect unreferenced broadcasts/RDDs
       }
       val results = selected.map { case (name, fn) =>

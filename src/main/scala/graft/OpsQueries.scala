@@ -832,7 +832,8 @@ object OpsQueries {
         least(col("n_chars") / 400.0, lit(1.0)))
         .select("doc_id", "lang"),
       Some("""SELECT doc_id, lang FROM documents
-             |WHERE md5(CAST(doc_id AS VARCHAR)) <
+             |WHERE least(n_chars / 400.0, 1.0) >= 1.0
+             |   OR md5(CAST(doc_id AS VARCHAR)) <
              |      printf('%08x', CAST(least(floor(least(n_chars / 400.0, 1.0) * 4294967296.0),
              |                                4294967295.0) AS BIGINT))""".stripMargin)),
 
@@ -984,7 +985,7 @@ object OpsQueries {
              |       - len(string_split(text, ' '))) / 1000.0) AS BIGINT) AS pack_id
              |  FROM documents)
              |SELECT source, pack_id, count(*) AS n_docs,
-             |       sum(n_tok) AS pack_tokens,
+             |       CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
              |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS seq_md5
              |FROM packed GROUP BY source, pack_id""".stripMargin))
   )

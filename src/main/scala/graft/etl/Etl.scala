@@ -216,9 +216,13 @@ object Etl {
         (outs, dones, Seq(joined))
     }
 
-    // 4. Merge branches (Q25 union), assign output offsets (Q32,
-    //    etl/pipeline.go:127-164): consecutive per output topic, ordered by
-    //    source kafka meta, continuing from the output pool's max.
+    // 4. Merge branches (Q25 union — rules may emit DIFFERENT value shapes,
+    //    e.g. demo/invoices.yaml's denorm {ID,customer,item,invoice_status}
+    //    next to the update rule's {ID,invoice_status}, so the union widens
+    //    to the nullable superset like the pools themselves do), then assign
+    //    output offsets (Q32, etl/pipeline.go:127-164): consecutive per
+    //    output topic, ordered by source kafka meta, continuing from the
+    //    output pool's max.
     //
     //    Scale note: globally-consecutive numbering is inherently ordered,
     //    but it does NOT need a single-partition window — range-partition by
@@ -227,16 +231,22 @@ object Etl {
     //    driver). The reference holds the whole update in driver memory here
     //    (pipeline.go:87-91, a known TODO); this stays fully distributed and
     //    fully inside the DataFrame plan (no RDD hop, no row conversion).
-    val allOuts = branches.map(_._1).reduce(_ unionByName _)
+    val allOuts = graft.pool.SchemaUnion.unionAll(branches.map(_._1))
     val allDones = branches.map(_._2).reduce(_ unionByName _)
     val branchPersists = branches.flatMap(_._3)
 
     val baseOffset = state.baseOffsets.getOrElse(t.outputTopic, -1L)
+    // Output order is the POOL-KEY order of the source records — kafka.offset
+    // ascending, interleaved across input topics (the reference reads its
+    // input sorted by the lake's kafka.offset pool key, fifo/lake.go:22;
+    // ztests/etl-demo.yaml:52-64 pins it: the denorm record sourced at
+    // Invoices/4 takes the output offset BEFORE the update sourced at
+    // InvoiceStatus/5). Topic is the tie-breaker for determinism.
     // persisted: the offset assignment's count job and the output pass must
     // see identical partitioning, and the upstream pipeline must not run twice
     val sorted = allOuts
-      .repartitionByRange(col("_src_kafka.topic"), col("_src_kafka.offset"))
-      .sortWithinPartitions(col("_src_kafka.topic"), col("_src_kafka.offset"))
+      .repartitionByRange(col("_src_kafka.offset"), col("_src_kafka.topic"))
+      .sortWithinPartitions(col("_src_kafka.offset"), col("_src_kafka.topic"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outTopic = t.outputTopic
     val records = Offsets.assignSequential(sorted, baseOffset + 1, "_offset")
@@ -254,6 +264,9 @@ object Etl {
       lit(null).cast(records.schema("value").dataType).as("value"),
       lit(Envelope.KindDone).as(Envelope.KindCol))
 
-    (records.unionByName(markers), Seq(in, sorted) ++ branchPersists)
+    // superset union, not unionByName: the markers' kafka struct is the
+    // INPUT's shape (which may lack `partition`, e.g. ZSON-loaded fixtures)
+    // while records carry the full {topic,partition,offset}
+    (graft.pool.SchemaUnion.unionAll(Seq(records, markers)), Seq(in, sorted) ++ branchPersists)
   }
 }

@@ -53,7 +53,9 @@ object Curate {
     * quality-weighted corpus construction ("keep high-quality docs with
     * p≈1, boilerplate with p≈0.1"). Same md5-space trick as [[hashSample]]
     * with a per-row threshold: deterministic on any engine/cluster/rerun,
-    * one scan, no shuffle, no RNG state.
+    * one scan, no shuffle, no RNG state. Weights >= 1.0 short-circuit to
+    * always-keep (the 32-bit threshold caps at 'ffffffff', so the strict-<
+    * compare alone would drop ~2^-32 of nominally-certain rows).
     */
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
       salt: String = ""): DataFrame = {
@@ -62,7 +64,7 @@ object Curate {
       lit(4294967295.0)).cast("bigint")
     // hex() is uppercase in Spark, md5() is lowercase — normalize
     val thr = lower(lpad(hex(scaled), 8, "0"))
-    df.filter(md5Key(keyCol, salt) < thr)
+    df.filter(weightCol.cast("double") >= 1.0 || md5Key(keyCol, salt) < thr)
   }
 
   /** Stratified deterministic sample: per-stratum fractions (e.g. keep 50%

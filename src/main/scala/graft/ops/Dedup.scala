@@ -130,7 +130,13 @@ object Dedup {
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // The signature frame is referenced three times below (band keys, s1,
+    // s2); materialize it so the read-texts-ONCE guarantee holds by
+    // construction rather than relying on ReuseExchange canonicalizing the
+    // three subtrees identically (same pattern as dedup_lsh_jaccard's
+    // candidate materialization).
     val sig = minhashSignatureFrame(df, idCol, textCol, n, numPerms)
+      .localCheckpoint(true)
     val cand = candidatePairs(bandKeys(sig, numPerms, bands))
     val s1 = sig.select(col("id").as("d1") +:
       (0 until numPerms).map(p => col(s"m$p").as(s"a$p")): _*)

@@ -52,11 +52,18 @@ final class Pool private (val spark: SparkSession, val root: Path) {
 
   def isEmpty: Boolean = committedSegments().isEmpty
 
-  /** Read the committed pool contents. */
+  /** Read the committed pool contents. Segments may carry different record
+    * shapes (a heterogeneous pool accretes its superset schema one commit at
+    * a time — e.g. Staging after demo batch 3 holds two value shapes), so
+    * the scan merges footers into the by-name superset; this stays ONE
+    * multi-path parquet scan (pushdown + pruning intact), and the footer
+    * pass is metadata-only.
+    */
   def read(): DataFrame = {
     val segs = committedSegments()
     require(segs.nonEmpty, s"pool $root is empty")
-    spark.read.parquet(segs.map(s => root.resolve(s).toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => root.resolve(s).toString): _*)
   }
 
   /** Read, or an empty DataFrame of `schema` when the pool has no commits. */

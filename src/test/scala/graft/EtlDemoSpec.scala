@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Zson
+import graft.etl.{DenormRule, Etl, StatelessRule, ZedEtl}
+import graft.pool.Pool
+
+/** The reference's demo corpus, executed VERBATIM (ztests/etl-demo.yaml):
+  * `demo/batch-1..4.zson` loaded into a Raw pool one batch at a time, the
+  * actual `demo/invoices.yaml` config (Zed rule surface translated by
+  * [[ZedEtl]]) run after each load, and the full Staging contents asserted
+  * against the four golden states in `ztests/etl-demo.yaml:26-88` — records,
+  * output offsets, AND done markers, including the incremental-join
+  * behavior the demo exists to show (Invoices/4 stays unmarked through
+  * batch 2 until its InvoiceStatus partner lands in batch 3).
+  *
+  * Golden comparison is on (kind, topic, offset, key.ID, value fields): the
+  * reference keeps per-record Zed types so its update records carry only
+  * {ID, invoice_status}, while our pools widen to the nullable superset
+  * (SchemaUnion) — absent golden fields compare as null, which is the same
+  * statement the reference's goldens make.
+  */
+class EtlDemoSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private val refDir = Paths.get("/root/reference")
+  private def ref(p: String): String = Files.readString(refDir.resolve(p))
+
+  test("ZedEtl translates the invoices.yaml rule surface into the SQL rule model") {
+    assume(Files.isDirectory(refDir))
+    val cfg = ZedEtl.parse(ref("demo/invoices.yaml"))
+    assert(cfg.inputPool == "Raw" && cfg.outputPool == "Staging")
+    assert(cfg.transform.inputTopics == Seq("Invoices", "InvoiceStatus"))
+    assert(cfg.transform.outputTopic == "NewInvoices")
+    assert(cfg.transform.rules.length == 4)
+
+    val denorm = cfg.transform.rules.head.asInstanceOf[DenormRule]
+    assert(denorm.leftTopic == "Invoices" && denorm.rightTopic == "InvoiceStatus")
+    assert(denorm.where.get.contains("IN ('c', 'r')"))
+    assert(denorm.joinOn.replace("`", "") == "(left.value.after.ID = right.value.after.InvoiceID)")
+    assert(denorm.outKey.replace("`", "") == "left.key")
+    assert(denorm.outValue.startsWith("named_struct('ID'"))
+
+    val statusU = cfg.transform.rules(1).asInstanceOf[StatelessRule]
+    assert(statusU.inTopic == "InvoiceStatus")
+    assert(statusU.where.get.replace("`", "") == "(in.value.op = 'u')")
+
+    // the delete-tombstone rule: cast(null, typeof(…)) → untyped NULL
+    val del = cfg.transform.rules(3).asInstanceOf[StatelessRule]
+    assert(del.outValue == "NULL")
+  }
+
+  test("demo batches 1..4 through invoices.yaml reproduce the etl-demo.yaml goldens") {
+    assume(Files.isDirectory(refDir))
+    val cfg = ZedEtl.parse(ref("demo/invoices.yaml"))
+    val goldens = goldenBlocks(ref("ztests/etl-demo.yaml"))
+    assert(goldens.keySet == Set(1, 2, 3, 4))
+
+    val raw = Pool.create(spark, Files.createTempDirectory("demo-raw").toString)
+    val staging = Pool.create(spark, Files.createTempDirectory("demo-staging").toString)
+
+    // (records, markers) per run: pinned by the goldens' per-batch deltas
+    val expectedCounts = Map(1 -> (2L, 4L), 2 -> (1L, 2L), 3 -> (2L, 3L), 4 -> (3L, 3L))
+
+    for (i <- 1 to 4) {
+      raw.append(loadZson(ref(s"demo/batch-$i.zson")))
+      val counts = Etl.run(spark, raw, staging, cfg.transform)
+      assert(counts == expectedCounts(i), s"batch $i (records, markers)")
+      val actual = normalize(staging.read(), col("_kind"))
+      val expected = normalize(loadZson(goldens(i).mkString("\n")),
+        coalesce(col("_type"), lit("record")))
+      assert(actual == expected, s"Staging contents after batch $i")
+    }
+  }
+
+  /** ZSON text → envelope DataFrame via the engine's own reader (the
+    * `produce` path): ZSON-lite transpile to JSON lines, Spark JSON read.
+    */
+  private def loadZson(zson: String): DataFrame = {
+    val lines = Zson.toJsonLines(zson)
+    val ds = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING)
+    val df = spark.read.json(ds)
+    // golden lines: the (=done) decorator became _type
+    if (lines.exists(_.contains("\"_type\"")))
+      df.withColumn("_kind", expr("coalesce(_type, 'record')"))
+    else df.withColumn("_kind", lit("record"))
+  }
+
+  /** Project both sides to the comparable envelope surface. Fields the
+    * DataFrame's schema lacks (golden done lines have no key/value; golden
+    * update records have no customer/item) read as null — the superset
+    * semantics of the pool itself.
+    */
+  private def normalize(df: DataFrame, kind: Column): Seq[String] = {
+    def has(path: Seq[String], t: StructType = df.schema): Boolean = path match {
+      case Seq(only) => t.fieldNames.contains(only)
+      case head +: tail => t.fields.find(_.name == head).map(_.dataType) match {
+        case Some(s: StructType) => has(tail, s)
+        case _ => false
+      }
+    }
+    def c(path: String): Column =
+      if (has(path.split('.').toSeq)) col(path).cast("string") else lit(null).cast("string")
+    df.select(
+      kind.cast("string"),
+      c("kafka.topic"), c("kafka.offset"),
+      c("key.ID"), c("value.ID"), c("value.customer"), c("value.item"),
+      c("value.invoice_status"))
+      .collect()
+      .map(r => (0 until r.length).map(j => if (r.isNullAt(j)) "∅" else r.getString(j)).mkString("|"))
+      .toSeq.sorted
+  }
+
+  /** The ztest's stdout golden, split into the per-batch `=== i` blocks,
+    * keeping only the ZSON record lines.
+    */
+  private def goldenBlocks(ztestYaml: String): Map[Int, Seq[String]] = {
+    import scala.jdk.CollectionConverters._
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](ztestYaml).asScala
+    val stdout = root("outputs").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+      .asScala.map(_.asScala).find(_.get("name").map(_.toString).contains("stdout")).get
+      .apply("data").toString
+    val blocks = scala.collection.mutable.Map[Int, Vector[String]]()
+    var current = -1
+    stdout.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+      if (line.startsWith("===")) { current = line.stripPrefix("===").trim.toInt; blocks(current) = Vector() }
+      else if (line.startsWith("{") && current > 0) blocks(current) :+= line
+    }
+    blocks.toMap.map { case (k, v) => k -> v.toSeq }
+  }
+}
