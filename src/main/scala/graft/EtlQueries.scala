@@ -144,7 +144,11 @@ object EtlQueries {
     // with offsets continuing where pass 1 stopped.
     "etl_incremental" -> Q(
       (s, d) => {
+        // built once, consumed three times (pass-1 filter, pass-2 filter,
+        // and each append's internal sampling pass) — persist instead of
+        // recomputing the synthesis; the bench harness reclaims leaks
         val env = cdcEnvelopes(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val pass1 = env.filter(
           col("kafka.topic") === "Orders" ||
             (col("kafka.topic") === "Statuses" && col("kafka.offset") % 2 === 0))
@@ -164,6 +168,59 @@ object EtlQueries {
       Some(oraclePrelude +
         """SELECT (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd) AS cnt,
           |       (SELECT count(*) FROM joined) + (SELECT count(*) FROM upd) AS distinct_offsets,
-          |       CAST((SELECT sum(okey) FROM joined) + (SELECT sum(okey) FROM upd) AS BIGINT) AS sum_id""".stripMargin))
+          |       CAST((SELECT sum(okey) FROM joined) + (SELECT sum(okey) FROM upd) AS BIGINT) AS sum_id""".stripMargin)),
+
+    // The reference's documented multi-operator pipeline (demo/etl.zed:1-18,
+    // design.md's pending-transaction walkthrough), composed end-to-end:
+    // const ID maps (Q26) + ordered collect(this) by txn (Q17) + or(done)
+    // gate + records[0]/records[1] arithmetic (Q27/Q30). Each txn is two CDC
+    // records — seqno 1 carries the order row, seqno 2 carries the price row
+    // and the done flag; every 7th txn stays pending and must be gated out.
+    "etl_demo_menu" -> Q(
+      (s, d) => {
+        val orders = Tables.load(s, d, "orders")
+        val customers = array(lit("jane"), lit("bob"), lit("sarah"))
+        val products = array(lit("burrito"), lit("taco"), lit("chips"))
+        val rec1 = orders.select(
+          col("o_orderkey").as("txn"), lit(1L).as("seqno"), lit(false).as("done"),
+          struct(
+            element_at(customers, (col("o_custkey") % 3 + 1).cast("int")).as("customer"),
+            element_at(products, (col("o_orderkey") % 3 + 1).cast("int")).as("product"),
+            (col("o_orderkey") % 5 + 1).cast("long").as("qty"),
+            lit(null).cast("double").as("price")).as("row"))
+        val rec2 = orders.select(
+          col("o_orderkey").as("txn"), lit(2L).as("seqno"),
+          (col("o_orderkey") % 7 =!= 0).as("done"),
+          struct(
+            lit(null).cast("string").as("customer"), lit(null).cast("string").as("product"),
+            lit(null).cast("long").as("qty"), col("o_totalprice").as("price")).as("row"))
+        // etl.zed's const |{...}| maps as map literals, indexed by name
+        val customerIDs = map(lit("jane"), lit(1), lit("bob"), lit(2), lit("sarah"), lit(3))
+        val menuIDs = map(lit("burrito"), lit(100), lit("taco"), lit(200), lit("chips"), lit(300))
+        val rec = col("records")
+        rec1.unionByName(rec2)
+          .groupBy(col("txn"))
+          .agg(
+            // collect(this) ordered by seqno — array_sort on (seqno, row)
+            // structs, so records[0]/records[1] are deterministic
+            array_sort(collect_list(struct(col("seqno"), col("row")))).as("records"),
+            expr("bool_or(done)").as("done"))
+          .filter(col("done") === true)
+          .select(
+            col("txn"),
+            element_at(customerIDs, rec(0)("row")("customer")).as("customerID"),
+            element_at(menuIDs, rec(0)("row")("product")).as("menuID"),
+            rec(0)("row")("qty").as("qty"),
+            (rec(0)("row")("qty") * rec(1)("row")("price")).cast("double").as("total"))
+      },
+      // The oracle states the WHAT: the maps invert the synthesized names
+      // (customers[i]→i, products[i]→i*100), so the expected output is a
+      // direct per-order projection gated on the done flag.
+      Some("""SELECT o_orderkey AS txn,
+             |       CAST((o_custkey % 3) + 1 AS INTEGER) AS customerID,
+             |       CAST(((o_orderkey % 3) + 1) * 100 AS INTEGER) AS menuID,
+             |       CAST((o_orderkey % 5) + 1 AS BIGINT) AS qty,
+             |       CAST(((o_orderkey % 5) + 1) * o_totalprice AS DOUBLE) AS total
+             |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin))
   )
 }

@@ -1,0 +1,75 @@
+package graft.codec
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.cli.Zng
+import graft.pool.Envelope
+
+/** ZNG as a TOPIC codec (the third wire codec next to C1 Confluent-Avro and
+  * C5/C6 Connect-JSON): the reference's native binary interchange framed one
+  * record per Kafka message value. `produce`/`consume` already speak ZNG at
+  * the file boundary (cli/Zng.scala); this lifts the same reader/writer into
+  * the [[graft.streaming.StreamSync]] decode/encode seam so
+  * `fromTopics`/`etlPipeline`/`toTopic` can sync ZNG-valued topics.
+  *
+  * Shape note: the codec is a per-row JVM transcode (ZNG bytes ↔ JSON text)
+  * feeding Spark's codegen'd `from_json`/`to_json` — the right tool at the
+  * IO boundary, same placement as the Multimodal decoders: codec work can't
+  * be a Catalyst expression tree, and it runs exactly once per wire record,
+  * off the relational hot path. Corrupt or unexpectedly-framed values (a
+  * message holding zero or many ZNG records, or undecodable bytes) decode
+  * to null rather than failing the stream — the quarantine convention used
+  * across the engine's decoders.
+  */
+object ZngCodec {
+
+  /** One ZNG-framed record → its JSON text (null = corrupt/misframed). */
+  val zngToJson: UserDefinedFunction = udf((bytes: Array[Byte]) =>
+    if (bytes == null) null
+    else
+      try Zng.readJsonLines(bytes) match {
+        case Seq(one) => one
+        case _ => null // zero or many records in one message value
+      }
+      catch { case scala.util.control.NonFatal(_) => null })
+
+  /** One JSON record → ZNG-framed bytes. */
+  val jsonToZng: UserDefinedFunction = udf((json: String) =>
+    if (json == null) null else Zng.write(Seq(json)))
+
+  /** Decode hook for `StreamSync.fromTopics`/`etlPipeline`: wire batches
+    * whose `value` (and optionally `key`) bytes are ZNG-framed records →
+    * envelope batches typed by the given schemas.
+    */
+  def decoder(valueSchema: StructType, keySchema: Option[StructType] = None)
+      : DataFrame => DataFrame = { batch =>
+    batch.select(
+      struct(col("topic"), col("partition"), col("offset")).as("kafka"),
+      keySchema.map(ks => from_json(zngToJson(col("key")), ks))
+        .getOrElse(lit(null).cast("string")).as("key"),
+      from_json(zngToJson(col("value")), valueSchema).as("value"),
+      lit(Envelope.KindRecord).as(Envelope.KindCol))
+  }
+
+  /** Encode hook for `StreamSync.toTopic`: envelope rows → wire rows with
+    * ZNG-framed value (and key, when present) bytes. `ignoreNullFields` is
+    * off so a round-trip preserves null-valued fields instead of silently
+    * dropping them from the record type.
+    */
+  val encoder: DataFrame => DataFrame = { df =>
+    val jsonOpts = Map("ignoreNullFields" -> "false")
+    val keyCol =
+      if (df.schema.fieldNames.contains("key") &&
+        df.schema("key").dataType.isInstanceOf[StructType])
+        jsonToZng(to_json(col("key"), jsonOpts))
+      else lit(null).cast("binary")
+    df.select(
+      col("kafka.topic").as("topic"),
+      col("kafka.partition").as("partition"),
+      col("kafka.offset").as("offset"),
+      keyCol.as("key"),
+      jsonToZng(to_json(col("value"), jsonOpts)).as("value"))
+  }
+}

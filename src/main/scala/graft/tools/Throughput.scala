@@ -53,7 +53,11 @@ object Throughput {
     decoded.write.mode("overwrite").format("noop").save()
     val decSec = (System.nanoTime() - t3) / 1e9
 
-    println(f"""{"records":$count,"commit_sec":$commitSec%.2f,"presorted_commit_sec":$fastSec%.2f,"records_per_sec":${(count / commitSec).toLong},"avro_encode_sec":$encSec%.2f,"avro_encode_rps":${(n / encSec).toLong},"avro_decode_sec":$decSec%.2f,"avro_decode_rps":${(n / decSec).toLong}}""")
+    val json = f"""{"records":$count,"commit_sec":$commitSec%.2f,"presorted_commit_sec":$fastSec%.2f,"records_per_sec":${(count / commitSec).toLong},"avro_encode_sec":$encSec%.2f,"avro_encode_rps":${(n / encSec).toLong},"avro_decode_sec":$decSec%.2f,"avro_decode_rps":${(n / decSec).toLong}}"""
+    println(json)
+    // optional sidecar (second arg): the per-round THROUGHPUT.json artifact
+    args.drop(1).headOption.foreach(path =>
+      Files.writeString(java.nio.file.Paths.get(path), json + "\n"))
     spark.stop()
   }
 }

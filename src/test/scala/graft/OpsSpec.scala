@@ -524,4 +524,35 @@ class OpsSpec extends AnyFunSuite {
       ("s1", 1L) -> 0L, ("s1", 2L) -> 0L, ("s1", 3L) -> 0L,
       ("s1", 4L) -> 1L, ("s2", 9L) -> 0L))
   }
+
+  test("minhash production preset (128 perms, 32 bands): recall and precision on planted near-dups") {
+    // The oracle queries run the coarse 16-perm preset; production near-dup
+    // at ~0.8 thresholds runs 128 perms / 32 bands (4-row bands: catch
+    // probability 1-(1-J⁴)³² ≈ 1-2e-8 at J≈0.8). This pins that knob with a
+    // measured point: 60 planted near-dup pairs at true Jaccard 25/31≈0.81
+    // (30-word docs, last 3 words replaced → 3 of 28 trigram shingles
+    // changed), disjoint vocabularies otherwise so any cross pair is a
+    // false positive. The md5 permutations are deterministic, so this is a
+    // fixed measurement, not a flaky sample.
+    val base = (0 until 60).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" ")))
+    val dups = (0 until 60).map(i =>
+      (1000L + i,
+        ((0 until 27).map(j => s"w${i}_$j") ++ (0 until 3).map(j => s"x${i}_$j")).mkString(" ")))
+    val df = spark.createDataFrame(base ++ dups).toDF("doc_id", "text")
+
+    val pairs = Dedup.minhashEstimatePairs(df, "doc_id", "text",
+      n = 3, numPerms = 128, bands = 32, threshold = 0.5).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = (0 until 60).map(i => (i.toLong, 1000L + i)).toSet
+
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.95, s"recall $recall over ${truth.size} planted pairs")
+    assert(found.subsetOf(truth), s"false positives: ${found.diff(truth)}")
+    // 128-perm estimates concentrate near the true Jaccard (std err ≈0.035)
+    pairs.foreach { r =>
+      val est = r.getDouble(2)
+      assert(est > 0.65 && est < 0.95, s"estimate $est far from true 0.81")
+    }
+  }
 }
