@@ -221,6 +221,36 @@ object EtlQueries {
              |       CAST(((o_orderkey % 3) + 1) * 100 AS INTEGER) AS menuID,
              |       CAST((o_orderkey % 5) + 1 AS BIGINT) AS qty,
              |       CAST(((o_orderkey % 5) + 1) * o_totalprice AS DOUBLE) AS total
-             |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin))
+             |FROM orders WHERE o_orderkey % 7 <> 0""".stripMargin)),
+
+    // The Zed SCRIPT compiler driver-checked end-to-end (ZedScript also runs
+    // the reference's own demo scripts verbatim in ZedScriptSpec): const map
+    // literal, filter, cut, ordered collect-by with subscripted access
+    // (docs[0], docs[n-1]), and arithmetic over aggregates.
+    "zed_script_pipeline" -> Q(
+      (s, d) => graft.query.ZedScript.run(s,
+        """const langBoost = |{"en": 2,"fr": 3}|
+          |from documents
+          || n_chars >= 200
+          || cut doc_id, n_chars, lang
+          || docs:=collect(this),n:=count(),max_chars:=max(n_chars) by lang
+          || yield {
+          |    lang: lang,
+          |    n: n,
+          |    boost: langBoost[lang],
+          |    first_doc: docs[0].doc_id,
+          |    last_chars: docs[n - 1].n_chars,
+          |    score: max_chars * langBoost[lang]
+          |  }""".stripMargin,
+        { case "documents" => (Tables.load(s, d, "documents"), Seq("doc_id"))
+          case other => throw new IllegalArgumentException(s"unknown pool $other") }),
+      Some("""WITH f AS (SELECT doc_id, n_chars, lang FROM documents WHERE n_chars >= 200)
+             |SELECT lang,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 3 END AS boost,
+             |       min(doc_id) AS first_doc,
+             |       arg_max(n_chars, doc_id) AS last_chars,
+             |       CAST(max(n_chars) * (CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 3 END) AS BIGINT) AS score
+             |FROM f GROUP BY lang""".stripMargin))
   )
 }

@@ -34,4 +34,17 @@ object Shaper {
 
   /** Functional shaper variant — zero-cost composition into the plan. */
   def shape(df: DataFrame, f: DataFrame => DataFrame): DataFrame = f(df)
+
+  /** Zed-program shaper — the reference's native shaper surface
+    * (cli/shaper.go:8-22 takes a Zed script, applied per batch in either
+    * sync direction). The script is a source-less stage pipeline compiled by
+    * [[ZedScript]]; like the SQL form, the compiled stages fuse into the
+    * surrounding plan under Catalyst. `order` is the bound input's stream
+    * order (envelope batches arrive offset-ordered), needed only by
+    * `collect`.
+    */
+  def shapeZed(df: DataFrame, zed: String,
+      order: Seq[String] = Seq("kafka.offset"),
+      kindCol: String = "_kind"): DataFrame =
+    ZedScript.transform(df, zed, order, kindCol)
 }

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cli.Zson
+import graft.etl.{Etl, ZedEtl}
+import graft.pool.Pool
+import graft.query.ZedScript
+
+/** The reference's demo Zed scripts, executed VERBATIM through the
+  * [[ZedScript]] compiler against the reference's own fixtures, asserted
+  * against the outputs its design doc documents:
+  *
+  *  - `demo/etl.zed` over `demo/consume-1.zson` → design.md:292-294:
+  *    `{customerID:1,menuID:200,qty:2,total:3.98}`
+  *  - `demo/update.zed` over consume-1+2 and `demo/staging-1.zson` →
+  *    design.md:355-358: exactly the two records of pending txn 10001
+  *  - `demo/update-etl.zed` over the same → design.md:362-363:
+  *    `{customerID:2,menuID:100,qty:1,total:5.99}`
+  *  - `demo/pending.zed` over the invoices Raw/Staging pools mid-demo →
+  *    exactly the unprocessed record (Invoices/4, "Dan") that
+  *    ztests/etl-demo.yaml shows held back after batch 2
+  */
+class ZedScriptSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private val refDir = Paths.get("/root/reference")
+  private def ref(p: String): String = Files.readString(refDir.resolve(p))
+
+  private def loadZson(zson: String): DataFrame = {
+    val lines = Zson.toJsonLines(zson)
+    spark.read.json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+  }
+
+  /** The design-doc pools: raw/staging ordered by seqno, ZSON `_type`
+    * discriminator.
+    */
+  private def designPools(raw: DataFrame, staging: Option[DataFrame])
+      : String => (DataFrame, Seq[String]) = {
+    case "raw" => (raw, Seq("seqno"))
+    case "staging" => (staging.getOrElse(fail("script asked for staging")), Seq("seqno"))
+    case other => fail(s"script asked for unknown pool $other")
+  }
+
+  test("demo/etl.zed verbatim over consume-1: the documented aggregate-and-yield result") {
+    assume(Files.isDirectory(refDir))
+    val raw = loadZson(ref("demo/consume-1.zson"))
+    val out = ZedScript.run(spark, ref("demo/etl.zed"),
+      designPools(raw, None), kindCol = "_type")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Int]("customerID") == 1)
+    assert(r.getAs[Int]("menuID") == 200)
+    assert(r.getAs[Long]("qty") == 2L)
+    assert(r.getAs[Double]("total") == 2 * 1.99) // design.md: total:3.98
+  }
+
+  test("demo/update.zed verbatim: anti join isolates the pending transaction's records") {
+    assume(Files.isDirectory(refDir))
+    val raw = loadZson(ref("demo/consume-1.zson") + "\n" + ref("demo/consume-2.zson"))
+    val staging = loadZson(ref("demo/staging-1.zson"))
+    val out = ZedScript.run(spark, ref("demo/update.zed"),
+      designPools(raw, Some(staging)), kindCol = "_type")
+    val rows = out.orderBy(col("seqno")).collect()
+    // design.md:355-358: seqno 3 already processed; 2 and 4 remain
+    assert(rows.map(_.getAs[Long]("seqno")).toSeq == Seq(2L, 4L))
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("value")
+      .getAs[org.apache.spark.sql.Row]("row").getAs[String]("customer") == "bob")
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("value")
+      .getAs[org.apache.spark.sql.Row]("row").getAs[String]("product") == "burrito")
+  }
+
+  test("demo/update-etl.zed verbatim: anti join + ETL yields the documented update") {
+    assume(Files.isDirectory(refDir))
+    val raw = loadZson(ref("demo/consume-1.zson") + "\n" + ref("demo/consume-2.zson"))
+    val staging = loadZson(ref("demo/staging-1.zson"))
+    val out = ZedScript.run(spark, ref("demo/update-etl.zed"),
+      designPools(raw, Some(staging)), kindCol = "_type")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Int]("customerID") == 2)
+    assert(r.getAs[Int]("menuID") == 100)
+    assert(r.getAs[Long]("qty") == 1L)
+    assert(r.getAs[Double]("total") == 1 * 5.99) // design.md: total:5.99
+  }
+
+  test("Zed-program shaper: source-less pipeline shapes a bound batch") {
+    import graft.query.Shaper
+    val df = spark.createDataFrame(Seq(
+      (1L, "a", 10L), (2L, "b", 4L), (3L, "a", 7L), (4L, "c", 99L)))
+      .toDF("offset", "k", "v")
+    val shaped = Shaper.shapeZed(df,
+      """v >= 5
+        || total:=sum(v),n:=count() by k
+        || yield { k: k, avg: total / n }""".stripMargin,
+      order = Seq("offset"))
+    val got = shaped.collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(got.keySet == Set("a", "c"))
+    assert(got("a") == 8.5 || got("a") == 8L) // sum/count division semantics
+    // a script with a `from` must be rejected as a shaper
+    val e = intercept[IllegalArgumentException](
+      Shaper.shapeZed(df, "from documents | v >= 5"))
+    assert(e.getMessage.contains("cannot open"))
+  }
+
+  test("demo/pending.zed verbatim over the invoices pools finds the held-back record") {
+    assume(Files.isDirectory(refDir))
+    // rebuild the etl-demo state after batch 2: Invoices/4 (Dan) is loaded
+    // but unprocessable until its InvoiceStatus partner arrives in batch 3
+    val cfg = ZedEtl.parse(ref("demo/invoices.yaml"))
+    val raw = Pool.create(spark, Files.createTempDirectory("pending-raw").toString)
+    val staging = Pool.create(spark, Files.createTempDirectory("pending-staging").toString)
+    for (i <- 1 to 2) {
+      raw.append(loadZson(ref(s"demo/batch-$i.zson")).withColumn("_kind", lit("record")))
+      Etl.run(spark, raw, staging, cfg.transform)
+    }
+    val out = ZedScript.run(spark, ref("demo/pending.zed"),
+      {
+        case "Raw" => (raw.read(), Seq("kafka.offset"))
+        case "Staging" => (staging.read(), Seq("kafka.offset"))
+        case other => fail(s"script asked for unknown pool $other")
+      },
+      kindCol = "_kind")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[org.apache.spark.sql.Row]("kafka").getAs[String]("topic") == "Invoices")
+    assert(r.getAs[org.apache.spark.sql.Row]("kafka").getAs[Long]("offset") == 4L)
+    assert(r.getAs[org.apache.spark.sql.Row]("value")
+      .getAs[org.apache.spark.sql.Row]("after").getAs[String]("customer") == "Dan")
+  }
+}
