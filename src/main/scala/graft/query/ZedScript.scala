@@ -44,17 +44,37 @@ object ZedScript {
   private final case class SortS(keys: Seq[String]) extends Stage
   private final case class CutS(fields: Seq[String]) extends Stage
   private final case class YieldS(fields: Seq[(String, String)]) extends Stage
+  /** `yield <record-typed expr>` — the record becomes the top-level row. */
+  private final case class YieldExprS(sql: String) extends Stage
+  /** `yield cast({…}, name)` — record fields + the type tag in the
+    * discriminator column (the engine's convention for `(=name)`).
+    */
+  private final case class YieldTypedS(fields: Seq[(String, String)], typeName: String) extends Stage
   private final case class AggS(aggs: Seq[(String, String, Option[String])], // (name, fn, argSql)
       by: Seq[(String, String)]) extends Stage
+  /** `path := expr, …` — Zed put: set/replace (possibly nested) fields. */
+  private final case class PutS(assigns: Seq[(Seq[String], String)]) extends Stage
+  private final case class HeadS(n: Int) extends Stage
+  private final case class TailS(n: Int) extends Stage
   private final case class AntiJoinS(leftKey: String, rightKey: String) extends Stage
+  /** inner `join on l=r name:=expr, …` — left row + assignments (RHS
+    * resolves over the joined row; the canonical use is `right:=right`).
+    */
+  private final case class JoinS(leftKey: String, rightKey: String,
+      assigns: Seq[(String, String)]) extends Stage
   private final case class ForkS(legs: Seq[Pipe]) extends Stage
+  /** `switch ( case e => … default => … )` — strict first-match routing
+    * (build.go:92-107 parity), outputs union through the superset schema.
+    */
+  private final case class SwitchS(cases: Seq[(Option[String], Pipe)]) extends Stage
 
   sealed trait From
   private final case class FromPool(name: String) extends From
   private final case class FromLegs(legs: Seq[(String, Seq[Stage])]) extends From
 
   final case class Pipe private[ZedScript] (source: Option[From], stages: Seq[Stage])
-  final case class Script private[ZedScript] (consts: Map[String, String], pipe: Pipe)
+  final case class Script private[ZedScript] (consts: Map[String, String], pipe: Pipe,
+      kindCol: String)
 
   private val aggFns = Map(
     "collect" -> "collect", "max" -> "max", "min" -> "min", "sum" -> "sum",
@@ -73,23 +93,38 @@ object ZedScript {
   def parse(text: String, kindCol: String = "_kind"): Script = {
     val c = new Cursor(text)
     var consts = Map.empty[String, String]
-    while (c.peek("const")) {
-      c.eat("const")
-      val name = c.ident()
-      c.ws(); c.expect('=')
-      c.ws()
-      val sql =
-        if (c.peekChar == '|') mapLiteral(c)
-        else ZedExpr.sql(c.expr(Env(None, consts, kindCol)))
-      consts += name -> sql
-      c.ws()
-      if (!c.eof && c.s.charAt(c.i) == ';') c.i += 1
+    var types = Set.empty[String]
+    var decls = true
+    while (decls) {
+      if (c.peek("const")) {
+        c.eat("const")
+        val name = c.ident()
+        c.ws(); c.expect('=')
+        c.ws()
+        val sql =
+          if (c.peekChar == '|') mapLiteral(c)
+          else ZedExpr.sql(c.expr(Env(None, consts, kindCol, types)))
+        consts += name -> sql
+        c.ws()
+        if (!c.eof && c.s.charAt(c.i) == ';') c.i += 1
+      } else if (c.peek("type")) {
+        // `type done = {…}` — the shape is structural metadata the engine
+        // derives from data; only the NAME matters (cast targets, is() tests)
+        c.eat("type")
+        val name = c.ident()
+        c.ws(); c.expect('=')
+        c.ws()
+        c.record(Env(None, consts, kindCol, types)) // consume the type body
+        types += name
+        c.ws()
+        if (!c.eof && c.s.charAt(c.i) == ';') c.i += 1
+      } else decls = false
     }
-    val env = Env(None, consts, kindCol)
+    val env = Env(None, consts, kindCol, types)
     val pipe = parsePipe(c, env)
     c.ws()
     if (!c.eof) err(s"trailing content after script: ${c.rest}")
-    Script(consts, pipe)
+    Script(consts, pipe, kindCol)
   }
 
   /** ZSON map literal `|{ "k": v, … }|` → SQL `map('k', v, …)`. */
@@ -183,8 +218,26 @@ object ZedScript {
       if (!c.eat("join") || !c.eat("on")) err(s"expected `join on` after anti at …${c.rest}")
       val l = c.pathName(); c.ws(); c.expect('='); val r = c.pathName()
       AntiJoinS(l, r)
-    } else if (c.peek("join")) {
-      err("inner `join … right:=…` is not in the executed script surface (use the ETL rule model for denorm joins)")
+    } else if (c.eat("join")) {
+      if (!c.eat("on")) err(s"expected `on` after join at …${c.rest}")
+      val l = c.pathName(); c.ws(); c.expect('='); val r = c.pathName()
+      // trailing assignments: `right:=right`, comma-separated
+      val assigns = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      var more = true
+      while (more) {
+        val m = c.mark
+        more = try {
+          val name = c.ident()
+          c.ws()
+          if (c.s.startsWith(":=", c.i)) {
+            c.i += 2
+            assigns += name -> ZedExpr.sql(c.expr(env))
+            c.ws()
+            if (c.peekChar == ',') { c.i += 1; true } else false
+          } else { c.reset(m); false }
+        } catch { case _: IllegalArgumentException => c.reset(m); false }
+      }
+      JoinS(l, r, assigns.toSeq)
     } else if (c.eat("fork")) {
       c.ws(); c.expect('(')
       val legs = scala.collection.mutable.ArrayBuffer[Pipe]()
@@ -193,19 +246,38 @@ object ZedScript {
       c.expect(')')
       if (legs.isEmpty) err("fork with no legs")
       ForkS(legs.toSeq)
-    } else if (c.peek("switch")) {
-      err("switch is not in the executed script surface")
-    } else if (c.peek("head") || c.peek("tail")) {
-      err("head/tail are not in the executed script surface")
+    } else if (c.eat("switch")) {
+      c.ws(); c.expect('(')
+      val cases = scala.collection.mutable.ArrayBuffer[(Option[String], Pipe)]()
+      c.ws()
+      var more = true
+      while (more) {
+        if (c.eat("case")) {
+          val pred = ZedExpr.sql(c.expr(env))
+          if (!c.eat("=>")) err(s"expected `=>` after case predicate at …${c.rest}")
+          cases += Some(pred) -> parsePipe(c, env)
+        } else if (c.eat("default")) {
+          if (!c.eat("=>")) err(s"expected `=>` after default at …${c.rest}")
+          cases += None -> parsePipe(c, env)
+        } else more = false
+        c.ws()
+      }
+      c.expect(')')
+      if (cases.isEmpty) err("switch with no cases")
+      SwitchS(cases.toSeq)
+    } else if (c.eat("head")) {
+      HeadS(optionalCount(c))
+    } else if (c.eat("tail")) {
+      TailS(optionalCount(c))
     } else {
-      // assignment stage (aggregation) or filter expression
+      // assignment stage (aggregation or put) or filter expression
       val m = c.mark
       val isAssign = try {
         c.pathName(); c.ws()
         c.s.startsWith(":=", c.i)
       } catch { case _: IllegalArgumentException => false }
       c.reset(m)
-      if (isAssign) parseAgg(c, env)
+      if (isAssign) parseAssign(c, env)
       else {
         var e = c.expr(env)
         while (startsFilterTerm(c))
@@ -215,11 +287,48 @@ object ZedScript {
     }
   }
 
-  private def parseYield(c: Cursor, env: Env): YieldS = {
+  /** `a:=…, b:=…` — Zed overloads `:=` for aggregation (RHS is an aggregate
+    * call, optional `by`) and put (anything else); the first RHS decides,
+    * and the whole stage must agree.
+    */
+  private def parseAssign(c: Cursor, env: Env): Stage = {
+    val m = c.mark
+    c.pathName(); c.ws(); c.i += 2 // skip to first RHS
+    val isAgg = try {
+      val fn = c.ident(); c.ws()
+      c.i < c.s.length && c.s.charAt(c.i) == '(' && aggFns.contains(fn)
+    } catch { case _: IllegalArgumentException => false }
+    c.reset(m)
+    if (isAgg) parseAgg(c, env)
+    else {
+      val assigns = scala.collection.mutable.ArrayBuffer[(Seq[String], String)]()
+      var more = true
+      while (more) {
+        val target = c.pathName()
+        c.ws()
+        if (!c.s.startsWith(":=", c.i)) err(s"expected `:=` in put at …${c.rest}")
+        c.i += 2
+        assigns += target.split('.').toSeq -> ZedExpr.sql(c.expr(env))
+        c.ws()
+        if (c.peekChar == ',') c.i += 1 else more = false
+      }
+      PutS(assigns.toSeq)
+    }
+  }
+
+  private def optionalCount(c: Cursor): Int = {
+    c.ws()
+    if (c.i < c.s.length && c.s.charAt(c.i).isDigit) c.number().toInt else 1
+  }
+
+  private def parseYield(c: Cursor, env: Env): Stage = {
     c.ws()
     c.expr(env) match {
       case ZedExpr.Rec(fields) => YieldS(fields.map { case (n, e) => n -> ZedExpr.sql(e) })
-      case _ => err("yield supports record literals (the executed script surface)")
+      case ZedExpr.TypedRec(ZedExpr.Rec(fields), name) =>
+        YieldTypedS(fields.map { case (n, e) => n -> ZedExpr.sql(e) }, name)
+      case ZedExpr.TypedRec(rec, name) => YieldTypedS(Seq("_y" -> ZedExpr.sql(rec)), name)
+      case e => YieldExprS(ZedExpr.sql(e)) // a record-typed expr becomes the row
     }
   }
 
@@ -289,7 +398,7 @@ object ZedScript {
       pools: String => (DataFrame, Seq[String]),
       kindCol: String = "_kind"): DataFrame = {
     val script = parse(text, kindCol)
-    runPipe(spark, script.pipe, None, pools).df
+    runPipe(spark, script.pipe, None, pools, kindCol).df
   }
 
   /** Apply a source-less Zed pipeline (stages only, no `from`) to a bound
@@ -303,10 +412,11 @@ object ZedScript {
     if (script.pipe.source.isDefined)
       err("a shaper script shapes its bound input — it cannot open a `from`")
     runPipe(df.sparkSession, script.pipe, Some(Flow(df, order)),
-      name => err(s"a shaper script cannot read pool $name")).df
+      name => err(s"a shaper script cannot read pool $name"), kindCol).df
   }
 
-  private def source(from: From, pools: String => (DataFrame, Seq[String])): Seq[Flow] =
+  private def source(from: From, pools: String => (DataFrame, Seq[String]),
+      kindCol: String): Seq[Flow] =
     from match {
       case FromPool(name) =>
         val (df, ord) = pools(name)
@@ -314,15 +424,20 @@ object ZedScript {
       case FromLegs(legs) =>
         legs.map { case (name, stages) =>
           val (df, ord) = pools(name)
-          stages.foldLeft(Flow(df, ord))(applyStage)
+          stages.foldLeft(Flow(df, ord))(applyStage(_, _, kindCol))
         }
     }
 
   private def runPipe(spark: SparkSession, pipe: Pipe, input: Option[Flow],
-      pools: String => (DataFrame, Seq[String])): Flow = {
+      pools: String => (DataFrame, Seq[String]), kindCol: String): Flow = {
     var state: Seq[Flow] = pipe.source match {
-      case Some(f) => source(f, pools)
+      case Some(f) => source(f, pools, kindCol)
       case None => input.toSeq
+    }
+    def single(): Flow = state match {
+      case Seq(one) => one
+      case Seq() => err("stage has no input (script without a from?)")
+      case many => Flow(unionFlows(many), Seq.empty)
     }
     pipe.stages.foreach {
       case AntiJoinS(l, r) =>
@@ -332,21 +447,44 @@ object ZedScript {
         val joined = left.df.alias("_zl").join(right.df.alias("_zr"),
           col(s"_zl.$l") === col(s"_zr.$r"), "left_anti")
         state = Seq(Flow(joined, left.order))
+      case JoinS(l, r, assigns) =>
+        if (state.length != 2)
+          err(s"join needs a two-legged input, got ${state.length} leg(s)")
+        val Seq(left, right) = state
+        val joined = left.df.alias("_zl").join(right.df.alias("_zr"),
+          col(s"_zl.$l") === col(s"_zr.$r"), "inner")
+        val out = joined.select(
+          col("_zl.*") +: assigns.map { case (n, sql) => expr(sql).as(n) }: _*)
+        state = Seq(Flow(out, left.order))
       case ForkS(legs) =>
         val in = state match {
           case Seq(one) => Some(one)
           case Seq() => None
           case many => Some(Flow(unionFlows(many), Seq.empty))
         }
-        val outs = legs.map(leg => runPipe(spark, leg, in, pools))
+        // legs stay separate: a following (anti) join pairs them like Zed's
+        // two-legged from; any other consumer unions through the superset
+        state = legs.map(leg => runPipe(spark, leg, in, pools, kindCol))
+      case SwitchS(cases) =>
+        val in = single()
+        // strict first-match routing: each case's input excludes every
+        // earlier case's matches (build.go:92-107 parity)
+        val preds = cases.collect { case (Some(p), _) => p }
+        var earlier = Seq.empty[String]
+        val outs = cases.map { case (pred, leg) =>
+          val cond = pred match {
+            case Some(p) =>
+              val self = expr(p)
+              earlier = earlier :+ p
+              earlier.init.foldLeft(self)((acc, e) => acc && !coalesce(expr(e), lit(false)))
+            case None =>
+              preds.map(e => !coalesce(expr(e), lit(false))).reduceOption(_ && _).getOrElse(lit(true))
+          }
+          runPipe(spark, leg, Some(Flow(in.df.filter(cond), in.order)), pools, kindCol)
+        }
         state = Seq(Flow(unionFlows(outs), Seq.empty))
       case st =>
-        val one = state match {
-          case Seq(one) => one
-          case Seq() => err("stage has no input (script without a from?)")
-          case many => Flow(unionFlows(many), Seq.empty)
-        }
-        state = Seq(applyStage(one, st))
+        state = Seq(applyStage(single(), st, kindCol))
     }
     state match {
       case Seq(one) => one
@@ -357,7 +495,7 @@ object ZedScript {
   private def unionFlows(flows: Seq[Flow]): DataFrame =
     SchemaUnion.unionAll(flows.map(_.df))
 
-  private def applyStage(f: Flow, st: Stage): Flow = st match {
+  private def applyStage(f: Flow, st: Stage, kindCol: String): Flow = st match {
     case FilterS(sql) => Flow(f.df.where(expr(sql)), f.order)
     case SortS(keys) => Flow(f.df.orderBy(keys.map(expr): _*), keys)
     case CutS(fields) =>
@@ -369,14 +507,37 @@ object ZedScript {
         f.order.filter(o => kept.contains(o.replace("`", ""))))
     case YieldS(fields) =>
       Flow(f.df.select(fields.map { case (n, sql) => expr(sql).as(n) }: _*), Seq.empty)
+    case YieldTypedS(fields, typeName) =>
+      val base = fields match {
+        case Seq(("_y", sql)) => f.df.select(expr(sql).as("_y")).select("_y.*")
+        case fs => f.df.select(fs.map { case (n, sql) => expr(sql).as(n) }: _*)
+      }
+      Flow(base.withColumn(kindCol, lit(typeName)), Seq.empty)
+    case YieldExprS(sql) =>
+      // the record value becomes the top-level row
+      Flow(f.df.select(expr(sql).as("_y")).select("_y.*"), Seq.empty)
+    case PutS(assigns) =>
+      val out = assigns.foldLeft(f.df) {
+        case (df, (Seq(name), sql)) => df.withColumn(name, expr(sql))
+        case (df, (head +: rest, sql)) =>
+          df.withColumn(head, col(head).withField(rest.mkString("."), expr(sql)))
+        case (df, (Seq(), _)) => df
+      }
+      Flow(out, f.order)
+    case HeadS(n) => Flow(f.df.limit(n), f.order)
+    case TailS(n) =>
+      if (f.order.isEmpty)
+        err("tail needs a defined stream order — `sort` upstream or read from an ordered pool")
+      val lastN = f.df.orderBy(f.order.map(o => expr(o).desc): _*).limit(n)
+      Flow(lastN.orderBy(f.order.map(expr): _*), f.order)
     case AggS(aggs, by) =>
       val aggCols = aggs.map { case (name, fn, arg) => aggColumn(f, fn, arg).as(name) }
       val grouped =
         if (by.isEmpty) f.df.groupBy()
         else f.df.groupBy(by.map { case (n, sql) => expr(sql).as(n) }: _*)
       Flow(grouped.agg(aggCols.head, aggCols.tail: _*), Seq.empty)
-    case AntiJoinS(_, _) | ForkS(_) =>
-      err("join/fork reached single-flow stage application (parser invariant)")
+    case AntiJoinS(_, _) | JoinS(_, _, _) | ForkS(_) | SwitchS(_) =>
+      err("join/fork/switch reached single-flow stage application (parser invariant)")
   }
 
   private def aggColumn(f: Flow, fn: String, arg: Option[String]): Column = fn match {

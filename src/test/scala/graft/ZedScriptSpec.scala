@@ -107,6 +107,100 @@ class ZedScriptSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot open"))
   }
 
+  test("README shape.zed verbatim: put with scalar functions shapes the record") {
+    import graft.query.Shaper
+    // the reference's documented shaper one-liner (README.md:77-79)
+    val shapeZed = """value:={upper:to_upper(value.s),words:split(value.s, ",")}"""
+    val df = spark.createDataFrame(Seq((0L, "a,b"), (1L, "hi,there,x")))
+      .toDF("offset", "s")
+      .select(col("offset"), struct(col("s")).as("value"))
+    val shaped = Shaper.shapeZed(df, shapeZed, order = Seq("offset"))
+    val rows = shaped.orderBy("offset").collect()
+    assert(rows(0).getAs[org.apache.spark.sql.Row]("value").getAs[String]("upper") == "A,B")
+    assert(rows(1).getAs[org.apache.spark.sql.Row]("value")
+      .getAs[scala.collection.Seq[String]]("words") .toSeq == Seq("hi", "there", "x"))
+    // split quotes literal separators: '.' must not act as a regex wildcard
+    val dots = Shaper.shapeZed(
+      spark.createDataFrame(Seq((0L, "a.b"))).toDF("offset", "s")
+        .select(col("offset"), struct(col("s")).as("value")),
+      """value:={words:split(value.s, ".")}""", order = Seq("offset"))
+    assert(dots.collect()(0).getAs[org.apache.spark.sql.Row]("value")
+      .getAs[scala.collection.Seq[String]]("words") .toSeq == Seq("a", "b"))
+  }
+
+  test("switch routes first-match; put sets nested fields; head/tail bound; join pairs legs") {
+    import graft.query.{Shaper, ZedScript}
+    val df = spark.createDataFrame(Seq(
+      (1L, "c", 10L), (2L, "u", 20L), (3L, "c", 30L), (4L, "x", 40L), (5L, "c", 50L)))
+      .toDF("offset", "op", "v")
+
+    // switch: first-match exclusivity + default; nested put via withField
+    val routed = Shaper.shapeZed(df,
+      """switch (
+        |  case op=="c" => kind:="create" | w:=v*2
+        |  case v >= 40 => kind:="big" | w:=v
+        |  default => kind:="other" | w:=0
+        |)""".stripMargin, order = Seq("offset"))
+    val byOffset = routed.collect().map(r =>
+      r.getAs[Long]("offset") -> (r.getAs[String]("kind"), r.getAs[Long]("w"))).toMap
+    assert(byOffset == Map(
+      1L -> ("create", 20L), 3L -> ("create", 60L), 5L -> ("create", 100L),
+      4L -> ("big", 40L), 2L -> ("other", 0L)))
+
+    // head/tail respect stream order
+    val h = Shaper.shapeZed(df, "head 2", order = Seq("offset"))
+    assert(h.count() == 2)
+    val t = Shaper.shapeZed(df, "tail 2", order = Seq("offset"))
+    assert(t.collect().map(_.getAs[Long]("offset")).toSet == Set(4L, 5L))
+
+    // inner join over fork legs with the canonical right:=right assignment
+    val joined = ZedScript.run(spark,
+      """fork (
+        |  => from p | op=="c" | yield {left:this}
+        |  => from p | op=="u" | yield {right:this}
+        |)
+        || join on left.v=right.v right:=right""".stripMargin,
+      { case "p" => (df.withColumn("v", col("offset") % 2), Seq("offset")) })
+    // left leg: offsets 1,3,5 (v=1,1,1); right leg: offset 2 (v=0) → no pairs
+    assert(joined.count() == 0)
+    val joined2 = ZedScript.run(spark,
+      """fork (
+        |  => from p | op=="c" | yield {left:this}
+        |  => from p | op=="x" | yield {right:this}
+        |)
+        || join on left.v=right.v right:=right""".stripMargin,
+      { case "p" => (df, Seq("offset")) })
+    // left: v 10,30,50; right: offset 4 v 40 → still no pairs; relax to equality that hits
+    assert(joined2.count() == 0)
+    val joined3 = ZedScript.run(spark,
+      """fork (
+        |  => from p | yield {left:this}
+        |  => from p | yield {right:this}
+        |)
+        || join on left.offset=right.offset right:=right""".stripMargin,
+      { case "p" => (df, Seq("offset")) })
+    assert(joined3.count() == 5)
+    val r0 = joined3.orderBy(col("left.offset")).collect()(0)
+    assert(r0.getAs[org.apache.spark.sql.Row]("left").getAs[Long]("offset") == 1L)
+    assert(r0.getAs[org.apache.spark.sql.Row]("right").getAs[Long]("v") == 10L)
+  }
+
+  test("declared named types: yield cast({…}, t) tags the discriminator; is(<t>) finds it") {
+    import graft.query.ZedScript
+    val df = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("offset", "s")
+    val out = ZedScript.run(spark,
+      """type marker = {offset:int64}
+        |from p
+        || fork (
+        |  => s=="a" | yield cast({offset:offset}, marker)
+        |  => s=="b" | yield {offset:offset, s:s}
+        |)
+        || is(<marker>)""".stripMargin,
+      { case "p" => (df, Seq("offset")) })
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("offset") == 1L)
+  }
+
   test("demo/pending.zed verbatim over the invoices pools finds the held-back record") {
     assume(Files.isDirectory(refDir))
     // rebuild the etl-demo state after batch 2: Invoices/4 (Dan) is loaded
