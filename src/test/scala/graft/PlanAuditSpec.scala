@@ -34,6 +34,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected pruned ReadSchema:\n$read")
   }
 
+  test("Zed script stages fuse into one Catalyst plan: filter pushed to scan, schema pruned") {
+    // the script compiler emits plain DataFrame ops — its filter/cut stages
+    // must reach the parquet scan exactly like hand-written ones
+    val q = graft.query.ZedScript.run(spark,
+      """from documents
+        || n_chars >= 200
+        || cut doc_id, n_chars, lang""".stripMargin,
+      { case "documents" => (Tables.load(spark, TestSpark.sf, "documents"), Seq("doc_id")) })
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(n_chars,200)"),
+      s"expected the script filter pushed to the scan:\n$plan")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"expected the cut to prune the ReadSchema:\n$read")
+  }
+
   test("asof join compiles to one shuffle and zero join operators") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

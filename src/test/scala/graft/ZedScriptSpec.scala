@@ -201,6 +201,80 @@ class ZedScriptSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getAs[Long]("offset") == 1L)
   }
 
+  test("the reference's COMPILED etl program (ztests/etl-zed.yaml) agrees with the native Etl compiler") {
+    assume(Files.isDirectory(refDir))
+    // the golden stdout of `zync etl -zed invoices.yaml` IS the generated Zed
+    // program: type decl, per-topic anti-join fork, first-match switch over
+    // the four rules, denorm join over a fork, puts, typed done-marker casts
+    val program = {
+      import scala.jdk.CollectionConverters._
+      val root = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](ref("ztests/etl-zed.yaml")).asScala
+      root("outputs").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.map(_.asScala).find(_.get("name").map(_.toString.trim).contains("stdout")).get
+        .apply("data").toString
+    }
+
+    // mid-demo state: batches 1-2 processed, 3-4 loaded but not yet run —
+    // the program must compute exactly the delta the native compiler would
+    val cfg = ZedEtl.parse(ref("demo/invoices.yaml"))
+    val raw = Pool.create(spark, Files.createTempDirectory("zed-raw").toString)
+    val staging = Pool.create(spark, Files.createTempDirectory("zed-staging").toString)
+    for (i <- 1 to 2) {
+      raw.append(loadZson(ref(s"demo/batch-$i.zson")).withColumn("_kind", lit("record")))
+      Etl.run(spark, raw, staging, cfg.transform)
+    }
+    for (i <- 3 to 4)
+      raw.append(loadZson(ref(s"demo/batch-$i.zson")).withColumn("_kind", lit("record")))
+
+    val out = ZedScript.run(spark, program,
+      {
+        case "Raw" => (raw.read(), Seq("kafka.offset"))
+        case "Staging" => (staging.read(), Seq("kafka.offset"))
+        case other => fail(s"program asked for unknown pool $other")
+      },
+      kindCol = "_kind").collect()
+
+    val native = Etl.compile(spark, raw.read(), Etl.outputState(staging), cfg.transform)
+      .collect()
+
+    def valueStr(r: org.apache.spark.sql.Row, field: String): String = {
+      val idx = r.fieldIndex(field)
+      if (r.isNullAt(idx)) "null" else r.getStruct(idx).toString
+    }
+    // records compare on (key, value) — the program keeps the SOURCE offset
+    // in kafka (offset assignment is the Go layer's job, pipeline.go:127-164)
+    // while the native compiler assigns output offsets
+    def hasField(r: org.apache.spark.sql.Row, f: String): Boolean =
+      r.schema.fieldNames.contains(f)
+    val progRecords = out
+      .filter(r => hasField(r, "key") && !r.isNullAt(r.fieldIndex("key")))
+      .map(r => (valueStr(r, "key"), valueStr(r, "value"))).toSet
+    val nativeRecords = native.filter(_.getAs[String]("_kind") == "record")
+      .map(r => (valueStr(r, "key"), valueStr(r, "value"))).toSet
+    assert(progRecords == nativeRecords)
+    assert(progRecords.size == 5) // Dan + closed + collections + paid ×2
+
+    // markers: flat `_kind='done'` rows plus the denorm {left,right} pairs
+    def kafkaPair(r: org.apache.spark.sql.Row): (String, Long) = {
+      val k = r.getStruct(r.fieldIndex("kafka"))
+      (k.getAs[String]("topic"), k.getAs[Long]("offset"))
+    }
+    val progMarkers =
+      out.filter(r => hasField(r, "_kind") && r.getAs[String]("_kind") == "done")
+        .map(kafkaPair).toSet ++
+        out.filter(r => hasField(r, "left") && !r.isNullAt(r.fieldIndex("left")))
+          .flatMap(r => Seq(
+            kafkaPair(r.getStruct(r.fieldIndex("left"))),
+            kafkaPair(r.getStruct(r.fieldIndex("right"))))).toSet
+    val nativeMarkers = native.filter(_.getAs[String]("_kind") == "done")
+      .map(kafkaPair).toSet
+    assert(progMarkers == nativeMarkers)
+    assert(progMarkers == Set(
+      ("Invoices", 4L), ("InvoiceStatus", 4L), ("InvoiceStatus", 5L),
+      ("InvoiceStatus", 6L), ("InvoiceStatus", 7L), ("InvoiceStatus", 8L)))
+  }
+
   test("demo/pending.zed verbatim over the invoices pools finds the held-back record") {
     assume(Files.isDirectory(refDir))
     // rebuild the etl-demo state after batch 2: Invoices/4 (Dan) is loaded
