@@ -251,6 +251,31 @@ object EtlQueries {
              |       min(doc_id) AS first_doc,
              |       arg_max(n_chars, doc_id) AS last_chars,
              |       CAST(max(n_chars) * (CASE lang WHEN 'en' THEN 2 WHEN 'fr' THEN 3 END) AS BIGINT) AS score
-             |FROM f GROUP BY lang""".stripMargin))
+             |FROM f GROUP BY lang""".stripMargin)),
+
+    // Script-surface switch/put/head under the driver gate: first-match
+    // routing with per-case put stages, re-sorted for a deterministic head
+    "zed_script_switch" -> Q(
+      (s, d) => graft.query.ZedScript.run(s,
+        """from orders
+          || o_orderkey % 200 == 0
+          || switch (
+          |    case o_totalprice >= 150000 => bucket:="high" | score:=o_totalprice * 2
+          |    case o_totalprice >= 50000 => bucket:="mid" | score:=o_totalprice
+          |    default => bucket:="low" | score:=o_totalprice / 2
+          |  )
+          || cut o_orderkey, bucket, score
+          || sort o_orderkey
+          || head 50""".stripMargin,
+        { case "orders" => (Tables.load(s, d, "orders"), Seq("o_orderkey"))
+          case other => throw new IllegalArgumentException(s"unknown pool $other") }),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice >= 150000 THEN 'high'
+             |       WHEN o_totalprice >= 50000 THEN 'mid' ELSE 'low' END AS bucket,
+             |  CASE WHEN o_totalprice >= 150000 THEN o_totalprice * 2
+             |       WHEN o_totalprice >= 50000 THEN o_totalprice
+             |       ELSE o_totalprice / 2 END AS score
+             |FROM orders WHERE o_orderkey % 200 = 0
+             |ORDER BY o_orderkey LIMIT 50""".stripMargin))
   )
 }

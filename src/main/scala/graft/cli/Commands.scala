@@ -153,9 +153,10 @@ object Commands {
   def fromKafka(spark: SparkSession, source: graft.streaming.TopicSource,
       topics: Seq[String], pool: Pool, decode: DataFrame => DataFrame,
       checkpoint: String, shaper: Option[String] = None,
-      interval: String = "5 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
+      interval: String = "5 seconds",
+      zedShaper: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     graft.streaming.StreamSync.fromTopics(
-      spark, source, topics, pool, decode, shaper, checkpoint, interval)
+      spark, source, topics, pool, decode, shaper, checkpoint, interval, zedShaper)
 
   /** `to-kafka`: produce a pool's records to a topic from `highWaterMark`,
     * in offset order (cmd/zync/to-kafka/command.go → fifo/to.go).

@@ -107,8 +107,13 @@ object StreamSync {
     * The reference's consumer enforces the same monotonic-offset contract by
     * construction (fifo/consumer.go:117-122).
     *
-    * @param decode   wire batch → envelope batch (codec layer, C1/C6)
-    * @param shaper   optional SQL applied per micro-batch (Q31)
+    * @param decode    wire batch → envelope batch (codec layer, C1/C6)
+    * @param shaper    optional SQL applied per micro-batch (Q31)
+    * @param zedShaper optional Zed program applied per micro-batch — the
+    *   reference's native `-shaper shape.zed` form
+    *   (from-kafka/command.go:276-282), compiled by
+    *   [[graft.query.ZedScript]]; envelope batches are offset-ordered, which
+    *   is the stream order a `collect` in the script sees
     */
   def fromTopics(
       spark: SparkSession,
@@ -118,7 +123,8 @@ object StreamSync {
       decode: DataFrame => DataFrame,
       shaper: Option[String] = None,
       checkpoint: String,
-      interval: String = "5 seconds"): StreamingQuery = {
+      interval: String = "5 seconds",
+      zedShaper: Option[String] = None): StreamingQuery = {
 
     val starts = topics.map(t => t -> pool.nextOffset(t)).toMap
     val lastSeen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
@@ -141,11 +147,15 @@ object StreamSync {
             fresh.groupBy("topic").agg(max("offset").as("hi")).collect()
               .foreach(r => lastSeen.put(r.getString(0), r.getLong(1)))
             val env = decode(fresh)
-            val shaped = shaper.map(Shaper.shape(env, _)).getOrElse(env)
+            val sqlShaped = shaper.map(Shaper.shape(env, _)).getOrElse(env)
+            val shaped = zedShaper
+              .map(Shaper.shapeZed(sqlShaped, _, order = Seq("kafka.offset")))
+              .getOrElse(sqlShaped)
             // single-topic batches arrive offset-ordered (partition 0 pinned)
             // → skip the range shuffle on commit (3× faster for 1M-record
             // micro-batches; see tools/Throughput)
-            pool.append(shaped, presorted = topics.size == 1 && shaper.isEmpty)
+            pool.append(shaped,
+              presorted = topics.size == 1 && shaper.isEmpty && zedShaper.isEmpty)
           }
         } finally fresh.unpersist()
         ()

@@ -282,6 +282,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 4L)) // id 3 = duplicate of id 1's content, dropped
   }
 
+  test("Zed-program shaper applies per micro-batch (the README shape.zed flow, offline)") {
+    // README.md:74-85: `zync from-kafka … -shaper shape.zed` with the
+    // documented one-liner — here through the file twin end to end
+    val inDir = Files.createTempDirectory("zshape-wire").toString
+    val pool = Pool.create(spark, Files.createTempDirectory("zshape-pool").toString)
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until 20).map(o =>
+      Row("T", 0L, o.toLong, null, s"""{"s":"w$o,x$o"}""".getBytes("UTF-8"))).asJava
+    spark.createDataFrame(rows, wire).write.mode("append").parquet(inDir)
+
+    val decodeS = (batch: DataFrame) => batch.select(
+      struct(col("topic"), col("partition"), col("offset")).as("kafka"),
+      lit(null).cast("string").as("key"),
+      from_json(col("value").cast("string"), StructType.fromDDL("s string")).as("value"),
+      lit("record").as("_kind"))
+    val q = StreamSync.fromTopics(spark, new FileTopicSource(inDir), Seq("T"), pool,
+      decodeS,
+      checkpoint = Files.createTempDirectory("ckpt").toString, interval = "1 seconds",
+      zedShaper = Some("""value:={upper:to_upper(value.s),words:split(value.s, ",")}"""))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = pool.read()
+    assert(got.count() == 20)
+    assert(got.filter(col("kafka.offset") === 3)
+      .select(col("value.upper"), col("value.words")).collect().map(r =>
+        (r.getString(0), r.getAs[scala.collection.Seq[String]](1).toSeq)).toSeq ==
+      Seq(("W3,X3", Seq("w3", "x3"))))
+  }
+
   test("ZNG-framed topic values round-trip: fromTopics decode, toTopic encode") {
     import graft.cli.Zng
     import graft.codec.ZngCodec
