@@ -141,6 +141,23 @@ object OpsQueries {
         """SELECT md5(text) AS fp, count(*) AS cnt, min(id) AS canonical
           |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin)),
 
+    // continuous-ingest dedup: which of the odd-id docs has the even-id
+    // history never seen? Bloom-pruned, exactly verified — the sketch only
+    // prunes, so the result hash-matches a plain anti-join oracle
+    "dedup_incremental_bloom" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.incrementalNewDocs(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0),
+          "text")
+          .select("doc_id", "lang")
+      },
+      Some("""SELECT i.doc_id, i.lang FROM documents i
+             |WHERE i.doc_id % 2 <> 0
+             |  AND NOT EXISTS (SELECT 1 FROM documents h
+             |                  WHERE h.doc_id % 2 = 0 AND h.text = i.text)""".stripMargin)),
+
     "dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.lshCandidatePairs(textCorpus(s, d), "id", "text",
         n = 3, numPerms = 16, bands = 4),

@@ -29,6 +29,43 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("canonical"))
       .filter(col("cnt") > 1)
 
+  /** Incremental exact dedup of a new batch against a (much larger) history
+    * corpus — the continuous-ingest primitive: "which of today's documents
+    * has the corpus never seen?". Bloom-prune then exact-verify:
+    *
+    *  1. one pass over history builds a Bloom filter of content
+    *     fingerprints (Spark's sketch aggregate — partial per partition,
+    *     merged bitwise);
+    *  2. incoming rows the filter definitely hasn't seen pass with NO join
+    *     at all — at typical dup rates that is most of the batch;
+    *  3. only the might-contain remainder (true dups + the fpp sliver)
+    *     joins history exactly, so false positives are removed and the
+    *     RESULT IS EXACT — the sketch only prunes work, it never decides.
+    *
+    * 100 TB story: the anti-join's incoming side shrinks from |batch| to
+    * |dups| + fpp·|new|, and with that side small AQE broadcasts it, turning
+    * the history scan into a map-side semi-prune of just the fingerprint
+    * column. The sketch itself is the scale knob: ~1.2 GB of driver/broadcast
+    * memory per 10⁹ history fingerprints at 1% fpp — beyond that, raise fpp
+    * (the exact verify absorbs it) or skip the sketch and let the plain
+    * anti-join path carry the batch (it remains correct, just unpruned).
+    *
+    * @return incoming rows whose `textCol` content never appears in history.
+    */
+  def incrementalNewDocs(history: DataFrame, incoming: DataFrame,
+      textCol: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val hFp = history.select(md5(col(textCol)).as("_fp"))
+    val bf = hFp.stat.bloomFilter("_fp", expectedItems, fpp)
+    val bfBc = history.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
+    val inFp = incoming.withColumn("_fp", md5(col(textCol)))
+    val definitelyNew = inFp.filter(!mightContain(col("_fp")))
+    val confirmedNew = inFp.filter(mightContain(col("_fp")))
+      .join(hFp, Seq("_fp"), "left_anti")
+    definitelyNew.unionByName(confirmedNew).drop("_fp")
+  }
+
   /** Distinct word n-gram shingles: (id, sh). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     rawShingles(df, idCol, textCol, n).distinct()

@@ -525,6 +525,28 @@ class OpsSpec extends AnyFunSuite {
       ("s1", 4L) -> 1L, ("s2", 9L) -> 0L))
   }
 
+  test("incremental bloom dedup stays exact even when the sketch saturates") {
+    val history = spark.createDataFrame(
+      (0 until 200).map(i => (i.toLong, s"hist doc $i"))).toDF("doc_id", "text")
+    val incoming = spark.createDataFrame(
+      // 50 true dups of history + 150 genuinely new
+      ((0 until 50).map(i => (1000L + i, s"hist doc $i")) ++
+        (0 until 150).map(i => (2000L + i, s"new doc $i")))).toDF("doc_id", "text")
+    val expected = (0 until 150).map(2000L + _).toSet
+
+    // healthy sketch: most new docs skip the join entirely
+    val healthy = graft.ops.Dedup.incrementalNewDocs(history, incoming, "text",
+      expectedItems = 1000, fpp = 0.001)
+    assert(healthy.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+
+    // saturated sketch (sized for 2 items, fed 200): nearly everything
+    // might-contain, the exact verify still removes every false positive —
+    // same answer
+    val saturated = graft.ops.Dedup.incrementalNewDocs(history, incoming, "text",
+      expectedItems = 2, fpp = 0.5)
+    assert(saturated.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+  }
+
   test("minhash production preset (128 perms, 32 bands): recall and precision on planted near-dups") {
     // The oracle queries run the coarse 16-perm preset; production near-dup
     // at ~0.8 thresholds runs 128 perms / 32 bands (4-row bands: catch
