@@ -82,7 +82,8 @@ object ZedScript {
     "union" -> "collect_set")
 
   private val stageKw = Set("sort", "cut", "yield", "head", "tail", "anti",
-    "join", "fork", "switch", "pool", "case", "const", "from", "by", "over", "where")
+    "join", "fork", "switch", "pool", "case", "default", "const", "from",
+    "by", "over", "where")
 
   // ---- parser ---------------------------------------------------------------
 
@@ -501,8 +502,11 @@ object ZedScript {
     case CutS(fields) =>
       // a cut field's last segment becomes the output column name (Zed cut)
       val cols = fields.map(p => expr(pathSql(p)).as(p.split('.').last))
-      // order survives a cut iff its columns do (compare backquote-free)
-      val kept = fields.map(p => p.split('.').last).toSet
+      // order survives a cut only through TOP-LEVEL fields kept as
+      // themselves — a nested field renamed to an order column's name
+      // (`cut value.seqno` over a seqno-ordered pool) is different data and
+      // must drop the order rather than silently rebind it
+      val kept = fields.filter(!_.contains('.')).toSet
       Flow(f.df.select(cols: _*),
         f.order.filter(o => kept.contains(o.replace("`", ""))))
     case YieldS(fields) =>
@@ -524,7 +528,13 @@ object ZedScript {
         case (df, (Seq(), _)) => df
       }
       Flow(out, f.order)
-    case HeadS(n) => Flow(f.df.limit(n), f.order)
+    case HeadS(n) =>
+      // first-n IN STREAM ORDER, like tail — a bare limit(n) would return
+      // n arbitrary rows under Spark's partitioning (orderBy+limit compiles
+      // to TakeOrderedAndProject: per-partition heaps, no global sort)
+      if (f.order.isEmpty)
+        err("head needs a defined stream order — `sort` upstream or read from an ordered pool")
+      Flow(f.df.orderBy(f.order.map(expr): _*).limit(n), f.order)
     case TailS(n) =>
       if (f.order.isEmpty)
         err("tail needs a defined stream order — `sort` upstream or read from an ordered pool")

@@ -185,6 +185,47 @@ class ZedScriptSpec extends AnyFunSuite {
     assert(r0.getAs[org.apache.spark.sql.Row]("right").getAs[Long]("v") == 10L)
   }
 
+  test("review regressions: backslash literals, default after bare filter, ordered head, cut rename drops order") {
+    import graft.query.{Shaper, ZedScript}
+    val df = spark.createDataFrame(Seq(
+      (1L, """C:\temp""", 10L), (2L, "other", 20L), (3L, """dir\""", 30L)))
+      .toDF("offset", "s", "v")
+
+    // backslashes in Zed string literals survive into SQL comparisons
+    val bs = Shaper.shapeZed(df, """s == "C:\\temp"""", order = Seq("offset"))
+    assert(bs.collect().map(_.getAs[Long]("offset")).toSeq == Seq(1L))
+    val trailing = Shaper.shapeZed(df, """s == "dir\\"""", order = Seq("offset"))
+    assert(trailing.collect().map(_.getAs[Long]("offset")).toSeq == Seq(3L))
+
+    // `default` is a structural keyword, not a juxtaposed filter term
+    val sw = Shaper.shapeZed(df.withColumn("flag", col("offset") === 1),
+      """switch (
+        |  case flag => kind:="one"
+        |  default => kind:="rest"
+        |)""".stripMargin, order = Seq("offset"))
+    assert(sw.collect().map(r => r.getAs[Long]("offset") -> r.getAs[String]("kind")).toMap ==
+      Map(1L -> "one", 2L -> "rest", 3L -> "rest"))
+
+    // head takes the FIRST n in stream order, not n arbitrary rows
+    val h = Shaper.shapeZed(df.repartition(8), "head 2", order = Seq("offset"))
+    assert(h.collect().map(_.getAs[Long]("offset")).toSet == Set(1L, 2L))
+    val noOrder = intercept[IllegalArgumentException](
+      ZedScript.transform(df, "head 2").collect())
+    assert(noOrder.getMessage.contains("stream order"))
+
+    // a nested cut field renamed onto the order column's name must DROP the
+    // order (different data), so a following collect errors instead of
+    // silently sorting groups by the wrong values
+    val renamed = intercept[IllegalArgumentException](
+      ZedScript.run(spark,
+        """from p
+          || cut value.offset, k
+          || docs:=collect(this) by k""".stripMargin,
+        { case "p" => (df.select(struct(col("v").as("offset")).as("value"))
+            .withColumn("k", lit("g")), Seq("offset")) }))
+    assert(renamed.getMessage.contains("collect() needs a defined stream order"))
+  }
+
   test("declared named types: yield cast({…}, t) tags the discriminator; is(<t>) finds it") {
     import graft.query.ZedScript
     val df = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("offset", "s")
