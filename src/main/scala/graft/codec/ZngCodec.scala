@@ -47,8 +47,11 @@ object ZngCodec {
       : DataFrame => DataFrame = { batch =>
     batch.select(
       struct(col("topic"), col("partition"), col("offset")).as("kafka"),
+      // no key schema → pass the raw key bytes through opaquely, like the
+      // Avro/Connect decoders (consumer.go:129-134 parity) — a keyed topic
+      // must not lose its partition keys on a sync round-trip
       keySchema.map(ks => from_json(zngToJson(col("key")), ks))
-        .getOrElse(lit(null).cast("string")).as("key"),
+        .getOrElse(col("key").cast("binary")).as("key"),
       from_json(zngToJson(col("value")), valueSchema).as("value"),
       lit(Envelope.KindRecord).as(Envelope.KindCol))
   }
@@ -61,10 +64,12 @@ object ZngCodec {
   val encoder: DataFrame => DataFrame = { df =>
     val jsonOpts = Map("ignoreNullFields" -> "false")
     val keyCol =
-      if (df.schema.fieldNames.contains("key") &&
-        df.schema("key").dataType.isInstanceOf[StructType])
-        jsonToZng(to_json(col("key"), jsonOpts))
-      else lit(null).cast("binary")
+      if (!df.schema.fieldNames.contains("key")) lit(null).cast("binary")
+      else df.schema("key").dataType match {
+        case _: StructType => jsonToZng(to_json(col("key"), jsonOpts))
+        case org.apache.spark.sql.types.BinaryType => col("key") // opaque pass-through
+        case _ => col("key").cast("binary")
+      }
     df.select(
       col("kafka.topic").as("topic"),
       col("kafka.partition").as("partition"),

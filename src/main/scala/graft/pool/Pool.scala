@@ -128,7 +128,12 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     } finally if (mustCache) batch.unpersist()
   }
 
-  private def commit(seg: String): Unit = replaceManifest(committedSegments() :+ seg)
+  // read-modify-write under the lock: two in-process appends (or an append
+  // racing compact) must not both extend the SAME stale manifest list —
+  // the loser's segment would be on disk but never committed, and vacuum
+  // would then delete it
+  private def commit(seg: String): Unit =
+    synchronized { replaceManifest(committedSegments() :+ seg) }
 
   private def replaceManifest(lines: Seq[String]): Unit = synchronized {
     val tmp = root.resolve(s".manifest.tmp.${System.nanoTime()}")

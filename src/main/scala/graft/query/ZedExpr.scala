@@ -346,9 +346,9 @@ object ZedExpr {
       val fields = scala.collection.mutable.ArrayBuffer[(String, E)]()
       ws()
       while (i < s.length && s.charAt(i) != '}') {
-        val name = if (s.charAt(i) == '"') {
-          val q = stringLit(); q.substring(1, q.length - 1)
-        } else ident()
+        // quoted field names come back RAW — sql(Rec) escapes once at
+        // emission; stripping stringLit's SQL form would double-escape
+        val name = if (s.charAt(i) == '"') rawString() else ident()
         ws(); expect(':')
         fields += name -> expr(env)
         ws()
@@ -358,8 +358,8 @@ object ZedExpr {
       Rec(fields.toSeq)
     }
 
-    /** Zed double-quoted string → SQL single-quoted string. */
-    def stringLit(): String = {
+    /** Zed double-quoted string → its RAW (unescaped) content. */
+    def rawString(): String = {
       expect('"')
       val b = new StringBuilder
       while (i < s.length && s.charAt(i) != '"') {
@@ -374,6 +374,12 @@ object ZedExpr {
         i += 1
       }
       expect('"')
+      b.toString
+    }
+
+    /** Zed double-quoted string → SQL single-quoted string. */
+    def stringLit(): String = {
+      val b = new StringBuilder(rawString())
       // re-escape for Spark SQL: the parser above UNESCAPED Zed sequences
       // into real chars, and Spark's string literals process backslash
       // escapes (the split() literal-quoting below depends on exactly that),
@@ -385,8 +391,17 @@ object ZedExpr {
       ws()
       val start = i
       if (i < s.length && s.charAt(i) == '-') i += 1
-      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
-        s.charAt(i) == 'e' || s.charAt(i) == 'E')) i += 1
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      // signed scientific exponent: 1e-5, 2E+3
+      if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E') &&
+        i > start && s.charAt(i - 1).isDigit) {
+        val expStart = i
+        i += 1
+        if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+        if (i < s.length && s.charAt(i).isDigit) {
+          while (i < s.length && s.charAt(i).isDigit) i += 1
+        } else i = expStart // bare `e` glued to a number is not an exponent
+      }
       if (i == start || (i == start + 1 && s.charAt(start) == '-'))
         err(s"expected a number at …$rest")
       s.substring(start, i)

@@ -110,12 +110,14 @@ object ZedScript {
         if (!c.eof && c.s.charAt(c.i) == ';') c.i += 1
       } else if (c.peek("type")) {
         // `type done = {…}` — the shape is structural metadata the engine
-        // derives from data; only the NAME matters (cast targets, is() tests)
+        // derives from data; only the NAME matters (cast targets, is()
+        // tests), so the body is skipped as a balanced block — legal Zed
+        // type syntax ([string], |{…}|, a?: int64) needs no expression parse
         c.eat("type")
         val name = c.ident()
         c.ws(); c.expect('=')
         c.ws()
-        c.record(Env(None, consts, kindCol, types)) // consume the type body
+        skipBalancedRecord(c)
         types += name
         c.ws()
         if (!c.eof && c.s.charAt(c.i) == ';') c.i += 1
@@ -126,6 +128,21 @@ object ZedScript {
     c.ws()
     if (!c.eof) err(s"trailing content after script: ${c.rest}")
     Script(consts, pipe, kindCol)
+  }
+
+  /** Consume a `{…}` block with balanced braces, skipping strings. */
+  private def skipBalancedRecord(c: Cursor): Unit = {
+    c.expect('{')
+    var depth = 1
+    while (depth > 0) {
+      if (c.i >= c.s.length) err("unterminated type body")
+      c.s.charAt(c.i) match {
+        case '{' => depth += 1; c.i += 1
+        case '}' => depth -= 1; c.i += 1
+        case '"' => c.rawString()
+        case _ => c.i += 1
+      }
+    }
   }
 
   /** ZSON map literal `|{ "k": v, … }|` → SQL `map('k', v, …)`. */
@@ -157,10 +174,7 @@ object ZedScript {
 
   private def poolName(c: Cursor): String = {
     c.ws()
-    if (c.peekChar == '"') {
-      val q = c.stringLit() // SQL-quoted; strip to the raw name
-      q.substring(1, q.length - 1).replace("''", "'")
-    } else c.ident()
+    if (c.peekChar == '"') c.rawString() else c.ident()
   }
 
   private def parseFrom(c: Cursor, env: Env): From = {
@@ -177,6 +191,11 @@ object ZedScript {
         if (c.eat("=>")) {
           stages += parseStage(c, env)
           while (c.eat("|")) stages += parseStage(c, env)
+        }
+        stages.foreach {
+          case ForkS(_) | SwitchS(_) | AntiJoinS(_, _) | JoinS(_, _, _) =>
+            err("fork/switch/join are not supported inside a from leg — apply them after the from")
+          case _ => ()
         }
         legs += name -> stages.toSeq
         c.ws()
@@ -454,8 +473,13 @@ object ZedScript {
         val Seq(left, right) = state
         val joined = left.df.alias("_zl").join(right.df.alias("_zr"),
           col(s"_zl.$l") === col(s"_zr.$r"), "inner")
+        // set/replace semantics: an assignment overwrites a same-named left
+        // column rather than duplicating it (ambiguous downstream refs)
+        val assigned = assigns.map(_._1).toSet
+        val leftCols = left.df.columns.toSeq.filterNot(assigned)
+          .map(n => col(s"_zl.$n"))
         val out = joined.select(
-          col("_zl.*") +: assigns.map { case (n, sql) => expr(sql).as(n) }: _*)
+          leftCols ++ assigns.map { case (n, sql) => expr(sql).as(n) }: _*)
         state = Seq(Flow(out, left.order))
       case ForkS(legs) =>
         val in = state match {
@@ -503,12 +527,14 @@ object ZedScript {
       // a cut field's last segment becomes the output column name (Zed cut)
       val cols = fields.map(p => expr(pathSql(p)).as(p.split('.').last))
       // order survives a cut only through TOP-LEVEL fields kept as
-      // themselves — a nested field renamed to an order column's name
-      // (`cut value.seqno` over a seqno-ordered pool) is different data and
-      // must drop the order rather than silently rebind it
+      // themselves — `cut seqno` keeps a seqno order, `cut kafka` keeps a
+      // kafka.offset order (the whole struct survives intact), but a nested
+      // field RENAMED onto an order column's name (`cut value.seqno` over a
+      // seqno-ordered pool) is different data and must drop the order
+      // rather than silently rebind it
       val kept = fields.filter(!_.contains('.')).toSet
       Flow(f.df.select(cols: _*),
-        f.order.filter(o => kept.contains(o.replace("`", ""))))
+        f.order.filter(o => kept.contains(o.replace("`", "").split('.').head)))
     case YieldS(fields) =>
       Flow(f.df.select(fields.map { case (n, sql) => expr(sql).as(n) }: _*), Seq.empty)
     case YieldTypedS(fields, typeName) =>
@@ -521,13 +547,23 @@ object ZedScript {
       // the record value becomes the top-level row
       Flow(f.df.select(expr(sql).as("_y")).select("_y.*"), Seq.empty)
     case PutS(assigns) =>
-      val out = assigns.foldLeft(f.df) {
-        case (df, (Seq(name), sql)) => df.withColumn(name, expr(sql))
-        case (df, (head +: rest, sql)) =>
-          df.withColumn(head, col(head).withField(rest.mkString("."), expr(sql)))
-        case (df, (Seq(), _)) => df
+      // Zed put evaluates every right-hand side against the INPUT record
+      // before any assignment lands (`a:=b, b:=a` swaps) — so build all
+      // assignment columns against the incoming frame and apply them in one
+      // withColumns, never sequentially. Multiple nested targets under one
+      // struct chain withField on the shared base (RHS still bind to input).
+      val newCols = assigns.foldLeft(Map.empty[String, Column]) {
+        case (m, (Seq(name), sql)) => m + (name -> expr(sql))
+        case (m, (head +: rest, sql)) =>
+          m + (head -> m.getOrElse(head, col(head))
+            .withField(rest.mkString("."), expr(sql)))
+        case (m, (Seq(), _)) => m
       }
-      Flow(out, f.order)
+      // an overwritten order column is different data: drop those entries
+      // so head/tail/collect error instead of ordering by the new values
+      val liveOrder = f.order.filter(o =>
+        !newCols.contains(o.replace("`", "").split('.').head))
+      Flow(f.df.withColumns(newCols), liveOrder)
     case HeadS(n) =>
       // first-n IN STREAM ORDER, like tail — a bare limit(n) would return
       // n arbitrary rows under Spark's partitioning (orderBy+limit compiles

@@ -226,6 +226,57 @@ class ZedScriptSpec extends AnyFunSuite {
     assert(renamed.getMessage.contains("collect() needs a defined stream order"))
   }
 
+  test("put is simultaneous, invalidates overwritten order; join replaces; misc review fixes") {
+    import graft.query.{Shaper, ZedScript}
+    val df = spark.createDataFrame(Seq((1L, 10L, 20L))).toDF("offset", "a", "b")
+
+    // Zed put evaluates all RHS against the INPUT record: a:=b, b:=a swaps
+    val swapped = Shaper.shapeZed(df, "a:=b, b:=a", order = Seq("offset")).collect()(0)
+    assert(swapped.getAs[Long]("a") == 20L && swapped.getAs[Long]("b") == 10L)
+
+    // overwriting the order column drops the order → head errors, not wrong rows
+    val e = intercept[IllegalArgumentException](
+      Shaper.shapeZed(df, "offset:=0 | head 1", order = Seq("offset")).collect())
+    assert(e.getMessage.contains("stream order"))
+
+    // join assignment REPLACES a same-named left column (no ambiguous dup)
+    val joined = ZedScript.run(spark,
+      """fork (
+        |  => from p | yield {k:offset, v:a}
+        |  => from p | yield {k:offset, v:b}
+        |)
+        || join on k=k v:=100""".stripMargin,
+      { case "p" => (df, Seq("offset")) })
+    val jr = joined.collect()(0)
+    assert(jr.schema.fieldNames.count(_ == "v") == 1 && jr.getAs[Int]("v") == 100)
+
+    // quoted record field names with quotes/backslashes are not double-escaped
+    val named = Shaper.shapeZed(df, """yield {"it's": a}""", order = Seq("offset"))
+    assert(named.schema.fieldNames.toSeq == Seq("it's"))
+
+    // scientific notation with signed exponent
+    val sci = Shaper.shapeZed(df, "yield {x: 1e-5, y: 2E+3}", order = Seq("offset")).collect()(0)
+    assert(sci.getAs[Double]("x") == 1e-5 && sci.getAs[Double]("y") == 2e3)
+
+    // type bodies may use full Zed type syntax (arrays etc.) — only the name matters
+    val typed = ZedScript.run(spark,
+      """type t = {ids: [string], m: |{string: int64}|}
+        |from p
+        || yield cast({offset:offset}, t)""".stripMargin,
+      { case "p" => (df, Seq("offset")) })
+    assert(typed.collect()(0).getAs[String]("_kind") == "t")
+
+    // fork/switch inside a from leg is rejected at parse time with a clear error
+    val legErr = intercept[IllegalArgumentException](
+      ZedScript.parse("from ( pool p => fork ( => a == 1 ) ) | head 1"))
+    assert(legErr.getMessage.contains("from leg"))
+
+    // cut of a whole struct keeps a nested order key alive
+    val env = df.select(struct(col("offset").as("offset")).as("kafka"), col("a"))
+    val kept = ZedScript.transform(env, "cut kafka | head 1", order = Seq("kafka.offset"))
+    assert(kept.collect().length == 1)
+  }
+
   test("declared named types: yield cast({…}, t) tags the discriminator; is(<t>) finds it") {
     import graft.query.ZedScript
     val df = spark.createDataFrame(Seq((1L, "a"), (2L, "b"))).toDF("offset", "s")
