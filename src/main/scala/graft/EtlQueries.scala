@@ -276,6 +276,24 @@ object EtlQueries {
              |       WHEN o_totalprice >= 50000 THEN o_totalprice
              |       ELSE o_totalprice / 2 END AS score
              |FROM orders WHERE o_orderkey % 200 = 0
-             |ORDER BY o_orderkey LIMIT 50""".stripMargin))
+             |ORDER BY o_orderkey LIMIT 50""".stripMargin)),
+
+    // Script-surface inner join over fork legs (the compiled etl program's
+    // denorm shape): left/right wrapping via yield, join with the canonical
+    // right:=right assignment, projection over both sides
+    "zed_script_join" -> Q(
+      (s, d) => graft.query.ZedScript.run(s,
+        """fork (
+          |  => from orders | o_orderkey % 100 == 0 | yield {left:this}
+          |  => from customer | yield {right:this}
+          |)
+          || join on left.o_custkey=right.c_custkey right:=right
+          || yield { okey: left.o_orderkey, cust: right.c_name, total: left.o_totalprice }""".stripMargin,
+        { case "orders" => (Tables.load(s, d, "orders"), Seq("o_orderkey"))
+          case "customer" => (Tables.load(s, d, "customer"), Seq("c_custkey"))
+          case other => throw new IllegalArgumentException(s"unknown pool $other") }),
+      Some("""SELECT o.o_orderkey AS okey, c.c_name AS cust, o.o_totalprice AS total
+             |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |WHERE o.o_orderkey % 100 = 0""".stripMargin))
   )
 }
