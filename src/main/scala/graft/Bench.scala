@@ -37,6 +37,18 @@ object Bench {
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        // The app-status store retains 1000 jobs / 1000 stages / 100k tasks /
+        // 1000 SQL executions by default EVEN WITH THE UI OFF. A ~400-
+        // execution suite (98 queries × 3-5 runs, many-small-jobs etl
+        // entries) accretes hundreds of MB of listener state, and late
+        // queries measure the resulting GC pressure — one of the suite-order
+        // contamination sources behind r7's +26%-on-unchanged-code total.
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
+        .config("spark.ui.retainedDeadExecutors", "0")
+        .config("spark.sql.ui.retainedExecutions", "5")
+        .config("spark.appStateStore.asyncTracking.enable", "true")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
 
@@ -75,13 +87,25 @@ object Bench {
       // grows monotonically across the 80-query suite and later queries
       // measure the GC pressure of earlier ones (r5: text_vocab 0.2s
       // isolated, 3.5s in-suite).
-      def reclaim(): Unit = {
+      // dropLeaked (cheap, every run): BLOCKING unpersist — r7's reclaim used
+      // unpersist(false), so block removal raced the next query's start and
+      // checkpointed blocks routinely survived into later measurements (the
+      // BENCH_r07 tail's "lineage truncated" warnings). reclaim (per query)
+      // additionally GCs so the ContextCleaner drops unreferenced
+      // broadcasts/shuffles; a per-run GC would cost ~400 full collections.
+      def dropLeaked(): Unit = {
         // NonFatal only: an OOM/linkage error between queries means the JVM
         // is corrupted and the run's numbers are garbage — let it die.
         try spark.sharedState.cacheManager.clearCache()
         catch { case scala.util.control.NonFatal(_) => () }
-        try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         catch { case scala.util.control.NonFatal(_) => () }
+      }
+      def reclaim(name: String): Unit = {
+        dropLeaked()
+        val leftover = try spark.sparkContext.getPersistentRDDs.size
+        catch { case scala.util.control.NonFatal(_) => -1 }
+        if (leftover != 0) toErr.println(s"bench: $leftover persistent RDDs survived reclaim after $name")
         System.gc() // lets ContextCleaner collect unreferenced broadcasts/RDDs
       }
       val results = selected.map { case (name, fn) =>
@@ -90,7 +114,9 @@ object Bench {
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
             errors(name) = e.toString.linesIterator.next().take(300) }
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          dropLeaked() // run-to-run isolation: repeat runs must not stack leaked blocks
+          t
         }
         var times = (1 to runs).map(_ => once()).sorted
         // Adaptive: a query whose spread exceeds half its median is still
@@ -99,7 +125,7 @@ object Bench {
         // without taxing the stable 95% of the suite.
         if (runs > 1 && times.last - times.head > 0.5 * medianOf(times))
           times = (times ++ (1 to 2).map(_ => once())).sorted
-        reclaim()
+        reclaim(name)
         (name, medianOf(times), times.head)
       }
 

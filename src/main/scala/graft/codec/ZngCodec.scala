@@ -18,14 +18,18 @@ import graft.pool.Envelope
   * feeding Spark's codegen'd `from_json`/`to_json` — the right tool at the
   * IO boundary, same placement as the Multimodal decoders: codec work can't
   * be a Catalyst expression tree, and it runs exactly once per wire record,
-  * off the relational hot path. Corrupt or unexpectedly-framed values (a
-  * message holding zero or many ZNG records, or undecodable bytes) decode
-  * to null rather than failing the stream — the quarantine convention used
-  * across the engine's decoders.
+  * off the relational hot path. A value framing SEVERAL ZNG records (a
+  * producer batching records per message) explodes into one envelope row
+  * per record — no data is dropped; corrupt or empty values (undecodable
+  * bytes, zero records) decode to a single null-valued row rather than
+  * failing the stream — the quarantine convention used across the engine's
+  * decoders, and the null rows keep misframed producers countable.
   */
 object ZngCodec {
 
-  /** One ZNG-framed record → its JSON text (null = corrupt/misframed). */
+  /** One ZNG-framed record → its JSON text (null = corrupt/misframed).
+    * Used for KEYS, where one record per key is the only sane framing.
+    */
   val zngToJson: UserDefinedFunction = udf((bytes: Array[Byte]) =>
     if (bytes == null) null
     else
@@ -34,6 +38,18 @@ object ZngCodec {
         case _ => null // zero or many records in one message value
       }
       catch { case scala.util.control.NonFatal(_) => null })
+
+  /** All ZNG-framed records in one message value → their JSON texts
+    * (null = corrupt or zero records, which `explode_outer` turns into a
+    * single quarantined null row downstream).
+    */
+  val zngToJsonAll: UserDefinedFunction = udf((bytes: Array[Byte]) =>
+    if (bytes == null) null
+    else
+      try {
+        val recs = Zng.readJsonLines(bytes)
+        if (recs.isEmpty) null else recs
+      } catch { case scala.util.control.NonFatal(_) => null })
 
   /** One JSON record → ZNG-framed bytes. */
   val jsonToZng: UserDefinedFunction = udf((json: String) =>
@@ -52,8 +68,13 @@ object ZngCodec {
       // must not lose its partition keys on a sync round-trip
       keySchema.map(ks => from_json(zngToJson(col("key")), ks))
         .getOrElse(col("key").cast("binary")).as("key"),
-      from_json(zngToJson(col("value")), valueSchema).as("value"),
+      // multi-record values explode to one row per record (sharing the
+      // message's kafka coordinates); corrupt/empty → one null row
+      explode_outer(zngToJsonAll(col("value"))).as("_zjson"),
       lit(Envelope.KindRecord).as(Envelope.KindCol))
+      .select(col("kafka"), col("key"),
+        from_json(col("_zjson"), valueSchema).as("value"),
+        col(Envelope.KindCol))
   }
 
   /** Encode hook for `StreamSync.toTopic`: envelope rows → wire rows with

@@ -54,16 +54,42 @@ object Dedup {
     */
   def incrementalNewDocs(history: DataFrame, incoming: DataFrame,
       textCol: String, expectedItems: Long = 1L << 20,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    incrementalNewDocsManaged(history, incoming, textCol, expectedItems, fpp)._1
+
+  /** As [[incrementalNewDocs]], plus an explicit `release()` for
+    * long-running ingest loops: each side is scanned ONCE (the history
+    * fingerprints and the flagged incoming batch are persisted — the
+    * might-contain flag is computed a single time per row and the
+    * definitely-new / needs-verify split reads the cache), and `release()`
+    * unpersists both and destroys the Bloom broadcast so per-micro-batch
+    * use doesn't accumulate executor storage or broadcasts until the
+    * ContextCleaner happens to run. Call `release()` only after the
+    * returned frame is fully consumed — the output cannot be recomputed
+    * afterwards.
+    */
+  def incrementalNewDocsManaged(history: DataFrame, incoming: DataFrame,
+      textCol: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
     val hFp = history.select(md5(col(textCol)).as("_fp"))
-    val bf = hFp.stat.bloomFilter("_fp", expectedItems, fpp)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bf = hFp.stat.bloomFilter("_fp", expectedItems, fpp) // action: caches hFp
     val bfBc = history.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
-    val inFp = incoming.withColumn("_fp", md5(col(textCol)))
-    val definitelyNew = inFp.filter(!mightContain(col("_fp")))
-    val confirmedNew = inFp.filter(mightContain(col("_fp")))
+    val flagged = incoming.withColumn("_fp", md5(col(textCol)))
+      .withColumn("_mc", mightContain(col("_fp")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = flagged.filter(!col("_mc"))
+    val confirmedNew = flagged.filter(col("_mc"))
       .join(hFp, Seq("_fp"), "left_anti")
-    definitelyNew.unionByName(confirmedNew).drop("_fp")
+    val out = definitelyNew.unionByName(confirmedNew).drop("_fp", "_mc")
+    val release = () => {
+      flagged.unpersist(blocking = false)
+      hFp.unpersist(blocking = false)
+      bfBc.destroy()
+    }
+    (out, release)
   }
 
   /** Distinct word n-gram shingles: (id, sh). */
@@ -168,12 +194,14 @@ object Dedup {
       n: Int = 3, numPerms: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     // The signature frame is referenced three times below (band keys, s1,
-    // s2); materialize it so the read-texts-ONCE guarantee holds by
-    // construction rather than relying on ReuseExchange canonicalizing the
-    // three subtrees identically (same pattern as dedup_lsh_jaccard's
-    // candidate materialization).
+    // s2); cache it so the read-texts-ONCE guarantee holds by construction
+    // rather than relying on ReuseExchange canonicalizing the three
+    // subtrees identically (same pattern as dedup_lsh_jaccard's candidate
+    // materialization). persist — NOT localCheckpoint — keeps the lineage,
+    // so the query survives executor loss in library use and leaves no
+    // unrecomputable pinned RDD behind.
     val sig = minhashSignatureFrame(df, idCol, textCol, n, numPerms)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(bandKeys(sig, numPerms, bands))
     val s1 = sig.select(col("id").as("d1") +:
       (0 until numPerms).map(p => col(s"m$p").as(s"a$p")): _*)
@@ -358,10 +386,17 @@ object Dedup {
     * maxRounds=20 covers any component a real corpus can produce
     * (diameter ≈ 2^20 after jumps). The driver loop only compares per-round
     * change counts; labels stay distributed, and each round's result is
-    * localCheckpointed so the lineage (and replanning cost) stays constant
-    * at any scale. Docs in no pair keep their own id. If the round budget is
-    * exhausted before fixpoint (pathological topology), this THROWS rather
-    * than silently returning partially-propagated labels.
+    * persisted eagerly — and the PREVIOUS round's cache released — so
+    * executor storage stays one label frame deep no matter the round count,
+    * while lineage is preserved (an executor loss recomputes instead of
+    * failing, unlike a localCheckpoint). The plan grows by three joins per
+    * round — a driver-side analysis cost bounded by maxRounds and
+    * independent of data scale; execution always reads the previous round
+    * from cache. The returned frame stays persisted (callers running in a
+    * loop may `unpersist()` it once consumed; it remains recomputable).
+    * Docs in no pair keep their own id. If the round budget is exhausted
+    * before fixpoint (pathological topology), this THROWS rather than
+    * silently returning partially-propagated labels.
     */
   def canonicalIds(df: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 20): DataFrame = {
@@ -369,6 +404,7 @@ object Dedup {
       .unionByName(pairs.select(col("d2").as("id"), col("d1").as("nb")))
       .persist()
     var labels = df.select(col(idCol).as("id"), col(idCol).as("canonical"))
+    var prevRound: Option[DataFrame] = None
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -383,17 +419,23 @@ object Dedup {
       // Pointer jump: labels always point at real node ids (mins of ids), so
       // re-join the label set onto itself to skip to the label's own label.
       // Invariant canonical(x) <= x makes this monotone — it can only lower.
-      // localCheckpoint truncates lineage so round N+1 doesn't replan 1..N.
-      // `prev` rides along into the checkpoint so the convergence check is a
-      // filter over the already-materialized frame, not another join.
+      // The round is persisted and FULLY materialized (count) before the
+      // convergence check, so the check and round N+1 both read the cache;
+      // the previous round's cache is released only after that, keeping
+      // executor storage one frame deep. `prev` rides along so the
+      // convergence check is a filter over the materialized frame, not
+      // another join.
       val next = hopped
         .join(hopped.select(col("id").as("canonical"), col("canonical").as("cc")),
           Seq("canonical"), "left")
         .select(col("id"),
           least(col("canonical"), coalesce(col("cc"), col("canonical"))).as("canonical"),
           col("prev"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize every partition before dropping the old round
       val changed = next.filter(col("canonical") =!= col("prev")).limit(1).count()
+      prevRound.foreach(_.unpersist(blocking = false))
+      prevRound = Some(next)
       labels = next.select("id", "canonical")
       converged = changed == 0
       round += 1

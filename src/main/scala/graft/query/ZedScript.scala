@@ -32,9 +32,10 @@ import ZedExpr.{Cursor, Env, err}
   *  - `fork` legs each see the fork's input (or carry their own `from`) and
   *    union through the superset schema.
   *
-  * Unsupported constructs raise with a clear message rather than
-  * mis-compiling (inner `join … right:=right`, `switch`, `put`, `head`/
-  * `tail` are not in the executed demo surface).
+  * `put`, `head`/`tail`, inner `join … right:=right` (over fork legs) and
+  * first-match `switch` compile natively (see PutS/HeadS/TailS/JoinS/
+  * SwitchS below). Constructs outside the implemented grammar still raise
+  * with a clear message rather than mis-compiling.
   */
 object ZedScript {
 

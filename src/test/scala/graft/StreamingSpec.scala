@@ -351,12 +351,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(producedJson.head == """{"n":0,"s":"doc-0"}""")
     assert(producedJson.toSeq == (0 until 40).map(o => s"""{"n":$o,"s":"doc-$o"}"""))
 
-    // corrupt/misframed values quarantine to null instead of failing
+    // corrupt values quarantine to a single null row instead of failing;
+    // a value framing SEVERAL records explodes to one row per record
     val bad = spark.createDataFrame(Seq(
       Row("Z", 0L, 99L, null, Array[Byte](1, 2, 3)),
       Row("Z", 0L, 100L, null, Zng.write(Seq("""{"n":1}""", """{"n":2}""")))).asJava, wire)
     val decodedBad = ZngCodec.decoder(StructType.fromDDL("n long, s string"))(bad)
-    assert(decodedBad.filter(col("value").isNull).count() == 2)
+    assert(decodedBad.count() == 3)
+    assert(decodedBad.filter(col("value").isNull).count() == 1)
+    assert(decodedBad.filter(col("kafka.offset") === 100)
+      .select(col("value.n")).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
   test("to-topic drains the pool in offset-ordered batches from the high-water mark") {
