@@ -15,23 +15,27 @@ import graft.pool.Pool
 object Commands {
 
   /** `consume`: read a pool (optionally from an offset) and print/return as
-    * JSON lines or ZSON lines (`-f`; the reference writes any Zed output
+    * JSON, ZSON, or ZJSON lines (`-f`; the reference writes any Zed output
     * format, cmd/zync/consume/command.go:71-107 — JSON stays our default
     * since it is the interchange format everywhere else in this port).
     * For the binary ZNG format use [[consumeZng]].
     */
   def consume(pool: Pool, topic: Option[String] = None, fromOffset: Long = 0L,
       format: String = "json"): Seq[String] = {
-    if (format != "json" && format != "zson")
+    if (!Set("json", "zson", "zjson").contains(format))
       throw new IllegalArgumentException(
-        s"unknown consume format '$format' (expected json or zson; " +
+        s"unknown consume format '$format' (expected json, zson or zjson; " +
           "binary zng is consumeZng)") // before the pool scan
     val base = pool.read()
     val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
     val jsonLines = scoped.filter(col("kafka.offset") >= fromOffset)
       .orderBy(col("kafka.topic"), col("kafka.offset"))
       .toJSON.collect().toSeq
-    if (format == "zson") jsonLines.map(Zson.fromJsonLine) else jsonLines
+    format match {
+      case "zson" => jsonLines.map(Zson.fromJsonLine)
+      case "zjson" => Zjson.fromJsonLines(jsonLines)
+      case _ => jsonLines
+    }
   }
 
   /** `consume -f zng`: the same record stream as [[consume]], serialized as
@@ -71,6 +75,13 @@ object Commands {
         // so a .zng fixture and its .zson twin load identical pool contents
         val lines = spark.sparkContext.binaryFiles(path).collect()
           .sortBy(_._1).toSeq.flatMap { case (_, pds) => Zng.readJsonLines(pds.toArray()) }
+        import spark.implicits._
+        spark.read.json(spark.createDataset(lines))
+      }
+      else if (path.endsWith(".zjson")) {
+        // line-framed, but the type context spans the stream → per-file decode
+        val lines = spark.sparkContext.wholeTextFiles(path).collect()
+          .sortBy(_._1).toSeq.flatMap { case (_, text) => Zjson.toJsonLines(text) }
         import spark.implicits._
         spark.read.json(spark.createDataset(lines))
       }
@@ -180,8 +191,8 @@ object Commands {
     */
   def main(args: Array[String]): Unit = args.toList match {
     case "consume" :: path :: rest =>
-      // [-f json|zson|zng] [topic] [fromOffset] — the reference's -f/-offset
-      // flags (consume/command.go:57-107)
+      // [-f json|zson|zjson|zng] [topic] [fromOffset] — the reference's
+      // -f/-offset flags (consume/command.go:57-107)
       val spark = GraftSession.get()
       val (format, positional) = rest match {
         case "-f" :: f :: tail => (f, tail)
@@ -244,7 +255,7 @@ object Commands {
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
-           |usage: consume <pool> [-f json|zson|zng] [topic] [offset] | info <pool> |
+           |usage: consume <pool> [-f json|zson|zjson|zng] [topic] [offset] | info <pool> |
            |       produce <pool> <file> <topic> | etl <yaml> <poolRoot> |
            |       ls [registryUrl] | from-kafka <pool> <checkpoint> <topics> <schemaId> |
            |       to-kafka <pool> <topic> | version""".stripMargin)

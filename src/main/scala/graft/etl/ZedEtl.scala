@@ -2,6 +2,9 @@ package graft.etl
 
 import scala.jdk.CollectionConverters._
 import org.yaml.snakeyaml.Yaml
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pool.Envelope
 import graft.query.ZedExpr
 
 /** Reader for the reference's OWN ETL config format (etl/yaml.go:9-29):
@@ -93,6 +96,87 @@ object ZedEtl {
       case _ => err("out:= must assign a record literal {key:…, value:…}")
     }
   }
+
+  /** The Go layer's post-pass over a compiled Zed program's batch
+    * (etl/pipeline.go:93-125 `writeToOutputPool` + :127-164 `insertOffsets`),
+    * Spark-shaped — turns [[graft.query.ZedScript.run]]'s raw output into a
+    * pool-committable envelope batch identical to [[Etl.compile]]'s delta:
+    *
+    *  - denorm `{left,right}` done-marker PAIRS (the program can only yield
+    *    them paired — one row per join result) explode into two FLAT `done`
+    *    markers each, the reference's left/right `Deref` appends
+    *    (pipeline.go:109-115), deduplicated because one input may join
+    *    several partners (Etl.compile's own `distinct()` on denorm legs);
+    *  - already-flat `done` rows pass through;
+    *  - record rows get globally-consecutive output offsets continuing from
+    *    the output pool's base, in source-offset order — the order the
+    *    program's final `| sort kafka.offset` hands the Go layer, which
+    *    numbers the batch in that order (insertOffsets iterates it as
+    *    sorted). The reference has no source-topic tie-break here either:
+    *    both layers see only the sorted batch.
+    *
+    * @param out         `ZedScript.run` output for a generated etl program
+    * @param outputTopic the transform's output topic ([[EtlConfig]])
+    * @param baseOffsets output pool per-topic record offset bases
+    *                    ([[Etl.OutputState]].baseOffsets)
+    * @return (committable batch, persisted handles to release after commit)
+    */
+  def finalizeProgramOutputPlan(out: DataFrame, outputTopic: String,
+      baseOffsets: Map[String, Long],
+      kindCol: String = Envelope.KindCol): (DataFrame, Seq[DataFrame]) = {
+    val names = out.schema.fieldNames.toSet
+    def colOr(name: String, absent: org.apache.spark.sql.Column) =
+      if (names.contains(name)) col(name) else absent
+    // one materialization feeds the three splits + the offset count job
+    val src = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val isPair = colOr("left", lit(null)).isNotNull ||
+      colOr("right", lit(null)).isNotNull
+    val isDone = coalesce(colOr(kindCol, lit(null)).cast("string") ===
+      Envelope.KindDone, lit(false))
+
+    val pairMarkers =
+      if (!names.contains("left")) None
+      else Some(Seq("left", "right").filter(names.contains)
+        .map(side => src.filter(col(side).isNotNull)
+          .select(col(s"$side.kafka").as("kafka")))
+        .reduce(_ unionByName _)
+        .distinct())
+    val flatMarkers = src.filter(isDone && !isPair).select(col("kafka").as("kafka"))
+    val markerKafka = pairMarkers.fold(flatMarkers)(p =>
+      graft.pool.SchemaUnion.unionAll(Seq(flatMarkers, p)))
+
+    val recordRows = src.filter(!isDone && !isPair)
+    // persisted: the offset count job and the output pass must agree on
+    // partitioning (Offsets.assignSequential's contract, as in Etl.compile)
+    val sorted = recordRows
+      .repartitionByRange(col("kafka.offset"))
+      .sortWithinPartitions(col("kafka.offset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = baseOffsets.getOrElse(outputTopic, -1L)
+    val records = Offsets.assignSequential(sorted, base + 1, "_offset")
+      .select(
+        struct(
+          lit(outputTopic).as("topic"),
+          lit(0L).as("partition"),
+          col("_offset").as("offset")).as("kafka"),
+        col("key"), col("value"),
+        lit(Envelope.KindRecord).as(Envelope.KindCol))
+    val markers = markerKafka.select(
+      col("kafka"),
+      lit(null).cast(records.schema("key").dataType).as("key"),
+      lit(null).cast(records.schema("value").dataType).as("value"),
+      lit(Envelope.KindDone).as(Envelope.KindCol))
+    (graft.pool.SchemaUnion.unionAll(Seq(records, markers)), Seq(src, sorted))
+  }
+
+  /** As [[finalizeProgramOutputPlan]] without the persisted handles — for
+    * one-shot use where the session's cache lifecycle is managed elsewhere.
+    */
+  def finalizeProgramOutput(out: DataFrame, outputTopic: String,
+      baseOffsets: Map[String, Long],
+      kindCol: String = Envelope.KindCol): DataFrame =
+    finalizeProgramOutputPlan(out, outputTopic, baseOffsets, kindCol)._1
 
   private def err(msg: String): Nothing =
     throw new IllegalArgumentException(s"zed etl: $msg")

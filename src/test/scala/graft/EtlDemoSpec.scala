@@ -77,6 +77,49 @@ class EtlDemoSpec extends AnyFunSuite {
     }
   }
 
+  test("the COMPILED etl-zed program, finalized, commits the batch-2 golden state") {
+    assume(Files.isDirectory(refDir))
+    // batch 1 processed natively; batch 2 loaded — then the GENERATED Zed
+    // program (ztests/etl-zed.yaml golden stdout) computes the batch-2
+    // delta, ZedEtl.finalizeProgramOutput makes it pool-committable (flat
+    // markers, assigned offsets — the Go layer's pipeline.go:93-164 role),
+    // and committing it reproduces ztests/etl-demo.yaml's `=== 2` Staging
+    // state exactly
+    val cfg = ZedEtl.parse(ref("demo/invoices.yaml"))
+    val goldens = goldenBlocks(ref("ztests/etl-demo.yaml"))
+    val program = {
+      import scala.jdk.CollectionConverters._
+      val root = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](ref("ztests/etl-zed.yaml")).asScala
+      root("outputs").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.map(_.asScala).find(_.get("name").map(_.toString.trim).contains("stdout")).get
+        .apply("data").toString
+    }
+
+    val raw = Pool.create(spark, Files.createTempDirectory("zedc-raw").toString)
+    val staging = Pool.create(spark, Files.createTempDirectory("zedc-staging").toString)
+    raw.append(loadZson(ref("demo/batch-1.zson")))
+    Etl.run(spark, raw, staging, cfg.transform)
+    raw.append(loadZson(ref("demo/batch-2.zson")))
+
+    val delta = graft.query.ZedScript.run(spark, program,
+      {
+        case "Raw" => (raw.read(), Seq("kafka.offset"))
+        case "Staging" => (staging.read(), Seq("kafka.offset"))
+        case other => fail(s"program asked for unknown pool $other")
+      },
+      kindCol = "_kind")
+    val (batch, persisted) = ZedEtl.finalizeProgramOutputPlan(delta,
+      cfg.transform.outputTopic, Etl.outputState(staging).baseOffsets)
+    try staging.append(batch)
+    finally persisted.foreach(_.unpersist())
+
+    val actual = normalize(staging.read(), col("_kind"))
+    val expected = normalize(loadZson(goldens(2).mkString("\n")),
+      coalesce(col("_type"), lit("record")))
+    assert(actual == expected, "Staging contents after program-driven batch 2")
+  }
+
   /** ZSON text → envelope DataFrame via the engine's own reader (the
     * `produce` path): ZSON-lite transpile to JSON lines, Spark JSON read.
     */

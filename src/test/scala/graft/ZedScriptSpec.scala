@@ -319,15 +319,17 @@ class ZedScriptSpec extends AnyFunSuite {
     for (i <- 3 to 4)
       raw.append(loadZson(ref(s"demo/batch-$i.zson")).withColumn("_kind", lit("record")))
 
-    val out = ZedScript.run(spark, program,
+    val state = Etl.outputState(staging)
+    val progDf = ZedScript.run(spark, program,
       {
         case "Raw" => (raw.read(), Seq("kafka.offset"))
         case "Staging" => (staging.read(), Seq("kafka.offset"))
         case other => fail(s"program asked for unknown pool $other")
       },
-      kindCol = "_kind").collect()
+      kindCol = "_kind")
+    val out = progDf.collect()
 
-    val native = Etl.compile(spark, raw.read(), Etl.outputState(staging), cfg.transform)
+    val native = Etl.compile(spark, raw.read(), state, cfg.transform)
       .collect()
 
     def valueStr(r: org.apache.spark.sql.Row, field: String): String = {
@@ -365,6 +367,19 @@ class ZedScriptSpec extends AnyFunSuite {
     assert(progMarkers == Set(
       ("Invoices", 4L), ("InvoiceStatus", 4L), ("InvoiceStatus", 5L),
       ("InvoiceStatus", 6L), ("InvoiceStatus", 7L), ("InvoiceStatus", 8L)))
+
+    // the Go layer's post-pass (pipeline.go:93-164): finalized, the program's
+    // batch equals the native delta EXACTLY — flat done markers (pairs
+    // exploded) and assigned output offsets included — i.e. pool-committable
+    val finalized = ZedEtl.finalizeProgramOutput(progDf, "NewInvoices",
+      state.baseOffsets).collect()
+    def full(r: org.apache.spark.sql.Row): (String, String, Long, String, String) = {
+      val k = r.getStruct(r.fieldIndex("kafka"))
+      (r.getAs[String]("_kind"), k.getAs[String]("topic"), k.getAs[Long]("offset"),
+        valueStr(r, "key"), valueStr(r, "value"))
+    }
+    assert(finalized.map(full).toSet == native.map(full).toSet)
+    assert(finalized.length == native.length)
   }
 
   test("demo/pending.zed verbatim over the invoices pools finds the held-back record") {
