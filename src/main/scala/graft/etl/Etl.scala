@@ -66,18 +66,22 @@ object Etl {
     * + markers. Returns (records, markers) counts.
     */
   def run(spark: SparkSession, input: Pool, output: Pool, t: Transform): (Long, Long) = {
-    val (batch, persisted) = compilePlan(spark, input.read(), outputState(output), t)
-    val cached = batch.cache()
+    val state = outputState(output)
+    val (batch, persisted, records) = compilePlanCounted(spark, input.read(), state, t)
     try {
-      val counts = cached.groupBy(Envelope.KindCol).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val records = counts.getOrElse(Envelope.KindRecord, 0L)
-      val markers = counts.getOrElse(Envelope.KindDone, 0L)
-      if (records + markers > 0) output.append(cached)
+      // The record count fell out of offset assignment's own counts job; the
+      // marker count is a filter over the batch union that Catalyst prunes
+      // to JUST the marker legs (the records leg folds to an empty scan), so
+      // neither count executes the record path — and the append below reads
+      // the compiled plan's internal caches rather than a third copy of the
+      // batch (the former batch.cache()).
+      val markers = batch.filter(col(Envelope.KindCol) === Envelope.KindDone).count()
+      if (records + markers > 0)
+        output.append(batch, knownRows = Some(records + markers))
       (records, markers)
     } finally {
-      cached.unpersist()
       persisted.foreach(_.unpersist())
+      state.persisted.foreach(_.unpersist())
     }
   }
 
@@ -99,20 +103,33 @@ object Etl {
   final case class OutputState(
       doneKeys: Option[DataFrame],
       baseOffsets: Map[String, Long],
-      cursors: Map[String, Long] = Map.empty)
+      cursors: Map[String, Long] = Map.empty,
+      persisted: Seq[DataFrame] = Seq.empty)
 
   def outputState(output: Pool): OutputState =
     if (output.isEmpty) OutputState(None, Map.empty)
     else {
-      val all = output.read()
-      val done = all.filter(col(Envelope.KindCol) === Envelope.KindDone)
-        .select(col("kafka.topic").as("_done_topic"), col("kafka.offset").as("_done_offset"))
+      // ONE scan of the output pool serves both consumers: the narrow
+      // (topic, offset, kind) projection is persisted, the eager stats
+      // aggregate materializes it, and the anti-join's done-key side then
+      // reads the cache instead of re-scanning pool parquet — the
+      // compiled pass's second-largest fixed cost after the input scan.
+      // (Three columns: at 10⁹ committed markers this is ~tens of GB
+      // spread across executors, MEMORY_AND_DISK spills the rest.)
+      // [[run]] unpersists via `persisted` after the commit.
+      val narrow = output.read()
+        .select(col("kafka.topic").as("_done_topic"),
+          col("kafka.offset").as("_done_offset"),
+          col(Envelope.KindCol).as("_k"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // one metadata pass: per (topic, kind) count/min/max serves both the
       // record offset bases and the done-prefix cursor detection
-      val stats = all
-        .groupBy(col("kafka.topic").as("t"), col(Envelope.KindCol).as("k"))
-        .agg(count(lit(1)).as("n"), min(col("kafka.offset")).as("mn"), max(col("kafka.offset")).as("mx"))
+      val stats = narrow
+        .groupBy(col("_done_topic").as("t"), col("_k").as("k"))
+        .agg(count(lit(1)).as("n"), min(col("_done_offset")).as("mn"), max(col("_done_offset")).as("mx"))
         .collect()
+      val done = narrow.filter(col("_k") === Envelope.KindDone)
+        .select(col("_done_topic"), col("_done_offset"))
       val base = stats.collect {
         case r if r.getString(1) == Envelope.KindRecord => r.getString(0) -> r.getLong(4)
       }.toMap
@@ -121,7 +138,7 @@ object Etl {
             r.getLong(3) == 0L && r.getLong(2) == r.getLong(4) + 1 =>
           r.getString(0) -> (r.getLong(4) + 1)
       }.toMap
-      OutputState(Some(done), base, cursors)
+      OutputState(Some(done), base, cursors, Seq(narrow))
     }
 
   /** Plan compiler — testable without pools on any envelope DataFrame. */
@@ -133,6 +150,15 @@ object Etl {
     */
   def compilePlan(spark: SparkSession, input: DataFrame, state: OutputState,
       t: Transform): (DataFrame, Seq[DataFrame]) = {
+    val (batch, persisted, _) = compilePlanCounted(spark, input, state, t)
+    (batch, persisted)
+  }
+
+  /** As [[compilePlan]], also returning the output-record count (free — the
+    * offset-assignment counts job computes it anyway).
+    */
+  def compilePlanCounted(spark: SparkSession, input: DataFrame, state: OutputState,
+      t: Transform): (DataFrame, Seq[DataFrame], Long) = {
     // 1. Source per input topic with T7 anti-join vs done markers
     //    (build.go:111-116 fromTemplate). Single unioned scan + join on
     //    (topic, offset) — the reference scans per topic because each
@@ -210,10 +236,13 @@ object Etl {
         val outs = joined.select(col("_src_kafka"), col("key"), col("value"))
         // done markers for BOTH joined sides (build.go:210-213); unjoined
         // records stay unmarked → picked up when their partner arrives.
+        // The distinct is a shuffle and feeds both the marker count and the
+        // committed write — persist so it runs once.
         val dones = joined.select(col("_src_kafka").as("_done_kafka"))
           .unionByName(joined.select(col("_right_kafka").as("_done_kafka")))
           .distinct()
-        (outs, dones, Seq(joined))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (outs, dones, Seq(joined, dones))
     }
 
     // 4. Merge branches (Q25 union — rules may emit DIFFERENT value shapes,
@@ -249,7 +278,8 @@ object Etl {
       .sortWithinPartitions(col("_src_kafka.offset"), col("_src_kafka.topic"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outTopic = t.outputTopic
-    val records = Offsets.assignSequential(sorted, baseOffset + 1, "_offset")
+    val (assigned, recordCount) = Offsets.assignSequentialCounted(sorted, baseOffset + 1, "_offset")
+    val records = assigned
       .select(
         struct(
           lit(outTopic).as("topic"),
@@ -267,6 +297,7 @@ object Etl {
     // superset union, not unionByName: the markers' kafka struct is the
     // INPUT's shape (which may lack `partition`, e.g. ZSON-loaded fixtures)
     // while records carry the full {topic,partition,offset}
-    (graft.pool.SchemaUnion.unionAll(Seq(records, markers)), Seq(in, sorted) ++ branchPersists)
+    (graft.pool.SchemaUnion.unionAll(Seq(records, markers)),
+      Seq(in, sorted) ++ branchPersists, recordCount)
   }
 }

@@ -25,7 +25,14 @@ object Offsets {
     * `df` must be persisted (both the counts job and the output job must see
     * the same partitioning/order — the same contract zipWithIndex had).
     */
-  def assignSequential(df: DataFrame, start: Long, outCol: String): DataFrame = {
+  def assignSequential(df: DataFrame, start: Long, outCol: String): DataFrame =
+    assignSequentialCounted(df, start, outCol)._1
+
+  /** As [[assignSequential]], also returning the row count — the counts job
+    * runs either way, so callers that need the total (Etl.run's record
+    * count, append sizing) get it for free instead of re-counting.
+    */
+  def assignSequentialCounted(df: DataFrame, start: Long, outCol: String): (DataFrame, Long) = {
     val localMask = (1L << 33) - 1 // MonotonicallyIncreasingID: pid<<33 | row#
     val withId = df
       .withColumn("_g_pid", spark_partition_id())
@@ -37,8 +44,9 @@ object Offsets {
     val spark = df.sparkSession
     import spark.implicits._
     val baseDf = bases.toDF("_g_pid", "_g_base")
-    withId.join(broadcast(baseDf), Seq("_g_pid"))
+    val out = withId.join(broadcast(baseDf), Seq("_g_pid"))
       .withColumn(outCol, col("_g_base") + col("_g_local"))
       .select(df.columns.map(col).toSeq :+ col(outCol): _*)
+    (out, counts.map(_._2).sum)
   }
 }

@@ -105,8 +105,13 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     *   micro-batches, which arrive in offset order. Row-group stats still
     *   prune; the sampling pass + shuffle of the full batch is saved, which
     *   is the bulk of commit latency for large micro-batches.
+    * @param knownRows the batch's row count when the caller already has it
+    *   (Etl.run's compile counts it anyway) — skips the sizing count job.
+    *   Such callers should hand over a plan whose expensive subtrees are
+    *   cached, since a multi-file write's range sampler executes it twice.
     */
-  def append(batch: DataFrame, presorted: Boolean = false): Unit = {
+  def append(batch: DataFrame, presorted: Boolean = false,
+      knownRows: Option[Long] = None): Unit = {
     require(hasKafkaOffset(batch), ErrBadPoolKey)
     val seg = f"seg-${committedSegments().size + 1}%06d-${System.nanoTime()}%x"
     val segDir = root.resolve(seg)
@@ -114,15 +119,34 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     // uncached batch plan executes twice per commit. Batches are bounded
     // (micro-batch / CLI-load sized — pools grow by segments, batches
     // don't), so persist for the duration of the write. Callers that pass
-    // an already-persisted batch (Etl.run) are left untouched.
-    val mustCache = !presorted && batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    // an already-persisted batch (or knownRows) are left untouched.
+    val mustCache = !presorted && knownRows.isEmpty &&
+      batch.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (mustCache) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sorted =
         if (presorted) batch.sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
-        else batch
-          .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
-          .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+        else {
+          // Size the segment's file count to the batch instead of writing
+          // spark.sql.shuffle.partitions files regardless: a micro-batch or
+          // CLI load of a few hundred k rows otherwise becomes 32+ tiny
+          // parquet files per commit — the classic small-files failure that
+          // compounds over thousands of commits (listing time, sub-stats
+          // row groups) and, at bench scale, dominates commit latency with
+          // per-file fixed costs. The count is ~free when not caller-known:
+          // the batch is cached (just persisted above, or caller-persisted
+          // by contract), and warming the cache here replaces the range-
+          // sampler's own first execution. Large batches keep full write
+          // parallelism up to the session's shuffle parallelism — the knob
+          // a real cluster sizes.
+          val n = knownRows.getOrElse(batch.count())
+          val maxParts = spark.sessionState.conf.numShufflePartitions
+          val parts = ((n / RowsPerSegmentFile) + 1).min(maxParts.toLong).toInt.max(1)
+          val clustered =
+            if (parts == 1) batch.coalesce(1) // no shuffle, no sampling pass
+            else batch.repartitionByRange(parts, col("kafka.topic"), col("kafka.offset"))
+          clustered.sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+        }
       sorted.write.mode(SaveMode.ErrorIfExists).parquet(segDir.toString)
       commit(seg)
     } finally if (mustCache) batch.unpersist()
@@ -230,6 +254,14 @@ final class Pool private (val spark: SparkSession, val root: Path) {
 
 object Pool {
   val ManifestFile = "MANIFEST"
+  /** Target rows per written segment file (append's file-count sizing) —
+    * the balance point between the small-files hazard (a 32-way shuffle
+    * write per few-hundred-k-row commit) and serializing the write into one
+    * task. The session's shuffle parallelism caps the file count either
+    * way, so a cluster tuned for 100 TB ingest scales the cap with
+    * `spark.sql.shuffle.partitions` as usual.
+    */
+  val RowsPerSegmentFile: Long = 1L << 17
   val KafkaOffsetEarliest: Long = -2L // etl/pool.go:20-22
   val ErrBadPoolKey =
     "pool key must be the ascending kafka.offset (kafka:struct<topic,offset> column required)" // fifo/lake.go:36-39
