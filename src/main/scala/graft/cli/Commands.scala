@@ -177,6 +177,15 @@ object Commands {
       batchSize: Int = 200): Long =
     graft.streaming.StreamSync.toTopic(pool, topic, highWaterMark, encode, sink, batchSize)
 
+  /** `to-kafka` through the Kafka connector: the drain flows executor→Kafka
+    * as one sorted single-partition write instead of bouncing through the
+    * driver ([[graft.streaming.StreamSync.toTopicDistributed]]); the
+    * iterator form above remains the no-connector fallback.
+    */
+  def toKafkaDistributed(pool: Pool, topic: String, highWaterMark: Long,
+      encode: DataFrame => DataFrame, sink: DataFrame => Unit): Long =
+    graft.streaming.StreamSync.toTopicDistributed(pool, topic, highWaterMark, encode, sink)
+
   /** Decoded value type for a registry schema id — the from-kafka target. */
   def schemaTypeOf(registry: SchemaRegistry, id: Int): org.apache.spark.sql.types.StructType =
     graft.codec.ConfluentAvro.sparkType(
@@ -245,9 +254,13 @@ object Commands {
         kafka.bootstrapServers, kafka.adminOptions)
       try {
         val (_, hi) = admin.watermarks(topic) // resume at the broker HWM (fifo/to.go:31-38)
+        // ordered-produce safety on the connector path: one in-flight
+        // request (retries cannot reorder) + idempotent producer
         val sink = new graft.streaming.KafkaTopicSink(
-          kafka.bootstrapServers, kafka.clientOptions)
-        println(toKafka(Pool.open(spark, poolPath), topic, hi,
+          kafka.bootstrapServers, kafka.clientOptions ++ Map(
+            "kafka.max.in.flight.requests.per.connection" -> "1",
+            "kafka.enable.idempotence" -> "true"))
+        println(toKafkaDistributed(Pool.open(spark, poolPath), topic, hi,
           graft.codec.WireCodec.avroProducerEncoder(registry), sink.write))
       } finally admin.close()
     case "version" :: Nil =>

@@ -242,4 +242,45 @@ object StreamSync {
     }
     produced
   }
+
+  /** Distributed ordered drain — the connector-backed form of [[toTopic]].
+    *
+    * [[toTopic]] streams rows to the driver and re-wraps each batch in a
+    * DataFrame, bouncing every record driver→cluster→Kafka — parity with
+    * the reference's sync producer loop (fifo/to.go:29-55), but the wrong
+    * shape at scale. Here the drain range is sorted into ONE partition
+    * (total order by construction: a 1-partition range shuffle + in-
+    * partition sort) and handed to the sink as a single DataFrame — the
+    * executor task talks straight to Kafka through the deployment's
+    * connector, no driver round-trip. Order survives because a single
+    * partition is written by a single task = one producer; the CLI pairs
+    * this with `max.in.flight.requests.per.connection=1` (+ idempotence)
+    * so broker-side retries cannot reorder either. Single-topic ordered
+    * produce is inherently one-producer-serial (SCALING.md) — the shuffle
+    * to one partition costs nothing the sink wasn't already forcing.
+    *
+    * `encode` must be a row-wise projection (all the engine's codecs are):
+    * anything that re-partitions would break the order contract.
+    *
+    * @return records produced (a narrow pre-count of the drain range —
+    *   the scan reads only the kafka meta columns, then the sink pass
+    *   reads the data once).
+    */
+  def toTopicDistributed(
+      pool: Pool,
+      topic: String,
+      highWaterMark: Long,
+      encode: DataFrame => DataFrame,
+      sink: DataFrame => Unit): Long = {
+    val scoped = pool.read()
+      .filter(col("kafka.topic") === topic && col("kafka.offset") >= highWaterMark)
+    val produced = scoped.count()
+    if (produced > 0) {
+      val single = scoped
+        .repartitionByRange(1, col("kafka.offset"))
+        .sortWithinPartitions(col("kafka.offset"))
+      sink(encode(single))
+    }
+    produced
+  }
 }

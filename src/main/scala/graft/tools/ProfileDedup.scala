@@ -61,6 +61,15 @@ object ProfileDedup {
         raw.groupBy("id").agg(mins.head, mins.tail: _*)
       }
       time("16 md5-min signature")(sig16.count())
+      // the production near-dup preset (128 perms / 32 bands, est >= 0.8):
+      // end-to-end signatures → banded candidates → signature-estimated
+      // verify — the SCALING.md pin for the preset's intrinsic cost
+      time("est preset 128/32 @0.8")(
+        Dedup.minhashEstimatePairs(corpus, "id", "text",
+          n = 3, numPerms = 128, bands = 32, threshold = 0.8).count())
+      time("128 md5-min signature")(
+        Dedup.minhashSignatureFrame(corpus, "id", "text", 3, 128).count())
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     spark.stop()
   }

@@ -102,6 +102,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected only signature + pair-distinct exchanges, got $exchanges:\n$plan")
   }
 
+  test("the production 128-perm signature aggregate still shuffles once, keyed on id") {
+    // the recall-spec'd preset (numPerms=128, bands=32 — OpsSpec): widening
+    // the signature from 16 to 128 min-columns must not change the plan
+    // class — one partial-aggregating id-keyed exchange, the shingle stream
+    // never shuffled (min() stays duplicate-insensitive at any width)
+    val sig = Dedup.minhashSignatureFrame(corpus, "id", "text", 3, 128)
+    sig.collect()
+    val plan = sig.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val shKeyed = "Exchange hashpartitioning\\([^)]*sh#".r.findAllIn(plan).length
+    assert(shKeyed == 0, s"expected no shingle-keyed exchange in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly the id-keyed signature exchange, got $exchanges:\n$plan")
+    assert("partial_min\\(".r.findAllIn(plan).nonEmpty ||
+      plan.contains("Partial") , s"expected a map-side partial aggregate in:\n$plan")
+  }
+
   test("contamination corpus side reaches the broadcast eval join unshuffled") {
     import graft.ops.Curate
     val evalSet = corpus.filter(col("id") % 7 === 0)

@@ -375,4 +375,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == 400) // offsets 100..499
     assert(produced.toSeq == (100L until 500L)) // strict order across batches
   }
+
+  test("distributed to-topic drains as ONE sorted single-partition frame, order intact") {
+    val pool = Pool.create(spark, Files.createTempDirectory("pool-dist").toString)
+    pool.append(decode(wireRows("T", 0 until 500)))
+    pool.append(decode(wireRows("U", 0 until 50))) // other topic must not drain
+    val produced = scala.collection.mutable.ArrayBuffer[Long]()
+    var sinkCalls = 0
+    val n = StreamSync.toTopicDistributed(pool, "T", highWaterMark = 100,
+      encode = identity,
+      sink = df => {
+        sinkCalls += 1
+        // the order contract: one partition, one writer task
+        assert(df.rdd.getNumPartitions == 1)
+        produced ++= df.select(col("kafka.offset")).collect().map(_.getLong(0))
+      })
+    assert(n == 400)
+    assert(sinkCalls == 1) // no per-batch driver round-trip
+    assert(produced.toSeq == (100L until 500L))
+
+    // empty drain range: no sink call, zero produced
+    val none = StreamSync.toTopicDistributed(pool, "T", highWaterMark = 500,
+      identity, _ => fail("sink must not run on an empty drain"))
+    assert(none == 0)
+  }
 }
