@@ -222,6 +222,11 @@ object Commands {
     case "produce" :: poolPath :: file :: topic :: Nil =>
       val spark = GraftSession.get()
       println(produce(spark, Pool.create(spark, poolPath), file, topic))
+    case "etl" :: "-zed" :: yamlPath :: Nil =>
+      // print the generated Zed program(s) instead of running (the
+      // reference's -zed flag, pinned by ztests/etl-zed.yaml's stdout)
+      graft.etl.ZedEtl.generateProgram(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(yamlPath)))).foreach(print)
     case "etl" :: yamlPath :: poolRoot :: Nil =>
       val spark = GraftSession.get()
       val (r, m) = etl(spark, new String(java.nio.file.Files.readAllBytes(
@@ -269,7 +274,7 @@ object Commands {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: consume <pool> [-f json|zson|zjson|zng] [topic] [offset] | info <pool> |
-           |       produce <pool> <file> <topic> | etl <yaml> <poolRoot> |
+           |       produce <pool> <file> <topic> | etl [-zed] <yaml> [poolRoot] |
            |       ls [registryUrl] | from-kafka <pool> <checkpoint> <topics> <schemaId> |
            |       to-kafka <pool> <topic> | version""".stripMargin)
       sys.exit(1)

@@ -97,6 +97,143 @@ object ZedEtl {
     }
   }
 
+  /** Generate the Zed program(s) the reference's `zync etl -zed` prints —
+    * one per output topic, each the type-decl + per-topic anti-join fork +
+    * first-match switch pipeline over that topic's rules
+    * (etl/build.go:20-107 `Build`/`buildZed`, :109-137 from/fork, :163-185
+    * stateless case, :187-216 denorm case). The emitted text is pinned
+    * byte-for-byte against ztests/etl-zed.yaml's golden stdout
+    * (ZedEtlGenSpec), and because [[graft.query.ZedScript]] executes this
+    * same surface, a generated program runs as-is and its batch commits
+    * through [[finalizeProgramOutputPlan]] — the full `etl -zed` loop.
+    *
+    * Works from the RAW yaml (not [[parse]]'s SQL rule model): the program
+    * embeds the user's Zed `zed:` scripts verbatim.
+    */
+  def generateProgram(yamlText: String): Seq[String] = {
+    val root = new Yaml().load[java.util.Map[String, Object]](yamlText).asScala
+    def mapSeq(key: String): Seq[collection.Map[String, Object]] =
+      root.getOrElse(key, err(s"missing $key"))
+        .asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.toSeq.map(_.asScala)
+    val inPoolOf = mapSeq("inputs")
+      .map(m => m("topic").toString -> m("pool").toString).toMap
+    val output = root.getOrElse("output", err("missing output"))
+      .asInstanceOf[java.util.Map[String, Object]].asScala
+    val outPool = output("pool").toString
+    val rules = mapSeq("transforms")
+    def field(r: collection.Map[String, Object], k: String): String =
+      r.get(k).map(_.toString).getOrElse("")
+
+    def quote(s: String) = "\"" + s + "\"" // Go %q over plain topic/pool names
+
+    // build.go:140-145 indent: bump every line, trim the whole, one trailing \n
+    def indent(s: String, tab: Int): String = {
+      val bump = " " * tab
+      bump + s.split("\n", -1).mkString("\n" + bump).trim + "\n"
+    }
+    // build.go:147-160: embed the user zed body, with/without its lead pipe
+    def formatZedHead(s0: String, tab: Int): String = {
+      val s = s0.trim
+      "  " + indent(if (s.startsWith("|")) s.drop(1) else s, tab)
+    }
+    def formatZed(s0: String, tab: Int): String = {
+      val s = s0.trim
+      indent(if (s.startsWith("|")) s else "| " + s, tab)
+    }
+
+    // build.go:109-137: one anti-join from per topic; several fork
+    def buildFrom(topics: Seq[String], outputTopic: String): String = topics match {
+      case Seq(one) =>
+        s"""
+           |from (
+           |  pool ${quote(inPoolOf(one))} => kafka.topic==${quote(one)}
+           |  pool ${quote(outPool)} => is(<done>) kafka.topic==${quote(one)}
+           |) | anti join on kafka.offset=kafka.offset
+           |""".stripMargin
+      case several =>
+        val legs = several.map { t =>
+          "=> " + buildFrom(Seq(t), outputTopic).dropWhile(_ == '\n') + "\n"
+        }.mkString
+        s"fork (\n${indent(legs, 2)})\n"
+    }
+
+    def buildStateless(r: collection.Map[String, Object]): String = {
+      val where = field(r, "where") match {
+        case "" => ""
+        case w => s"($w) and "
+      }
+      val b = new StringBuilder
+      b ++= s"  case ${where}kafka.topic==${quote(field(r, "in"))} =>\n"
+      b ++= "    fork (\n"
+      b ++= "      =>\n"
+      b ++= "        yield {in:this}\n"
+      b ++= "\n    // === user-defined ETL ===\n"
+      b ++= formatZed(field(r, "zed"), 8)
+      b ++= "\n"
+      b ++= "        | out.kafka:=in.kafka\n"
+      b ++= "        | yield out\n"
+      b ++= s"        | kafka.topic:=${quote(field(r, "out"))}\n"
+      b ++= "        \n"
+      b ++= "      =>\n"
+      b ++= "        yield cast({kafka:{topic:kafka.topic,offset:kafka.offset}},done)\n"
+      b ++= "        \n"
+      b ++= "      )\n"
+      b.toString
+    }
+
+    def buildDenorm(r: collection.Map[String, Object]): String = {
+      val join = field(r, "join-on")
+      val keys = join.split("=", -1)
+      require(keys.length == 2, s"join-on syntax error: $join")
+      val (leftKey, rightKey) = (keys(0).trim, keys(1).trim)
+      val b = new StringBuilder
+      b ++= s"  case ${field(r, "where")} =>\n"
+      b ++= "    fork (\n"
+      b ++= s"      => kafka.topic==${quote(field(r, "left"))} | yield {left:this} | sort $leftKey\n"
+      b ++= s"      => kafka.topic==${quote(field(r, "right"))} | yield {right:this} | sort $rightKey\n"
+      b ++= "    )\n"
+      b ++= s"    | join on $leftKey=$rightKey right:=right\n"
+      b ++= "    | fork (\n"
+      b ++= "      =>\n"
+      b ++= "          // === user-defined ETL ===\n"
+      b ++= formatZedHead(field(r, "zed"), 8)
+      b ++= "        | out.kafka:=left.kafka\n"
+      b ++= "        | yield out\n"
+      b ++= s"        | kafka.topic:=${quote(field(r, "out"))}\n"
+      b ++= "      =>  yield {\n"
+      b ++= "             left:cast({kafka:{topic:left.kafka.topic,offset:left.kafka.offset}},done),\n"
+      b ++= "             right:cast({kafka:{topic:right.kafka.topic,offset:right.kafka.offset}},done)\n"
+      b ++= "          }\n"
+      b ++= "    )\n"
+      b.toString
+    }
+
+    // output topics in rule order; inputs of each in first-reference order
+    val outTopics = rules.map(r => field(r, "out")).distinct
+    outTopics.map { ot =>
+      val mine = rules.filter(r => field(r, "out") == ot)
+      val inTopics = mine.flatMap { r =>
+        if (field(r, "type") == "denorm") Seq(field(r, "left"), field(r, "right"))
+        else Seq(field(r, "in"))
+      }.distinct
+      val b = new StringBuilder
+      b ++= "type done = {kafka:{topic:string,offset:int64}}\n"
+      b ++= buildFrom(inTopics, ot)
+      b ++= "| yield this\n"
+      b ++= "| switch (\n"
+      mine.foreach { r =>
+        field(r, "type") match {
+          case "stateless" => b ++= buildStateless(r)
+          case "denorm" => b ++= buildDenorm(r)
+          case other => err(s"unknown ETL type: $other")
+        }
+      }
+      b ++= ")\n| sort kafka.offset\n"
+      b.toString
+    }
+  }
+
   /** The Go layer's post-pass over a compiled Zed program's batch
     * (etl/pipeline.go:93-125 `writeToOutputPool` + :127-164 `insertOffsets`),
     * Spark-shaped — turns [[graft.query.ZedScript.run]]'s raw output into a

@@ -120,6 +120,33 @@ class EtlDemoSpec extends AnyFunSuite {
     assert(actual == expected, "Staging contents after program-driven batch 2")
   }
 
+  test("generateProgram reproduces the etl-zed.yaml golden program text") {
+    assume(Files.isDirectory(refDir))
+    // `zync etl -zed invoices.yaml` parity: the generated Zed program must
+    // BE the reference's golden stdout (ztests/etl-zed.yaml) — which the
+    // ZedScript run-equivalence tests then execute, closing the loop:
+    // generate → run → finalize → commit all match the native compiler
+    val golden = {
+      import scala.jdk.CollectionConverters._
+      val root = new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](ref("ztests/etl-zed.yaml")).asScala
+      root("outputs").asInstanceOf[java.util.List[java.util.Map[String, Object]]]
+        .asScala.map(_.asScala).find(_.get("name").map(_.toString.trim).contains("stdout")).get
+        .apply("data").toString
+    }
+    val generated = ZedEtl.generateProgram(ref("demo/invoices.yaml"))
+    assert(generated.size == 1)
+    val got = generated.head
+    // the ztest block scalar keeps one extra final newline; the program
+    // text itself must match byte-for-byte
+    if (got != golden && got + "\n" != golden) {
+      // byte-diff aid: first differing line
+      val (gl, dl) = (got.linesIterator.toSeq, golden.linesIterator.toSeq)
+      val i = gl.zipAll(dl, "<EOF>", "<EOF>").indexWhere { case (a, b) => a != b }
+      fail(s"first diff at line ${i + 1}:\n  generated: ${gl.lift(i)}\n  golden:    ${dl.lift(i)}")
+    }
+  }
+
   /** ZSON text → envelope DataFrame via the engine's own reader (the
     * `produce` path): ZSON-lite transpile to JSON lines, Spark JSON read.
     */
