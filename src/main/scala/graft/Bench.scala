@@ -96,9 +96,14 @@ object Bench {
       def dropLeaked(): Unit = {
         // NonFatal only: an OOM/linkage error between queries means the JVM
         // is corrupted and the run's numbers are garbage — let it die.
-        try spark.sharedState.cacheManager.clearCache()
-        catch { case scala.util.control.NonFatal(_) => () }
+        // ORDER MATTERS: the blocking RDD unpersist must run BEFORE
+        // clearCache — clearCache unpersists DataFrame caches with
+        // blocking=false and synchronously removes them from the
+        // persistentRdds map, so a loop running after it would never see
+        // them and their block removal would race the next measurement.
         try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        catch { case scala.util.control.NonFatal(_) => () }
+        try spark.sharedState.cacheManager.clearCache() // bookkeeping only now
         catch { case scala.util.control.NonFatal(_) => () }
       }
       def reclaim(name: String): Unit = {

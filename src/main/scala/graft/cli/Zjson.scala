@@ -101,8 +101,14 @@ object Zjson {
       case JsonNodeType.STRING => (Prim("string"), q(n.asText))
       case JsonNodeType.BOOLEAN => (Prim("bool"), "\"" + n.asText + "\"")
       case JsonNodeType.NUMBER =>
-        if (n.isIntegralNumber) (Prim("int64"), "\"" + n.asText + "\"")
-        else (Prim("float64"), "\"" + n.asText + "\"")
+        if (n.isIntegralNumber) {
+          // zjson has no bignum: a value outside int64 would type-lie and
+          // overflow any conformant consumer — raise, don't mis-encode
+          if (!n.canConvertToLong)
+            throw new IllegalArgumentException(
+              s"zjson: integer ${n.asText} does not fit int64")
+          (Prim("int64"), "\"" + n.asText + "\"")
+        } else (Prim("float64"), "\"" + n.asText + "\"")
       case JsonNodeType.ARRAY =>
         val items = (0 until n.size).map(i => walk(n.get(i)))
         val elemT = unify(items.map(_._1))
@@ -161,6 +167,7 @@ object Zjson {
   private val IntNames = Set("int8", "int16", "int32", "int64",
     "uint8", "uint16", "uint32", "uint64")
   private val FloatNames = Set("float16", "float32", "float64")
+  private val JsonNumber = "-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?".r
 
   /** Decode a zjson stream (text or lines) back to JSON record lines — the
     * inverse of [[fromJsonLines]] on its subset, tolerant of the wider
@@ -195,7 +202,13 @@ object Zjson {
         case "primitive" =>
           val name = t.get("name").asText
           if (v == null || v.isNull) "null"
-          else if (IntNames(name) || FloatNames(name) || name == "bool") v.asText
+          else if (IntNames(name) || FloatNames(name) || name == "bool") {
+            val text = v.asText
+            // non-finite floats (+Inf/-Inf/NaN are legal Zed float text)
+            // have no JSON number form — carry them as strings, the same
+            // convention the engine's JSON interchange uses elsewhere
+            if (name == "bool" || JsonNumber.matches(text)) text else q(text)
+          }
           else q(v.asText) // string, time, duration, ip, net, bytes, …
         case "record" =>
           if (v == null || v.isNull) "null"

@@ -67,22 +67,23 @@ object Etl {
     */
   def run(spark: SparkSession, input: Pool, output: Pool, t: Transform): (Long, Long) = {
     val state = outputState(output)
-    val (batch, persisted, records) = compilePlanCounted(spark, input.read(), state, t)
     try {
-      // The record count fell out of offset assignment's own counts job; the
-      // marker count is a filter over the batch union that Catalyst prunes
-      // to JUST the marker legs (the records leg folds to an empty scan), so
-      // neither count executes the record path — and the append below reads
-      // the compiled plan's internal caches rather than a third copy of the
-      // batch (the former batch.cache()).
-      val markers = batch.filter(col(Envelope.KindCol) === Envelope.KindDone).count()
-      if (records + markers > 0)
-        output.append(batch, knownRows = Some(records + markers))
-      (records, markers)
-    } finally {
-      persisted.foreach(_.unpersist())
-      state.persisted.foreach(_.unpersist())
-    }
+      // compile inside the try: it runs eager jobs (offset counts, rule SQL
+      // analysis), and a throw must still release outputState's cache
+      val (batch, persisted, records) = compilePlanCounted(spark, input.read(), state, t)
+      try {
+        // The record count fell out of offset assignment's own counts job;
+        // the marker count is a filter over the batch union that Catalyst
+        // prunes to JUST the marker legs (the records leg folds to an empty
+        // scan), so neither count executes the record path — and the append
+        // below reads the compiled plan's internal caches rather than a
+        // third copy of the batch (the former batch.cache()).
+        val markers = batch.filter(col(Envelope.KindCol) === Envelope.KindDone).count()
+        if (records + markers > 0)
+          output.append(batch, knownRows = Some(records + markers))
+        (records, markers)
+      } finally persisted.foreach(_.unpersist())
+    } finally state.persisted.foreach(_.unpersist())
   }
 
   /** The output pool's relevant state: done-marker keys (potentially huge —
@@ -236,13 +237,9 @@ object Etl {
         val outs = joined.select(col("_src_kafka"), col("key"), col("value"))
         // done markers for BOTH joined sides (build.go:210-213); unjoined
         // records stay unmarked → picked up when their partner arrives.
-        // The distinct is a shuffle and feeds both the marker count and the
-        // committed write — persist so it runs once.
         val dones = joined.select(col("_src_kafka").as("_done_kafka"))
           .unionByName(joined.select(col("_right_kafka").as("_done_kafka")))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (outs, dones, Seq(joined, dones))
+        (outs, dones, Seq(joined))
     }
 
     // 4. Merge branches (Q25 union — rules may emit DIFFERENT value shapes,
@@ -261,8 +258,17 @@ object Etl {
     //    (pipeline.go:87-91, a known TODO); this stays fully distributed and
     //    fully inside the DataFrame plan (no RDD hop, no row conversion).
     val allOuts = graft.pool.SchemaUnion.unionAll(branches.map(_._1))
-    val allDones = branches.map(_._2).reduce(_ unionByName _)
-    val branchPersists = branches.flatMap(_._3)
+    // ONE global distinct over every branch's markers: the denorm join can
+    // mark the same input from several partners, and a decoder may emit
+    // several records per (topic, offset) — e.g. ZNG multi-record message
+    // values — which would otherwise commit duplicate markers from the
+    // stateless branches and permanently break outputState's cursor
+    // invariant ("markers are distinct by construction"). Branches are
+    // first-match exclusive, so one distinct covers all of them; persisted
+    // because it feeds both the marker count and the committed write.
+    val allDones = branches.map(_._2).reduce(_ unionByName _).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val branchPersists = branches.flatMap(_._3) :+ allDones
 
     val baseOffset = state.baseOffsets.getOrElse(t.outputTopic, -1L)
     // Output order is the POOL-KEY order of the source records — kafka.offset

@@ -285,10 +285,18 @@ object ZedEtl {
 
     val recordRows = src.filter(!isDone && !isPair)
     // persisted: the offset count job and the output pass must agree on
-    // partitioning (Offsets.assignSequential's contract, as in Etl.compile)
+    // partitioning (Offsets.assignSequential's contract, as in Etl.compile).
+    // Tie-break: the program's record rows carry only the source OFFSET
+    // (kafka.topic was overwritten to the output topic by the program
+    // itself), so when two source topics share an offset the native
+    // compiler's (offset, source-topic) order is unavailable — the
+    // reference's Go layer has exactly the same blindness (insertOffsets
+    // numbers the sorted batch as-is). A content hash makes the order
+    // deterministic across runs either way.
+    val tieBreak = xxhash64(to_json(struct(col("key"), col("value"))))
     val sorted = recordRows
-      .repartitionByRange(col("kafka.offset"))
-      .sortWithinPartitions(col("kafka.offset"))
+      .repartitionByRange(col("kafka.offset"), tieBreak)
+      .sortWithinPartitions(col("kafka.offset"), tieBreak)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = baseOffsets.getOrElse(outputTopic, -1L)
     val records = Offsets.assignSequential(sorted, base + 1, "_offset")

@@ -55,7 +55,7 @@ object Dedup {
   def incrementalNewDocs(history: DataFrame, incoming: DataFrame,
       textCol: String, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame =
-    incrementalNewDocsManaged(history, incoming, textCol, expectedItems, fpp)._1
+    incrementalImpl(history, incoming, textCol, expectedItems, fpp, manage = false)._1
 
   /** As [[incrementalNewDocs]], plus an explicit `release()` for
     * long-running ingest loops: each side is scanned ONCE (the history
@@ -66,27 +66,37 @@ object Dedup {
     * use doesn't accumulate executor storage or broadcasts until the
     * ContextCleaner happens to run. Call `release()` only after the
     * returned frame is fully consumed — the output cannot be recomputed
-    * afterwards.
+    * afterwards. The UNmanaged [[incrementalNewDocs]] deliberately persists
+    * NOTHING (its only per-call state is the Bloom broadcast, collected by
+    * the ContextCleaner once unreferenced): a convenience API must not pin
+    * executor storage it gives the caller no way to release.
     */
   def incrementalNewDocsManaged(history: DataFrame, incoming: DataFrame,
       textCol: String, expectedItems: Long = 1L << 20,
-      fpp: Double = 0.01): (DataFrame, () => Unit) = {
+      fpp: Double = 0.01): (DataFrame, () => Unit) =
+    incrementalImpl(history, incoming, textCol, expectedItems, fpp, manage = true)
+
+  private def incrementalImpl(history: DataFrame, incoming: DataFrame,
+      textCol: String, expectedItems: Long, fpp: Double,
+      manage: Boolean): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
-    val hFp = history.select(md5(col(textCol)).as("_fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bf = hFp.stat.bloomFilter("_fp", expectedItems, fpp) // action: caches hFp
+    def cached(df: DataFrame): DataFrame =
+      if (manage) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val hFp = cached(history.select(md5(col(textCol)).as("_fp")))
+    val bf = hFp.stat.bloomFilter("_fp", expectedItems, fpp) // action (caches hFp when managed)
     val bfBc = history.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
-    val flagged = incoming.withColumn("_fp", md5(col(textCol)))
-      .withColumn("_mc", mightContain(col("_fp")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val flagged = cached(incoming.withColumn("_fp", md5(col(textCol)))
+      .withColumn("_mc", mightContain(col("_fp"))))
     val definitelyNew = flagged.filter(!col("_mc"))
     val confirmedNew = flagged.filter(col("_mc"))
       .join(hFp, Seq("_fp"), "left_anti")
     val out = definitelyNew.unionByName(confirmedNew).drop("_fp", "_mc")
     val release = () => {
-      flagged.unpersist(blocking = false)
-      hFp.unpersist(blocking = false)
+      if (manage) {
+        flagged.unpersist(blocking = false)
+        hFp.unpersist(blocking = false)
+      }
       bfBc.destroy()
     }
     (out, release)

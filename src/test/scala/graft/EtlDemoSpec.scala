@@ -147,6 +147,35 @@ class EtlDemoSpec extends AnyFunSuite {
     }
   }
 
+  test("finalizeProgramOutput is deterministic when source offsets collide across topics") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // the program's record rows keep only the source OFFSET (topic was
+    // overwritten by the program), so two topics' records can collide on
+    // offset; assignment must still be run-to-run deterministic
+    val schema = StructType.fromDDL(
+      "kafka struct<topic:string,offset:bigint>, " +
+        "key struct<id:bigint>, value struct<v:string>, _kind string")
+    val rows = Seq(
+      Row(Row("NewT", 4L), Row(1L), Row("from-topic-A"), null),
+      Row(Row("NewT", 4L), Row(2L), Row("from-topic-B"), null),
+      Row(Row("NewT", 5L), Row(3L), Row("later"), null),
+      Row(Row("SrcA", 4L), null, null, "done")).asJava
+    def assignment(): Map[String, Long] = {
+      val (batch, persisted) = ZedEtl.finalizeProgramOutputPlan(
+        spark.createDataFrame(rows, schema), "NewT", Map("NewT" -> 9L))
+      try batch.filter(col("_kind") === "record")
+        .select(col("value.v"), col("kafka.offset"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      finally persisted.foreach(_.unpersist())
+    }
+    val first = assignment()
+    assert(first.keySet == Set("from-topic-A", "from-topic-B", "later"))
+    assert(first.values.toSet == Set(10L, 11L, 12L)) // continue from base 9
+    assert(first("later") == 12L) // offset 5 sorts after both collisions
+    assert(assignment() == first) // the tie-break pins the colliding pair
+  }
+
   /** ZSON text → envelope DataFrame via the engine's own reader (the
     * `produce` path): ZSON-lite transpile to JSON lines, Spark JSON read.
     */

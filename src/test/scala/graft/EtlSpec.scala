@@ -61,4 +61,21 @@ class EtlSpec extends AnyFunSuite {
     // re-run still a no-op via the anti-join alone
     assert(Etl.run(spark, in, out, t) == (0L, 0L))
   }
+
+  test("duplicate (topic, offset) inputs commit ONE marker; cursor invariant survives") {
+    // a decoder may emit several records per wire message (ZNG multi-record
+    // values explode, sharing the message's kafka coordinates) — the
+    // stateless branch must still mark each offset once, or the output
+    // pool's "markers are distinct" cursor invariant breaks permanently
+    val in = Pool.create(spark, Files.createTempDirectory("etl-in").toString)
+    val out = Pool.create(spark, Files.createTempDirectory("etl-out").toString)
+    val dup = envelopes("A", 0 until 20)
+      .unionByName(envelopes("A", 5 until 10)) // offsets 5..9 doubled
+    in.append(dup)
+    val (records, markers) = Etl.run(spark, in, out, t)
+    assert(records == 25) // every input row transforms
+    assert(markers == 20) // but each offset is marked once
+    assert(Etl.outputState(out).cursors == Map("A" -> 20L)) // invariant holds
+    assert(Etl.run(spark, in, out, t) == (0L, 0L)) // reprocess nothing
+  }
 }

@@ -545,6 +545,19 @@ class OpsSpec extends AnyFunSuite {
     val saturated = graft.ops.Dedup.incrementalNewDocs(history, incoming, "text",
       expectedItems = 2, fpp = 0.5)
     assert(saturated.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+
+    // the UNmanaged API must not pin executor storage it can't release;
+    // the managed variant persists, and release() drops it all again
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    graft.ops.Dedup.incrementalNewDocs(history, incoming, "text").collect()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "plain incrementalNewDocs leaked persisted RDDs")
+    val (managed, release) = graft.ops.Dedup.incrementalNewDocsManaged(
+      history, incoming, "text")
+    assert(managed.collect().map(_.getAs[Long]("doc_id")).toSet == expected)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      "managed release() left persisted RDDs behind")
   }
 
   test("minhash production preset (128 perms, 32 bands): recall and precision on planted near-dups") {

@@ -78,6 +78,18 @@ class ZjsonSpec extends AnyFunSuite {
     assert(mixed.getMessage.contains("mixed array"))
   }
 
+  test("non-finite floats decode as strings; integers beyond int64 raise on encode") {
+    // +Inf/-Inf/NaN are legal Zed float text with no JSON number form —
+    // they carry as strings rather than corrupting the line
+    assert(Zjson.toJsonLines(Seq(
+      """{"type":{"kind":"record","id":1,"fields":[{"name":"f","type":{"kind":"primitive","name":"float64"}},{"name":"g","type":{"kind":"primitive","name":"float64"}}]},"value":["+Inf","1.5"]}"""))
+      == Seq("""{"f":"+Inf","g":1.5}"""))
+    // zjson has no bignum: 2^64 cannot be typed int64 honestly
+    val big = intercept[IllegalArgumentException](
+      Zjson.fromJsonLines(Seq("""{"n":18446744073709551616}""")))
+    assert(big.getMessage.contains("int64"))
+  }
+
   test("consume -f zjson and produce of a .zjson file round-trip through a pool") {
     val dir = Files.createTempDirectory("zjson-rt")
     val src = dir.resolve("batch.jsonl")
