@@ -158,6 +158,34 @@ object OpsQueries {
              |  AND NOT EXISTS (SELECT 1 FROM documents h
              |                  WHERE h.doc_id % 2 = 0 AND h.text = i.text)""".stripMargin)),
 
+    // the continuous-ingest loop end-to-end (streaming/CorpusIngest batch
+    // core): two batches dedup within themselves, then against the growing
+    // corpus pool; survivors are lowest-id per text, offsets contiguous
+    "dedup_ingest_pool" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val corpus = graft.pool.Pool.create(s,
+          java.nio.file.Files.createTempDirectory("graft-ingest-").toString)
+        graft.streaming.CorpusIngest.ingestBatch(
+          docs.filter(col("doc_id") % 2 === 0), corpus, "doc_id", "text")
+        graft.streaming.CorpusIngest.ingestBatch(
+          docs.filter(col("doc_id") % 2 =!= 0), corpus, "doc_id", "text")
+        corpus.read().groupBy()
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("kafka.offset")).as("distinct_offsets"),
+            sum(col("value.doc_id")).as("sum_id"))
+      },
+      Some("""WITH evens AS (SELECT min(doc_id) AS id, text FROM documents
+             |               WHERE doc_id % 2 = 0 GROUP BY text),
+             |odds AS (SELECT min(doc_id) AS id, text FROM documents
+             |         WHERE doc_id % 2 = 1 GROUP BY text),
+             |kept AS (SELECT id FROM evens UNION ALL
+             |         SELECT o.id FROM odds o
+             |         WHERE NOT EXISTS (SELECT 1 FROM evens e WHERE e.text = o.text))
+             |SELECT CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(count(*) AS BIGINT) AS distinct_offsets,
+             |       CAST(sum(id) AS BIGINT) AS sum_id FROM kept""".stripMargin)),
+
     "dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.lshCandidatePairs(textCorpus(s, d), "id", "text",
         n = 3, numPerms = 16, bands = 4),

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pool.Pool
+import graft.streaming.CorpusIngest
+
+/** Continuous dedup ingest: within-batch dedup, Bloom+exact dedup against
+  * the growing corpus pool, contiguous offsets, and at-least-once replay
+  * idempotence — the state-lives-in-the-sink argument, content edition.
+  */
+class CorpusIngestSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(rows.toSeq).toDF("doc_id", "text")
+
+  test("batches dedup within themselves, against the corpus, and replay idempotently") {
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus").toString)
+
+    // batch 1: internal dup (2 copies of "alpha") → survivor is the lowest id
+    val b1 = docs(1L -> "alpha", 7L -> "alpha", 2L -> "beta")
+    assert(CorpusIngest.ingestBatch(b1, corpus, "doc_id", "text") == 2)
+    val after1 = corpus.read().select(col("kafka.offset"), col("value.doc_id"), col("value.text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(after1.toSeq == Seq((0L, 1L, "alpha"), (1L, 2L, "beta")))
+
+    // batch 2: one true dup of the corpus, one new → offsets continue
+    val b2 = docs(10L -> "beta", 11L -> "gamma")
+    assert(CorpusIngest.ingestBatch(b2, corpus, "doc_id", "text") == 1)
+    val after2 = corpus.read().select(col("kafka.offset"), col("value.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(after2.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 11L)))
+
+    // replayed batch 2 (at-least-once): the corpus already holds gamma →
+    // the exact verify drops everything, append is a no-op
+    assert(CorpusIngest.ingestBatch(b2, corpus, "doc_id", "text") == 0)
+    assert(corpus.read().count() == 3)
+
+    // a saturated sketch stays exact (fpp only prunes, never decides)
+    val b3 = docs(20L -> "alpha", 21L -> "delta")
+    assert(CorpusIngest.ingestBatch(b3, corpus, "doc_id", "text",
+      expectedItems = 1, fpp = 0.5) == 1)
+    assert(corpus.read().filter(col("value.text") === "delta").count() == 1)
+
+    // no leaked executor storage: every ingest releases its caches
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
+      spark.sparkContext.getPersistentRDDs.values.forall(_.name == null))
+  }
+
+  test("streaming end-to-end: micro-batches of files dedup-ingest into the pool") {
+    val inDir = Files.createTempDirectory("docs-stream").toString
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-s").toString)
+    val schema = StructType.fromDDL("doc_id bigint, text string")
+
+    docs(1L -> "one", 2L -> "two", 3L -> "one")
+      .write.mode("append").parquet(inDir)
+    val q = CorpusIngest.start(
+      spark.readStream.schema(schema).parquet(inDir),
+      corpus, "doc_id", "text",
+      checkpoint = Files.createTempDirectory("ckpt").toString,
+      interval = "1 seconds")
+    q.processAllAvailable()
+    docs(4L -> "two", 5L -> "three").write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = corpus.read()
+      .select(col("kafka.offset"), col("value.doc_id"), col("value.text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    // unique texts only, survivors by lowest id, offsets contiguous
+    assert(rows.map(_._3).toSet == Set("one", "two", "three"))
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    assert(rows.collect { case (_, id, "one") => id }.toSeq == Seq(1L))
+  }
+}
