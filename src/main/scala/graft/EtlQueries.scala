@@ -120,8 +120,8 @@ object EtlQueries {
     // reprocess-nothing golden of ztests/etl-demo.yaml:37-48.
     "etl_exactly_once" -> Q(
       (s, d) => {
-        val inPool = Pool.create(s, Files.createTempDirectory("graft-etl-in-").toString)
-        val outPool = Pool.create(s, Files.createTempDirectory("graft-etl-out-").toString)
+        val inPool = Pool.create(s, TempDirs.create("graft-etl-in-"))
+        val outPool = Pool.create(s, TempDirs.create("graft-etl-out-"))
         inPool.append(cdcEnvelopes(s, d))
         Etl.run(s, inPool, outPool, transform)
         Etl.run(s, inPool, outPool, transform) // must be a no-op
@@ -152,8 +152,8 @@ object EtlQueries {
         val pass1 = env.filter(
           col("kafka.topic") === "Orders" ||
             (col("kafka.topic") === "Statuses" && col("kafka.offset") % 2 === 0))
-        val inPool = Pool.create(s, Files.createTempDirectory("graft-etl-in-").toString)
-        val outPool = Pool.create(s, Files.createTempDirectory("graft-etl-out-").toString)
+        val inPool = Pool.create(s, TempDirs.create("graft-etl-in-"))
+        val outPool = Pool.create(s, TempDirs.create("graft-etl-out-"))
         inPool.append(pass1)
         Etl.run(s, inPool, outPool, transform)
         inPool.append(env.filter(col("kafka.topic") === "Statuses" && col("kafka.offset") % 2 =!= 0))

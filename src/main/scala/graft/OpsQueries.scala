@@ -164,8 +164,7 @@ object OpsQueries {
     "dedup_ingest_pool" -> Q(
       (s, d) => {
         val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-        val corpus = graft.pool.Pool.create(s,
-          java.nio.file.Files.createTempDirectory("graft-ingest-").toString)
+        val corpus = graft.pool.Pool.create(s, TempDirs.create("graft-ingest-"))
         graft.streaming.CorpusIngest.ingestBatch(
           docs.filter(col("doc_id") % 2 === 0), corpus, "doc_id", "text")
         graft.streaming.CorpusIngest.ingestBatch(

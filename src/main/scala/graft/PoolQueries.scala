@@ -31,7 +31,7 @@ object PoolQueries {
     // back, aggregate per topic.
     "pool_roundtrip" -> Q(
       (s, d) => {
-        val dir = Files.createTempDirectory("graft-pool-").toString
+        val dir = TempDirs.create("graft-pool-")
         val p = Pool.create(s, dir)
         p.append(envelopes(s, d))
         p.read()
@@ -47,7 +47,7 @@ object PoolQueries {
     // Q16/T3: per-topic max offset + derived resume offset (max+1)
     "pool_resume_offsets" -> Q(
       (s, d) => {
-        val dir = Files.createTempDirectory("graft-pool-").toString
+        val dir = TempDirs.create("graft-pool-")
         val p = Pool.create(s, dir)
         p.append(envelopes(s, d))
         p.maxOffsetsByTopic()
@@ -63,7 +63,7 @@ object PoolQueries {
     // (ztests/etl-demo.yaml:37-48).
     "pool_dedup_commit" -> Q(
       (s, d) => {
-        val dir = Files.createTempDirectory("graft-pool-").toString
+        val dir = TempDirs.create("graft-pool-")
         val p = Pool.create(s, dir)
         val env = envelopes(s, d)
         p.append(env.filter(col("kafka.offset") < 600))

@@ -59,8 +59,8 @@ object Commands {
     * through one task.
     */
   def produce(spark: SparkSession, pool: Pool, path: String, topic: String): Long = {
-    // json/jsonl/csv/tsv/zson/zng/parquet (the reference reads any Zed format here,
-    // produce/command.go:72-81). ZSON goes through the Zson-lite transpiler
+    // json/jsonl/csv/tsv/zson/zng/zjson/parquet (the reference reads any Zed
+    // format here, produce/command.go:72-81). ZSON goes through the Zson-lite transpiler
     // on the driver — load files are batch-sized, and the reference's
     // produce reads the whole file too (command.go:72-76).
     val df =

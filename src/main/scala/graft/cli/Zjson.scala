@@ -204,10 +204,13 @@ object Zjson {
           if (v == null || v.isNull) "null"
           else if (IntNames(name) || FloatNames(name) || name == "bool") {
             val text = v.asText
-            // non-finite floats (+Inf/-Inf/NaN are legal Zed float text)
-            // have no JSON number form — carry them as strings, the same
-            // convention the engine's JSON interchange uses elsewhere
-            if (name == "bool" || JsonNumber.matches(text)) text else q(text)
+            // Zed renders whole floats with a trailing dot ("3.") — legal
+            // Zed text, not a legal JSON number; normalize. Non-finite
+            // floats (+Inf/-Inf/NaN) have no JSON number form at all —
+            // carry them as strings, the same convention the engine's
+            // JSON interchange uses elsewhere
+            val num = if (text.matches("-?[0-9]+\\.")) text + "0" else text
+            if (name == "bool" || JsonNumber.matches(num)) num else q(text)
           }
           else q(v.asText) // string, time, duration, ip, net, bytes, …
         case "record" =>

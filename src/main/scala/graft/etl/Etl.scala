@@ -159,6 +159,32 @@ object Etl {
     * offset-assignment counts job computes it anyway).
     */
   def compilePlanCounted(spark: SparkSession, input: DataFrame, state: OutputState,
+      t: Transform): (DataFrame, Seq[DataFrame], Long) =
+    try compilePlanInner(spark, input, state, t)
+    catch {
+      case t0: Throwable =>
+        // compilation runs eager jobs (rule SQL analysis, the offsets count)
+        // AFTER registering its internal persists — a throw mid-way must not
+        // strand them, or a service retrying Etl.run accumulates pinned
+        // executor storage. The registry is filled as each persist is
+        // created, so whatever exists at throw time is released.
+        compileRegistry.get().foreach { d =>
+          try d.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+        }
+        compileRegistry.remove()
+        throw t0
+    }
+    finally compileRegistry.remove()
+
+  private val compileRegistry =
+    new ThreadLocal[Seq[DataFrame]] { override def initialValue: Seq[DataFrame] = Seq.empty }
+  private def trackPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    compileRegistry.set(compileRegistry.get() :+ p)
+    p
+  }
+
+  private def compilePlanInner(spark: SparkSession, input: DataFrame, state: OutputState,
       t: Transform): (DataFrame, Seq[DataFrame], Long) = {
     // 1. Source per input topic with T7 anti-join vs done markers
     //    (build.go:111-116 fromTemplate). Single unioned scan + join on
@@ -195,8 +221,7 @@ object Etl {
     //    The post-anti-join input feeds every branch (the reference's `fork`
     //    shares one scan) — persist it so branches filter materialized data
     //    instead of each recomputing the scan + anti-join subtree.
-    val in = fresh.select(struct(col("*")).as("in"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val in = trackPersist(fresh.select(struct(col("*")).as("in")))
     val matches: Seq[Column] = t.rules.map {
       case r: StatelessRule =>
         val base = col("in.kafka.topic") === r.inTopic
@@ -227,13 +252,12 @@ object Etl {
         // build.go:202: inner equi-join; both sides wrapped → collision-free.
         // Projected + persisted immediately: the join feeds both the output
         // records and BOTH marker legs — one execution instead of three.
-        val joined = left.join(right, expr(r.joinOn), "inner")
+        val joined = trackPersist(left.join(right, expr(r.joinOn), "inner")
           .select(
             col("left.kafka").as("_src_kafka"), // out.kafka := left in.kafka (build.go:207-209)
             col("right.kafka").as("_right_kafka"),
             expr(r.outKey).as("key"),
-            expr(r.outValue).as("value"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            expr(r.outValue).as("value")))
         val outs = joined.select(col("_src_kafka"), col("key"), col("value"))
         // done markers for BOTH joined sides (build.go:210-213); unjoined
         // records stay unmarked → picked up when their partner arrives.
@@ -266,8 +290,7 @@ object Etl {
     // invariant ("markers are distinct by construction"). Branches are
     // first-match exclusive, so one distinct covers all of them; persisted
     // because it feeds both the marker count and the committed write.
-    val allDones = branches.map(_._2).reduce(_ unionByName _).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allDones = trackPersist(branches.map(_._2).reduce(_ unionByName _).distinct())
     val branchPersists = branches.flatMap(_._3) :+ allDones
 
     val baseOffset = state.baseOffsets.getOrElse(t.outputTopic, -1L)
@@ -279,10 +302,9 @@ object Etl {
     // InvoiceStatus/5). Topic is the tie-breaker for determinism.
     // persisted: the offset assignment's count job and the output pass must
     // see identical partitioning, and the upstream pipeline must not run twice
-    val sorted = allOuts
+    val sorted = trackPersist(allOuts
       .repartitionByRange(col("_src_kafka.offset"), col("_src_kafka.topic"))
-      .sortWithinPartitions(col("_src_kafka.offset"), col("_src_kafka.topic"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sortWithinPartitions(col("_src_kafka.offset"), col("_src_kafka.topic")))
     val outTopic = t.outputTopic
     val (assigned, recordCount) = Offsets.assignSequentialCounted(sorted, baseOffset + 1, "_offset")
     val records = assigned

@@ -43,8 +43,12 @@ object CorpusIngest {
       textCol: String, topic: String = "corpus",
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): Long = {
     val cols = batch.columns.toSeq
+    // Null-text documents have no content identity: md5(null) is null, so
+    // they would bypass both the sketch and the exact verify and re-append
+    // on every replay, breaking idempotence — drop them up front.
+    val usable = batch.filter(col(textCol).isNotNull)
     // 1. within-batch exact dedup, deterministic survivor (lowest id)
-    val uniq = batch
+    val uniq = usable
       .groupBy(md5(col(textCol)).as("_fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
       .select("_row.*")

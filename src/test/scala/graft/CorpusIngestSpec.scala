@@ -45,6 +45,16 @@ class CorpusIngestSpec extends AnyFunSuite {
       expectedItems = 1, fpp = 0.5) == 1)
     assert(corpus.read().filter(col("value.text") === "delta").count() == 1)
 
+    // null-text rows have no content identity: dropped, never appended —
+    // a replay would otherwise re-append them forever
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(30L, null), org.apache.spark.sql.Row(31L, "epsilon")),
+      StructType.fromDDL("doc_id bigint, text string"))
+    assert(CorpusIngest.ingestBatch(withNull, corpus, "doc_id", "text") == 1)
+    assert(CorpusIngest.ingestBatch(withNull, corpus, "doc_id", "text") == 0) // replay no-op
+    assert(corpus.read().filter(col("value.doc_id") === 30L).count() == 0)
+
     // no leaked executor storage: every ingest releases its caches
     assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
       spark.sparkContext.getPersistentRDDs.values.forall(_.name == null))

@@ -88,6 +88,11 @@ class ZjsonSpec extends AnyFunSuite {
     val big = intercept[IllegalArgumentException](
       Zjson.fromJsonLines(Seq("""{"n":18446744073709551616}""")))
     assert(big.getMessage.contains("int64"))
+    // Zed renders whole floats with a trailing dot ("3.") — normalize to a
+    // legal JSON number rather than silently demoting to a string
+    assert(Zjson.toJsonLines(Seq(
+      """{"type":{"kind":"record","id":1,"fields":[{"name":"f","type":{"kind":"primitive","name":"float64"}}]},"value":["3."]}"""))
+      == Seq("""{"f":3.0}"""))
   }
 
   test("consume -f zjson and produce of a .zjson file round-trip through a pool") {
