@@ -18,6 +18,9 @@ class CorpusIngestSpec extends AnyFunSuite {
     spark.createDataFrame(rows.toSeq).toDF("doc_id", "text")
 
   test("batches dedup within themselves, against the corpus, and replay idempotently") {
+    // other suites may legitimately leave caches in the shared session
+    // (e.g. canonicalIds' returned frame) — assert only OUR delta is zero
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus").toString)
 
     // batch 1: internal dup (2 copies of "alpha") → survivor is the lowest id
@@ -56,8 +59,8 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(corpus.read().filter(col("value.doc_id") === 30L).count() == 0)
 
     // no leaked executor storage: every ingest releases its caches
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty ||
-      spark.sparkContext.getPersistentRDDs.values.forall(_.name == null))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore,
+      "CorpusIngest leaked persisted RDDs")
   }
 
   test("streaming end-to-end: micro-batches of files dedup-ingest into the pool") {
