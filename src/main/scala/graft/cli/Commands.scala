@@ -15,26 +15,38 @@ import graft.pool.Pool
 object Commands {
 
   /** `consume`: read a pool (optionally from an offset) and print/return as
-    * JSON, ZSON, or ZJSON lines (`-f`; the reference writes any Zed output
-    * format, cmd/zync/consume/command.go:71-107 — JSON stays our default
-    * since it is the interchange format everywhere else in this port).
+    * text lines in any of the zed CLI's text output formats (`-f`: json,
+    * zson, zjson, csv, tsv, text, table, line — the reference writes any Zed
+    * output format, cmd/zync/consume/command.go:71-107; JSON stays our
+    * default since it is the interchange format everywhere else in this
+    * port). The tabular family renders from the scan's typed schema
+    * ([[Tabular]]) — a pool scan presents one merged superset schema, so the
+    * zed csv writer's uniform-records requirement holds by construction.
     * For the binary ZNG format use [[consumeZng]].
     */
   def consume(pool: Pool, topic: Option[String] = None, fromOffset: Long = 0L,
       format: String = "json"): Seq[String] = {
-    if (!Set("json", "zson", "zjson").contains(format))
+    if (!Set("json", "zson", "zjson", "csv", "tsv", "text", "table", "line").contains(format))
       throw new IllegalArgumentException(
-        s"unknown consume format '$format' (expected json, zson or zjson; " +
-          "binary zng is consumeZng)") // before the pool scan
+        s"unknown consume format '$format' (expected json, zson, zjson, csv, " +
+          "tsv, text, table or line; binary zng is consumeZng)") // before the pool scan
     val base = pool.read()
     val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
-    val jsonLines = scoped.filter(col("kafka.offset") >= fromOffset)
+    val ordered = scoped.filter(col("kafka.offset") >= fromOffset)
       .orderBy(col("kafka.topic"), col("kafka.offset"))
-      .toJSON.collect().toSeq
     format match {
-      case "zson" => jsonLines.map(Zson.fromJsonLine)
-      case "zjson" => Zjson.fromJsonLines(jsonLines)
-      case _ => jsonLines
+      case "csv"   => Tabular.csv(ordered)
+      case "tsv"   => Tabular.tsv(ordered)
+      case "text"  => Tabular.text(ordered)
+      case "table" => Tabular.table(ordered)
+      case "line"  => Tabular.line(ordered)
+      case _ =>
+        val jsonLines = ordered.toJSON.collect().toSeq
+        format match {
+          case "zson"  => jsonLines.map(Zson.fromJsonLine)
+          case "zjson" => Zjson.fromJsonLines(jsonLines)
+          case _       => jsonLines
+        }
     }
   }
 
@@ -200,7 +212,8 @@ object Commands {
     */
   def main(args: Array[String]): Unit = args.toList match {
     case "consume" :: path :: rest =>
-      // [-f json|zson|zjson|zng] [topic] [fromOffset] — the reference's
+      // [-f json|zson|zjson|csv|tsv|text|table|line|zng] [topic]
+      // [fromOffset] — the reference's
       // -f/-offset flags (consume/command.go:57-107)
       val spark = GraftSession.get()
       val (format, positional) = rest match {

@@ -150,6 +150,6 @@ class ZsonSpec extends AnyFunSuite {
       """{"kafka":{"topic":"T","partition":0,"offset":0},"value":{"kafka":{"offset":1,"topic":"Invoices"},"value":{"after":{"ID":100,"customer":"Alice"},"op":"r"}},"_kind":"record"}""")
     assert(zson.head ==
       """{kafka:{topic:"T",partition:0,offset:0},value:{kafka:{offset:1,topic:"Invoices"},value:{after:{ID:100,customer:"Alice"},op:"r"}},_kind:"record"}""")
-    intercept[IllegalArgumentException](Commands.consume(pool, format = "tsv"))
+    intercept[IllegalArgumentException](Commands.consume(pool, format = "vng"))
   }
 }
