@@ -268,6 +268,24 @@ object OpsQueries {
           |  FROM inters JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id)
           |WHERE jaccard >= 0.5""".stripMargin)),
 
+    // exact duplicated-span coverage (suffix-array dedup's signal, stride-1
+    // token windows): per doc, how many of its 8-token windows repeat
+    // anywhere in the corpus. Spark groups by xxhash64 of the window, the
+    // oracle by the window text — identical modulo 2^-64 collisions.
+    "dedup_substring" -> Q(
+      (s, d) => Dedup.duplicatedSpans(textCorpus(s, d), "id", "text", k = 8),
+      Some(textCorpusSql +
+        """, toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+          |wins AS (SELECT id, t, len(t) - 7 AS nw FROM toks),
+          |grams AS (SELECT id, array_to_string(t[i:i+7], ' ') AS g FROM (
+          |  SELECT id, t, unnest(range(1, nw + 1)) AS i FROM wins WHERE nw > 0)),
+          |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+          |dpd AS (SELECT id, count(*) AS dup_windows FROM grams
+          |        WHERE g IN (SELECT g FROM dup) GROUP BY id)
+          |SELECT w.id, CAST(greatest(w.nw, 0) AS BIGINT) AS windows,
+          |       CAST(coalesce(d.dup_windows, 0) AS BIGINT) AS dup_windows
+          |FROM wins w LEFT JOIN dpd d ON w.id = d.id""".stripMargin)),
+
     "dedup_embedding_cosine" -> Q(
       (s, d) => Dedup.embeddingCosinePairs(embCorpus(s, d), "vec_id", "v", "label", 0.9),
       Some(embCorpusSql +

@@ -470,4 +470,48 @@ object Dedup {
       .filter(Similarity.cosine(col("va"), col("vb")) >= threshold)
       .select("d1", "d2")
   }
+
+  /** Exact duplicated-span coverage — the corpus-wide "this exact run of
+    * text is repeated" signal of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed for a shared-nothing engine: the paper's suffix array is
+    * inherently sequential, but hashing every k-token window (stride 1 in
+    * token space, so alignment never matters) finds exactly the duplicated
+    * runs of >= k tokens with one map-side explode and one hash-keyed
+    * count — both embarrassingly parallel, no all-pairs anywhere.
+    *
+    * Per document: `windows` (number of k-token windows), `dup_windows`
+    * (windows whose span occurs more than once corpus-wide — including a
+    * second time inside the same document: self-repetition is duplication
+    * for training-data purposes). Coverage ratio = dup_windows/windows is
+    * left to the caller (integer outputs keep oracle comparison exact).
+    *
+    * Scale shape: the exploded frame is one 8-byte xxhash64 per token —
+    * O(corpus tokens) rows, never materialized wider than (id, hash); the
+    * occurrence count is a map-combinable agg on the hash; the join back is
+    * hash-keyed. Hash collisions (~#windows^2 / 2^64) can overcount one
+    * window — the same trade the minhash family already makes.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, "window length k must be >= 1")
+    // tokenization matches TextOps (single-space split, the corpus contract)
+    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .withColumn("nw", greatest(size(col("t")) - (k - 1), lit(0)).cast("long"))
+    // sequence(0, n) runs DESCENDING when n < 0 — guard short docs to an
+    // empty window list instead
+    val grams = base
+      .select(col("id"), explode(when(col("nw") > 0,
+        transform(sequence(lit(1), col("nw")),
+          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k)))))
+      ).otherwise(array().cast("array<bigint>"))).as("h"))
+    val dupSpans = grams.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    val dupPerDoc = grams.join(dupSpans.select("h"), Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("dup_windows"))
+    base.select(col("id"), col("nw").as("windows"))
+      .join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+  }
 }

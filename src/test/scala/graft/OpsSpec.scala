@@ -27,6 +27,24 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("duplicated spans: shared 8-token runs are counted, short docs get zero windows") {
+    val shared = "one two three four five six seven eight" // exactly 8 tokens
+    val df = docs(
+      1L -> s"prefix $shared tail words here",
+      2L -> s"$shared different ending entirely",
+      3L -> "a b c",                          // < 8 tokens: 0 windows
+      4L -> "x x x x x x x x x x x x x x x")  // self-repetition: every window equals every other
+    val out = Dedup.duplicatedSpans(df, "id", "text", k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: 12 tokens -> 5 windows; the one starting at "one" is shared with doc2
+    assert(out(1L) == (5L, 1L))
+    // doc2: 11 tokens -> 4 windows; the first is the shared run
+    assert(out(2L) == (4L, 1L))
+    assert(out(3L) == (0L, 0L))
+    // doc4: 15 identical tokens -> 8 windows, all equal to each other
+    assert(out(4L) == (8L, 8L))
+  }
+
   test("simhash: identical docs equal, unrelated docs differ") {
     val df = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",

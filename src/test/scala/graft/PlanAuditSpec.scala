@@ -207,6 +207,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a single map-only pass in:\n$plan")
   }
 
+  test("duplicated-span detection: hash-keyed aggs with partial combine, no loop joins") {
+    import graft.ops.Dedup
+    val df = Dedup.duplicatedSpans(corpus, "id", "text", k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the whole design: never all-pairs, never windowed — one explode, two
+    // hash-keyed aggregations (both with a map-side partial), hash joins only
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"expected no loop joins in:\n$plan")
+    assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial, count"),
+      s"expected map-side partial counting in:\n$plan")
+  }
+
   test("bounded per-group cap is window-free with a partial top-k below the shuffle") {
     import graft.ops.Curate
     val df = Curate.capPerGroupBounded(corpus, length(col("text")) % 3, length(col("text")), "id", 2)
