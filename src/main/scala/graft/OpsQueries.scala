@@ -909,6 +909,32 @@ object OpsQueries {
              |WHERE md5(CAST(doc_id AS VARCHAR)) <
              |  CASE WHEN lang = 'en' THEN '80000000' ELSE '20000000' END""".stripMargin)),
 
+    // data mixing: rebalance the skewed lang distribution to a target mix
+    // by downsampling only. T = min_g(n_g/f_g); the binding group (en at
+    // sf0.001/0.01) keeps ~everything, the rest downsample to match. The
+    // oracle recomputes the same rates with the same double arithmetic
+    // (n/f, min, (f*t)/n, trunc to 2^32 hex) so thresholds agree bit-exactly.
+    "curate_mix_rebalance" -> Q(
+      (s, d) => Curate.rebalanceToMix(
+        Tables.load(s, d, "documents"), col("lang"),
+        Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.05, "de" -> 0.05),
+        keyCol = col("doc_id"))
+        .select("doc_id", "lang"),
+      Some("""WITH mix(g, f) AS (VALUES
+             |  ('en', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+             |  ('es', CAST(0.2 AS DOUBLE)), ('zh', CAST(0.05 AS DOUBLE)),
+             |  ('de', CAST(0.05 AS DOUBLE))),
+             |cnt AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1),
+             |tv AS (SELECT min(n / f) AS t FROM mix JOIN cnt USING (g)),
+             |thr AS (SELECT g,
+             |  lpad(lower(to_hex(least(CAST(trunc(
+             |    least((f * (SELECT t FROM tv)) / n, CAST(1.0 AS DOUBLE))
+             |    * 4294967296.0) AS BIGINT), 4294967295))), 8, '0') AS h
+             |  FROM mix JOIN cnt USING (g))
+             |SELECT d.doc_id, d.lang FROM documents d
+             |JOIN thr ON d.lang = thr.g
+             |WHERE md5(CAST(d.doc_id AS VARCHAR)) < thr.h""".stripMargin)),
+
     // decontamination gate: corpus docs sharing ≥5 distinct 3-gram shingles
     // with an "eval set" (docs with doc_id % 13 = 0 stand in for a held-out
     // benchmark — their corpus copies are guaranteed hits)

@@ -81,6 +81,35 @@ object Curate {
     df.filter(md5Key(keyCol, salt) < thr)
   }
 
+  /** Rebalance a corpus to a target group mix by downsampling only (the
+    * "data mixing" step of corpus construction: e.g. make the output 50%
+    * en / 20% fr / ... regardless of the crawl's skew). Solves for the
+    * largest output consistent with the mix without duplication:
+    * `T = min_g(n_g / f_g)` rows total, per-group keep-rate
+    * `f_g * T / n_g` (the binding group keeps everything), then applies the
+    * deterministic [[stratifiedSample]]. Groups absent from `targetMix`
+    * drop. Only the G per-group counts touch the driver (metadata-scale by
+    * contract, like the IVF centroid reads); the data path stays one
+    * count-aggregate plus one sampling scan — no shuffle of kept rows.
+    */
+  def rebalanceToMix(df: DataFrame, strataCol: Column,
+      targetMix: Map[String, Double], keyCol: Column,
+      salt: String = ""): DataFrame = {
+    require(targetMix.nonEmpty, "targetMix must name at least one group")
+    require(targetMix.values.forall(f => f > 0.0 && f <= 1.0),
+      s"target fractions must be in (0,1]: $targetMix")
+    val total = targetMix.values.sum
+    require(math.abs(total - 1.0) < 1e-9, s"target fractions sum to $total, expected 1")
+    val counts = df.groupBy(strataCol.as("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+    val t = targetMix.map { case (g, f) => counts.getOrElse(g, 0L) / f }.min
+    val rates = targetMix.map { case (g, f) =>
+      val n = counts.getOrElse(g, 0L)
+      g -> (if (n == 0L) 0.0 else math.min(f * t / n, 1.0))
+    }
+    stratifiedSample(df, strataCol, rates, defaultRate = 0.0, keyCol, salt)
+  }
+
   /** Deterministic train/val/test split assignment: one `split` column from
     * cumulative md5 thresholds — same row → same split on any engine, any
     * cluster size, any run; changing `salt` redraws. One scan, no shuffle.

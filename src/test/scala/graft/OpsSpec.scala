@@ -506,6 +506,25 @@ class OpsSpec extends AnyFunSuite {
     assert(tv == s95)
   }
 
+  test("mix rebalance downsamples to the target distribution's binding group") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 80L).map(i => (i, "a")) ++ (81L to 100L).map(i => (i, "b")) ++
+      Seq((101L, "c"))).toDF("id", "grp")
+    // T = min(80/0.5, 20/0.5) = 40 -> rate_a = 0.25, rate_b = 1.0; c drops
+    val out = Curate.rebalanceToMix(df, col("grp"), Map("a" -> 0.5, "b" -> 0.5), col("id"))
+    val byGrp = out.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byGrp.contains("c"), "groups outside the mix must drop")
+    assert(byGrp.getOrElse("b", 0L) == 20L, "binding group keeps everything")
+    assert(byGrp.getOrElse("a", 0L) < 80L, "oversized group must downsample")
+    // deterministic: the exact same rows on a rerun
+    val rerun = Curate.rebalanceToMix(df, col("grp"), Map("a" -> 0.5, "b" -> 0.5), col("id"))
+    assert(out.collect().toSet == rerun.collect().toSet)
+    // a missing mix group forces an empty result (the mix is unsatisfiable)
+    assert(Curate.rebalanceToMix(df, col("grp"),
+      Map("a" -> 0.5, "zz" -> 0.5), col("id")).count() == 0L)
+  }
+
   test("stratified sample applies per-stratum rates") {
     val df = spark.range(0, 4000)
       .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
