@@ -925,15 +925,20 @@ object OpsQueries {
              |  ('es', CAST(0.2 AS DOUBLE)), ('zh', CAST(0.05 AS DOUBLE)),
              |  ('de', CAST(0.05 AS DOUBLE))),
              |cnt AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1),
-             |tv AS (SELECT min(n / f) AS t FROM mix JOIN cnt USING (g)),
-             |thr AS (SELECT g,
-             |  lpad(lower(to_hex(least(CAST(trunc(
-             |    least((f * (SELECT t FROM tv)) / n, CAST(1.0 AS DOUBLE))
-             |    * 4294967296.0) AS BIGINT), 4294967295))), 8, '0') AS h
-             |  FROM mix JOIN cnt USING (g))
+             |-- LEFT JOIN: a mix group with no rows contributes n/f = 0 to the
+             |-- min, emptying the result -- same as the Scala getOrElse(0)
+             |tv AS (SELECT min(coalesce(n, 0) / f) AS t
+             |       FROM mix LEFT JOIN cnt USING (g)),
+             |rates AS (SELECT g,
+             |  CASE WHEN coalesce(n, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+             |       ELSE least((f * (SELECT t FROM tv)) / n, CAST(1.0 AS DOUBLE))
+             |  END AS r
+             |  FROM mix LEFT JOIN cnt USING (g))
              |SELECT d.doc_id, d.lang FROM documents d
-             |JOIN thr ON d.lang = thr.g
-             |WHERE md5(CAST(d.doc_id AS VARCHAR)) < thr.h""".stripMargin)),
+             |JOIN rates ON d.lang = rates.g
+             |WHERE r >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) <
+             |  lpad(lower(to_hex(CAST(least(floor(r * 4294967296.0),
+             |    CAST(4294967295.0 AS DOUBLE)) AS BIGINT))), 8, '0')""".stripMargin)),
 
     // decontamination gate: corpus docs sharing ≥5 distinct 3-gram shingles
     // with an "eval set" (docs with doc_id % 13 = 0 stand in for a held-out

@@ -71,11 +71,22 @@ object Tabular {
       else m.toSeq.map { case (k, x) => s"${zsonText(k, kt)}:${zsonText(x, vt)}" }
         .mkString("|{", ",", "}|")
     case (r: Row, st: StructType) =>
-      st.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-        val key = if (f.name.matches("[A-Za-z_][A-Za-z0-9_]*")) f.name
-          else graft.codec.MiniJson.quote(f.name)
-        s"$key:${zsonText(r.get(i), f.dataType)}"
-      }.mkString("{", ",", "}")
+      // a string `_type` field is the stored spelling of a ZSON named-type
+      // decorator (Zson.toJsonLines injects it) — restore `{...}(=name)`
+      // exactly as Zson.fromJsonLine does, so -f line and -f zson agree
+      val fields = st.fields.toIndexedSeq.zipWithIndex
+      val decorator = fields.collectFirst {
+        case (f, i) if f.name == "_type" && f.dataType == StringType &&
+          !r.isNullAt(i) => r.getString(i)
+      }
+      val body = fields
+        .filterNot { case (f, _) => decorator.isDefined && f.name == "_type" }
+        .map { case (f, i) =>
+          val key = if (Zson.isBareName(f.name)) f.name
+            else graft.codec.MiniJson.quote(f.name)
+          s"$key:${zsonText(r.get(i), f.dataType)}"
+        }.mkString("{", ",", "}")
+      decorator.fold(body)(d => s"$body(=$d)")
     case (other, _) => other.toString
   }
 
@@ -118,8 +129,10 @@ object Tabular {
     collectCells(df, nullAs = "-")._2.map(_.map(tsvEscape).mkString("\t"))
 
   def table(df: DataFrame): Seq[String] = {
-    val (header, rows) = collectCells(df, nullAs = "-")
-    val all = header +: rows
+    // cells are backslash-escaped like tsv/text: an embedded newline or tab
+    // would break the one-line-per-element contract and the column alignment
+    val (header, raw) = collectCells(df, nullAs = "-")
+    val all = (header +: raw).map(_.map(tsvEscape))
     val widths = header.indices.map(i => all.map(_(i).length).max)
     all.map { cells =>
       cells.zipWithIndex.map { case (c, i) => c.padTo(widths(i), ' ') }

@@ -31,6 +31,12 @@ object Zson {
 
   private val BareName = "[A-Za-z_][A-Za-z0-9_]*".r
 
+  /** Shared with [[Tabular]]: may this field name print unquoted? */
+  private[cli] def isBareName(name: String): Boolean = name match {
+    case BareName() => true
+    case _          => false
+  }
+
   private def renderZson(n: com.fasterxml.jackson.databind.JsonNode): String = {
     if (n.isNull) "null"
     else if (n.isTextual) quoteJson(n.asText)

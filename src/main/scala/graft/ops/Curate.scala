@@ -86,11 +86,14 @@ object Curate {
     * en / 20% fr / ... regardless of the crawl's skew). Solves for the
     * largest output consistent with the mix without duplication:
     * `T = min_g(n_g / f_g)` rows total, per-group keep-rate
-    * `f_g * T / n_g` (the binding group keeps everything), then applies the
-    * deterministic [[stratifiedSample]]. Groups absent from `targetMix`
-    * drop. Only the G per-group counts touch the driver (metadata-scale by
-    * contract, like the IVF centroid reads); the data path stays one
-    * count-aggregate plus one sampling scan — no shuffle of kept rows.
+    * `f_g * T / n_g`, then samples through [[weightedSample]] — whose
+    * `>= 1.0` short-circuit keeps the binding group truly whole (a strict
+    * threshold compare would drop ~2^-32 of its rows). Groups absent from
+    * `targetMix` drop; a mix group with no rows makes the mix unsatisfiable
+    * and empties the result. Only the G per-group counts touch the driver
+    * (metadata-scale by contract, like the IVF centroid reads); the data
+    * path stays one count-aggregate plus one sampling scan — no shuffle of
+    * kept rows.
     */
   def rebalanceToMix(df: DataFrame, strataCol: Column,
       targetMix: Map[String, Double], keyCol: Column,
@@ -107,7 +110,10 @@ object Curate {
       val n = counts.getOrElse(g, 0L)
       g -> (if (n == 0L) 0.0 else math.min(f * t / n, 1.0))
     }
-    stratifiedSample(df, strataCol, rates, defaultRate = 0.0, keyCol, salt)
+    val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (g, r)) =>
+      when(strataCol === g, lit(r)).otherwise(acc)
+    }
+    weightedSample(df, keyCol, rateCol, salt)
   }
 
   /** Deterministic train/val/test split assignment: one `split` column from

@@ -59,7 +59,9 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(corpus.read().filter(col("value.doc_id") === 30L).count() == 0)
 
     // no leaked executor storage: every ingest releases its caches
-    assert(spark.sparkContext.getPersistentRDDs.keySet == persistedBefore,
+    // set difference, not equality: the async ContextCleaner may shrink the
+    // pre-existing set mid-test; only NEW leftovers are our leak
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
       "CorpusIngest leaked persisted RDDs")
   }
 

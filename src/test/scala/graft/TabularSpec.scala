@@ -80,6 +80,24 @@ class TabularSpec extends AnyFunSuite {
     assert(Tabular.line(df) == Seq("alpha", "beta"))
   }
 
+  test("table escapes embedded newlines/tabs so each element stays one aligned line") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a\nb", 1L), ("c\td", 2L)).toDF("s", "n")
+    val lines = Tabular.table(df)
+    assert(lines.forall(l => !l.contains("\n") && !l.contains("\t")))
+    assert(lines(1).startsWith("a\\nb") && lines(2).startsWith("c\\td"))
+  }
+
+  test("line restores the (=name) decorator for stored _type fields, like -f zson") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = StructType.fromDDL("_type string, seqno bigint")
+    assert(Tabular.zsonText(Row("cursor", 2L), st) == "{seqno:2}(=cursor)")
+    // a null _type is a plain field, exactly as Zson.fromJsonLine treats it
+    assert(Tabular.zsonText(Row(null, 2L), st) == "{_type:null,seqno:2}")
+  }
+
   test("zsonText spells composites, bytes and timestamps natively") {
     import org.apache.spark.sql.types._
     assert(Tabular.zsonText(Seq(1, 2, 3), ArrayType(IntegerType)) == "[1,2,3]")
