@@ -323,6 +323,37 @@ object OpsQueries {
              |WHERE ${cos("ca.v", "cb.v")} >= 0.9""".stripMargin
       }),
 
+    // SemDeDup: k-means cells bound the pairwise cosine (the kmeans rounds
+    // and cell assignment reuse the sim_kmeans oracle scaffolding — 9-digit
+    // rounded centroids keep cell membership engine-identical); prune drops
+    // any vector with an over-threshold smaller-id neighbor in its cell
+    "dedup_semantic" -> Q(
+      (s, d) => Dedup.semanticDedup(embCorpus(s, d), "vec_id", "v",
+        k = 64, iters = 1, threshold = 0.95)
+        .select("vec_id", "label"),
+      Some(
+        """WITH base0 AS (
+          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |base AS (
+          |  SELECT * FROM base0
+          |  UNION ALL SELECT vec_id + 100000, label, list_transform(v, x -> x * 1.01)
+          |    FROM base0 WHERE vec_id % 5 = 0),
+          |""".stripMargin + kmeansRoundsSql(iters = 1, k = 64) +
+        s"""
+           |,fin AS (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.cv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN cents1 c),
+           |cells AS (SELECT vec_id, v, centroid_id FROM fin WHERE rn = 1),
+           |drops AS (SELECT DISTINCT b.vec_id
+           |          FROM cells a JOIN cells b
+           |            ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           |          WHERE ${cos("a.v", "b.v")} >= 0.95)
+           |SELECT vec_id, label FROM base
+           |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin)),
+
     "dedup_canonical" -> Q(
       (s, d) => {
         val corpus = textCorpus(s, d)

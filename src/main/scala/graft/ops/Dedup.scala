@@ -471,6 +471,33 @@ object Dedup {
       .select("d1", "d2")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-dup removal
+    * by k-means clustering + within-cluster cosine pruning. Cells bound the
+    * pairwise work exactly like LSH buckets do — K cells turn the O(n²)
+    * cosine matrix into K·(n/K)², so K scales with the corpus (cells of
+    * ~1k vectors at production scale; kmeans itself is fully distributed
+    * and the centroid set is metadata-scale).
+    *
+    * Prune rule: drop every vector with an over-threshold neighbor of
+    * SMALLER id in its cell. One parallel pass, deterministic on any
+    * engine. (The paper's sequential keep-set scan is order-dependent; the
+    * transitive-closure alternative is [[canonicalIds]] over
+    * [[embeddingCosinePairs]].) Returns the surviving corpus rows.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double,
+      seedByHash: Boolean = true, roundDigits: Int = 9): DataFrame = {
+    val cents = Similarity.kmeans(corpus, idCol, vecCol, k, iters,
+      seedByHash, roundDigits)
+      .select(col("centroid_id").as(idCol), col(vecCol))
+    val assigned = Similarity.ivfAssign(corpus, cents, idCol, vecCol)
+    val dropIds = embeddingCosinePairs(assigned, idCol, vecCol,
+      "centroid_id", threshold)
+      .select(col("d2").as(idCol)).distinct()
+    corpus.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact duplicated-span coverage — the corpus-wide "this exact run of
     * text is repeated" signal of exact-substring dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"),

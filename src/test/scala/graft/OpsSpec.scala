@@ -197,6 +197,22 @@ class OpsSpec extends AnyFunSuite {
     assert(top(0).getLong(2) == 1L)
   }
 
+  test("semantic dedup prunes in-cell near-dups, keeps the distinct directions") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.0001)),   // near-dup of 1
+      (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.0001, 1.0)),   // near-dup of 3
+      (5L, Seq(0.7, 0.7))       // cos ~.707 to both axes: survives
+    ).toDF("vec_id", "v")
+    val kept = Dedup.semanticDedup(df, "vec_id", "v", k = 2, iters = 1,
+      threshold = 0.95, seedByHash = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("hyperplane LSH finds scaled near-duplicates without a blocking column") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 40L).map(i => i -> Seq.fill(16)(rnd.nextGaussian()))
