@@ -286,6 +286,33 @@ object OpsQueries {
           |       CAST(coalesce(d.dup_windows, 0) AS BIGINT) AS dup_windows
           |FROM wins w LEFT JOIN dpd d ON w.id = d.id""".stripMargin)),
 
+    // the cut step: every token covered by a corpus-duplicated 8-token run
+    // is removed, keeping the globally-first occurrence (min (id, pos)).
+    // The oracle's row_number/window formulation is its luxury — the Spark
+    // side uses a map-combinable min-(id,pos) aggregate instead
+    "dedup_substring_strip" -> Q(
+      (s, d) => Dedup.removeDuplicatedSpans(textCorpus(s, d), "id", "text", k = 8),
+      Some(textCorpusSql +
+        """, toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+          |wins AS (SELECT id, t, len(t) - 7 AS nw FROM toks),
+          |grams AS (SELECT id, i, array_to_string(t[i:i+7], ' ') AS g FROM (
+          |  SELECT id, t, unnest(range(1, nw + 1)) AS i FROM wins WHERE nw > 0)),
+          |st AS (SELECT id, i,
+          |         row_number() OVER (PARTITION BY g ORDER BY id, i) AS rn,
+          |         count(*) OVER (PARTITION BY g) AS c
+          |       FROM grams),
+          |flagged AS (SELECT id, i FROM st WHERE c > 1 AND rn > 1),
+          |starts AS (SELECT id, list_sort(list(i)) AS s FROM flagged GROUP BY id)
+          |-- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+          |-- concat_ws is '' -- fully-covered docs strip to the empty string
+          |SELECT w.id, coalesce(array_to_string(
+          |  list_transform(
+          |    list_filter(range(1, len(w.t) + 1),
+          |      j -> len(list_filter(coalesce(sx.s, CAST([] AS BIGINT[])),
+          |                           x -> x <= j AND j < x + 8)) = 0),
+          |    j -> w.t[j]), ' '), '') AS text_clean
+          |FROM wins w LEFT JOIN starts sx ON w.id = sx.id""".stripMargin)),
+
     "dedup_embedding_cosine" -> Q(
       (s, d) => Dedup.embeddingCosinePairs(embCorpus(s, d), "vec_id", "v", "label", 0.9),
       Some(embCorpusSql +

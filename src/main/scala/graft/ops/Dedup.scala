@@ -522,16 +522,8 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     require(k >= 1, "window length k must be >= 1")
-    // tokenization matches TextOps (single-space split, the corpus contract)
-    val base = df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      .withColumn("nw", greatest(size(col("t")) - (k - 1), lit(0)).cast("long"))
-    // sequence(0, n) runs DESCENDING when n < 0 — guard short docs to an
-    // empty window list instead
-    val grams = base
-      .select(col("id"), explode(when(col("nw") > 0,
-        transform(sequence(lit(1), col("nw")),
-          i => xxhash64(concat_ws(" ", slice(col("t"), i, lit(k)))))
-      ).otherwise(array().cast("array<bigint>"))).as("h"))
+    val base = spanBase(df, idCol, textCol, k)
+    val grams = spanGrams(base, k).drop("i")
     val dupSpans = grams.groupBy("h").agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
     val dupPerDoc = grams.join(dupSpans.select("h"), Seq("h"), "left_semi")
@@ -540,5 +532,63 @@ object Dedup {
       .join(dupPerDoc, Seq("id"), "left")
       .select(col("id"), col("windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+  }
+
+  // (id, t: tokens, nw: window count) — tokenization matches TextOps
+  // (single-space split, the corpus contract)
+  private def spanBase(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .withColumn("nw", greatest(size(col("t")) - (k - 1), lit(0)).cast("long"))
+
+  // one row per k-token window: (id, i: 1-based start, h: xxhash64 of the
+  // space-joined window). sequence(0, n) runs DESCENDING when n < 0 —
+  // guard short docs to an empty window list instead
+  private def spanGrams(base: DataFrame, k: Int): DataFrame =
+    base.select(col("id"), explode(when(col("nw") > 0,
+        transform(sequence(lit(1), col("nw")),
+          i => struct(i.as("i"),
+            xxhash64(concat_ws(" ", slice(col("t"), i, lit(k)))).as("h")))
+      ).otherwise(array().cast("array<struct<i:long,h:bigint>>"))).as("w"))
+      .select(col("id"), col("w.i").as("i"), col("w.h").as("h"))
+
+  /** The cut step of exact-substring dedup (Lee et al. 2022 §"we remove all
+    * but one of the occurrences"): rewrite each document with every token
+    * covered by a corpus-duplicated >= k-token run removed, keeping the
+    * globally first occurrence (minimum (id, position)) of each span when
+    * `keepFirst` — set it false to cut every copy including the first.
+    *
+    * Same scale shape as [[duplicatedSpans]] — explode, one hash-keyed
+    * aggregate (count + min-(id,pos), both map-combinable), hash join back,
+    * then a per-doc `collect_list` of flagged starts (bounded by the doc's
+    * own token count) and a map-side HOF rebuild (`filter`/`exists` over
+    * the starts array). No windows, no all-pairs; documents whose spans are
+    * all unique pass through untouched via the left join's null arm.
+    *
+    * Output: (id, text_clean).
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, keepFirst: Boolean = true): DataFrame = {
+    require(k >= 1, "window length k must be >= 1")
+    val base = spanBase(df, idCol, textCol, k)
+    val grams = spanGrams(base, k)
+    val dup = grams.groupBy("h")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("i"))).as("first"))
+      .filter(col("occ") > 1)
+    val flagged = grams.join(dup.select("h", "first"), Seq("h"))
+      .filter(if (keepFirst) struct(col("id"), col("i")) =!= col("first")
+              else lit(true))
+    val starts = flagged.groupBy("id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    base.join(starts, Seq("id"), "left")
+      .select(col("id"),
+        when(col("starts").isNull, concat_ws(" ", col("t")))
+          .otherwise(concat_ws(" ",
+            transform(
+              filter(sequence(lit(1), size(col("t")).cast("long")),
+                j => !exists(col("starts"), s => s <= j && j < s + k)),
+              j => element_at(col("t"), j.cast("int")))))
+          .as("text_clean"))
   }
 }

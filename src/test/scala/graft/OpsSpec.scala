@@ -45,6 +45,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == (8L, 8L))
   }
 
+  test("span removal cuts all-but-first occurrence, including self-repeats") {
+    val df = docs(
+      1L -> "p q one two three a b",  // first occurrence (pos 3): kept
+      2L -> "one two three x y",      // copy: cut
+      3L -> "r r r r")                // self-repeat: windows 1,2 share a hash
+    val out = Dedup.removeDuplicatedSpans(df, "id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "p q one two three a b")
+    assert(out(2L) == "x y")
+    // window at pos 2 is flagged -> tokens 2..4 cut, the lone leading r stays
+    assert(out(3L) == "r")
+    val all = Dedup.removeDuplicatedSpans(df, "id", "text", k = 3, keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "p q a b")
+    assert(all(2L) == "x y")
+    assert(all(3L) == "")
+  }
+
   test("simhash: identical docs equal, unrelated docs differ") {
     val df = docs(
       1L -> "alpha beta gamma delta epsilon zeta eta theta",
