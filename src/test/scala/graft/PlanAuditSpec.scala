@@ -221,6 +221,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected map-side partial counting in:\n$plan")
   }
 
+  test("span removal keeps the duplicatedSpans shape: window-free, no loop joins, partial aggs") {
+    import graft.ops.Dedup
+    val df = Dedup.removeDuplicatedSpans(corpus, "id", "text", k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // same contract as detection, plus: the rebuild must stay a map-side HOF
+    // over the per-doc starts array, not a per-token join or window
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"expected no loop joins in:\n$plan")
+    assert(!plan.contains("Window"), s"expected window-free plan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial, count"),
+      s"expected map-side partial counting in:\n$plan")
+    assert(plan.contains("partial_sort_array") || plan.contains("partial, sort_array")
+        || plan.contains("collect_list"),
+      s"expected the per-doc starts aggregate in:\n$plan")
+  }
+
   test("bounded per-group cap is window-free with a partial top-k below the shuffle") {
     import graft.ops.Curate
     val df = Curate.capPerGroupBounded(corpus, length(col("text")) % 3, length(col("text")), "id", 2)
