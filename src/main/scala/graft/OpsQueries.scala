@@ -401,6 +401,34 @@ object OpsQueries {
           |SELECT c.id, least(c.id, coalesce(nb.nbmin, c.id)) AS canonical
           |FROM corpus c LEFT JOIN nb ON c.id = nb.id""".stripMargin)),
 
+    // end-to-end corpus dedup in one call: exact n-gram Jaccard pairs →
+    // connected components → keep each cluster's min-id row. The oracle
+    // reuses the dedup_ngram_jaccard pair SQL and computes TRUE components
+    // via a recursive closure (not the one-hop min of dedup_canonical), so
+    // transitive chains are covered.
+    "dedup_corpus_clean" -> Q(
+      (s, d) => Dedup.dedupCorpus(textCorpus(s, d), "id", "text",
+        n = 3, threshold = 0.5, maxDf = 100),
+      Some("WITH RECURSIVE " + textCorpusSql.stripPrefix("WITH ") + "," + shinglesSql +
+        """, freq AS (SELECT sh, count(*) AS c FROM sh0 GROUP BY sh),
+          |sh AS (SELECT s.id, s.sh FROM sh0 s JOIN freq f ON s.sh = f.sh WHERE f.c <= 100),
+          |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          |inters AS (SELECT a.id AS d1, b.id AS d2, count(*) AS inter
+          |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+          |pairsj AS (SELECT d1, d2 FROM (
+          |  SELECT d1, d2, inter * 1.0 / (s1.sz + s2.sz - inter) AS jaccard
+          |  FROM inters JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id)
+          |  WHERE jaccard >= 0.5),
+          |sym AS (SELECT d1 AS a, d2 AS b FROM pairsj
+          |        UNION ALL SELECT d2 AS a, d1 AS b FROM pairsj),
+          |reach AS (
+          |  SELECT id, id AS r FROM corpus
+          |  UNION
+          |  SELECT s.b AS id, reach.r AS r FROM reach JOIN sym s ON s.a = reach.id),
+          |canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+          |SELECT c.id, c.text FROM corpus c JOIN canon ON c.id = canon.id
+          |WHERE canon.canonical = c.id""".stripMargin)),
+
     // ---------------- similarity search ----------------
 
     "sim_topk_brute" -> Q(

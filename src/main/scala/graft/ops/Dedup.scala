@@ -394,15 +394,18 @@ object Dedup {
     * the distance already covered — so convergence is O(log diameter), not
     * O(diameter). Cliques (what LSH/exact emit) converge in one round;
     * maxRounds=20 covers any component a real corpus can produce
-    * (diameter ≈ 2^20 after jumps). The driver loop only compares per-round
-    * change counts; labels stay distributed, and each round's result is
-    * persisted eagerly — and the PREVIOUS round's cache released — so
-    * executor storage stays one label frame deep no matter the round count,
-    * while lineage is preserved (an executor loss recomputes instead of
-    * failing, unlike a localCheckpoint). The plan grows by three joins per
-    * round — a driver-side analysis cost bounded by maxRounds and
-    * independent of data scale; execution always reads the previous round
-    * from cache. The returned frame stays persisted (callers running in a
+    * (diameter ≈ 2^20 after jumps). Convergence is a cheap fixpoint PROBE
+    * (does any edge still join two different labels?) run before each
+    * round after the first — so reaching fixpoint costs the rounds that do
+    * work plus one probe, not a full extra round whose only purpose is to
+    * observe zero change; labels stay distributed, and each
+    * round's result is persisted eagerly — and the PREVIOUS round's cache
+    * released — so executor storage stays one label frame deep no matter
+    * the round count, while lineage is preserved (an executor loss
+    * recomputes instead of failing, unlike a localCheckpoint). The plan
+    * grows by two joins per round — a driver-side analysis cost bounded by
+    * maxRounds and independent of data scale; execution always reads the
+    * previous round from cache. The returned frame stays persisted (callers running in a
     * loop may `unpersist()` it once consumed; it remains recomputable).
     * Docs in no pair keep their own id. If the round budget is exhausted
     * before fixpoint (pathological topology), this THROWS rather than
@@ -410,46 +413,60 @@ object Dedup {
     */
   def canonicalIds(df: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("id"), col("d2").as("nb"))
-      .unionByName(pairs.select(col("d2").as("id"), col("d1").as("nb")))
+    // symmetrize with a map-side explode, NOT a self-union: a union would
+    // evaluate the pair-generator subtree (often an expensive Jaccard /
+    // LSH plan) twice when this cache materializes
+    val edges = pairs.select(explode(array(
+        struct(col("d1").as("id"), col("d2").as("nb")),
+        struct(col("d2").as("id"), col("d1").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
       .persist()
     var labels = df.select(col(idCol).as("id"), col(idCol).as("canonical"))
     var prevRound: Option[DataFrame] = None
     var round = 0
     var converged = false
+    // Fixpoint probe: labels are final iff no edge joins two DIFFERENT
+    // labels (uniform labels are their own roots — propagation only carries
+    // member ids, so the uniform label is the component min whose own label
+    // is itself). Two cache-read joins and a short-circuit take(1) — far
+    // cheaper than materializing a full extra round just to observe zero
+    // change, which is what a change-count convergence test costs.
+    def atFixpoint(): Boolean = edges
+      .join(labels.select(col("id"), col("canonical").as("ca")), Seq("id"))
+      .join(labels.select(col("id").as("nb"), col("canonical").as("cb")), Seq("nb"))
+      .filter(col("ca") =!= col("cb")).isEmpty
     while (round < maxRounds && !converged) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("nb"), col("canonical").as("nbc")), Seq("nb"))
-        .groupBy("id").agg(min("nbc").as("nbmin"))
-      val hopped = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("canonical"), coalesce(col("nbmin"), col("canonical"))).as("canonical"),
-          col("canonical").as("prev"))
-      // Pointer jump: labels always point at real node ids (mins of ids), so
-      // re-join the label set onto itself to skip to the label's own label.
-      // Invariant canonical(x) <= x makes this monotone — it can only lower.
-      // The round is persisted and FULLY materialized (count) before the
-      // convergence check, so the check and round N+1 both read the cache;
-      // the previous round's cache is released only after that, keeping
-      // executor storage one frame deep. `prev` rides along so the
-      // convergence check is a filter over the materialized frame, not
-      // another join.
-      val next = hopped
-        .join(hopped.select(col("id").as("canonical"), col("canonical").as("cc")),
-          Seq("canonical"), "left")
-        .select(col("id"),
-          least(col("canonical"), coalesce(col("cc"), col("canonical"))).as("canonical"),
-          col("prev"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize every partition before dropping the old round
-      val changed = next.filter(col("canonical") =!= col("prev")).limit(1).count()
-      prevRound.foreach(_.unpersist(blocking = false))
-      prevRound = Some(next)
-      labels = next.select("id", "canonical")
-      converged = changed == 0
-      round += 1
+      converged = round > 0 && atFixpoint()
+      if (!converged) {
+        // One-hop min: each node's own label and its neighbors' labels flow
+        // into a single min aggregate (a union of two cache reads — cheaper
+        // than the groupBy + left-join-back formulation by one join per round)
+        val hopped = edges
+          .join(labels.select(col("id").as("nb"), col("canonical").as("nbc")), Seq("nb"))
+          .select(col("id"), col("nbc").as("canonical"))
+          .unionByName(labels)
+          .groupBy("id").agg(min("canonical").as("canonical"))
+        // Pointer jump: labels always point at real node ids (mins of ids),
+        // so re-join the label set onto itself to skip to the label's own
+        // label. Invariant canonical(x) <= x makes this monotone — it can
+        // only lower. The round is persisted and FULLY materialized before
+        // the previous round's cache is released, keeping executor storage
+        // one frame deep.
+        val next = hopped
+          .join(hopped.select(col("id").as("canonical"), col("canonical").as("cc")),
+            Seq("canonical"), "left")
+          .select(col("id"),
+            least(col("canonical"), coalesce(col("cc"), col("canonical"))).as("canonical"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize every partition before dropping the old round
+        prevRound.foreach(_.unpersist(blocking = false))
+        prevRound = Some(next)
+        labels = next
+        round += 1
+      }
     }
+    // budget exhausted without an in-loop probe hit — one last probe decides
+    if (!converged) converged = atFixpoint()
     edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
@@ -590,5 +607,83 @@ object Dedup {
                 j => !exists(col("starts"), s => s <= j && j < s + k)),
               j => element_at(col("t"), j.cast("int")))))
           .as("text_clean"))
+  }
+
+  /** Collapse duplicate clusters to one representative: given duplicate
+    * pairs (d1, d2), connected components via [[canonicalIds]], keep each
+    * cluster's minimum-id row. Returns the surviving rows of `df` with ALL
+    * original columns; singletons pass through untouched.
+    *
+    * Scale: the components run is the pointer-jumped O(log diameter) loop;
+    * the keep step is one id-keyed semi-join (survivor ids are the same
+    * cardinality class as `df`, so it shuffles — correctly — on the id).
+    */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    // Components run over PAIR MEMBERS only — at real duplication rates the
+    // member set is a small fraction of the corpus, so the label rounds
+    // never carry singleton rows. Survivors = corpus minus non-minimum
+    // members, one anti-join. `pairs` is persisted across its two uses
+    // (member list + edges) and released once the eager components run has
+    // consumed it; the returned frame reads the persisted final labels,
+    // falling back to full lineage on eviction.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // materialize BEFORE the rounds: the first round job reads p from two
+      // subtrees (member list + edges) — on a cold cache both would race to
+      // evaluate the pair-generator plan; this count pins exactly one run
+      p.count()
+      val members = p.select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+      val canon = canonicalIds(members, "id", p, maxRounds)
+      val drops = canon.filter(col("canonical") =!= col("id"))
+        .select(col("id").as(idCol))
+      df.join(drops, Seq(idCol), "left_anti")
+    } finally p.unpersist(blocking = false)
+  }
+
+  /** End-to-end exact-verified near-dup corpus dedup in one call:
+    * inverted-index n-gram Jaccard pairs ([[jaccardPairs]], maxDf skew
+    * guard) → connected components → minimum-id representative per cluster
+    * ([[keepCanonical]]). Output: the cleaned corpus, all original columns.
+    *
+    * This is the moderate-scale shape (the inverted index pays Σ df² per
+    * shingle under maxDf). At 100 TB use [[dedupCorpusLsh]], which swaps
+    * the pair generator for LSH candidates + exact verification.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5, maxDf: Int = 100,
+      maxRounds: Int = 20): DataFrame =
+    keepCanonical(df, idCol,
+      jaccardPairs(df, idCol, textCol, n, threshold, maxDf).select("d1", "d2"),
+      maxRounds)
+
+  /** The 100 TB-scale end-to-end corpus dedup: LSH candidate generation
+    * (sub-quadratic, [[lshCandidatePairs]]) + exact-Jaccard verification
+    * ([[jaccardForPairs]], linear in candidates) + connected components +
+    * keep-minimum-id ([[keepCanonical]]). Exactness caveat vs
+    * [[dedupCorpus]]: only pairs LSH surfaces are verified, so recall is
+    * governed by the (numPerms, bands) S-curve; scores and survivors are
+    * exact w.r.t. the candidate set.
+    *
+    * Candidates are persisted for the duration of the components run
+    * (they are referenced three times by the verifier and twice by the
+    * edge build) and released before returning; the returned frame reads
+    * the (persisted) final label round, falling back to full lineage on
+    * eviction.
+    */
+  def dedupCorpusLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    val cand = lshCandidatePairs(df, idCol, textCol, n, numPerms, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cand.count() // pin one LSH run before the verifier's three references
+
+      val verified = jaccardForPairs(df, cand, idCol, textCol, n)
+        .filter(col("jaccard") >= threshold).select("d1", "d2")
+      // keepCanonical materializes the components eagerly (per-round
+      // count()s), so the candidate cache is fully consumed on return
+      keepCanonical(df, idCol, verified, maxRounds)
+    } finally cand.unpersist(blocking = false)
   }
 }

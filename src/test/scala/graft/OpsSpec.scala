@@ -201,6 +201,35 @@ class OpsSpec extends AnyFunSuite {
     assert(m == (1 to n).map(i => i.toLong -> 1L).toMap)
   }
 
+  test("keepCanonical keeps the min-id row of each cluster with all columns, singletons intact") {
+    val df = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    val pairs = spark.createDataFrame(
+      Seq(Row(2L, 3L), Row(3L, 4L)).asJava, // transitive chain {2,3,4}
+      StructType.fromDDL("d1 bigint, d2 bigint"))
+    val out = Dedup.keepCanonical(df, "id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("dedupCorpus and dedupCorpusLsh collapse planted near-dups end-to-end") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today", // exact copy of 1
+      3L -> "the quick brown fox jumps over the lazy dog tomorrow maybe", // near-dup of 1
+      4L -> "completely different words about distributed query engines here")
+    val exact = Dedup.dedupCorpus(df, "id", "text", n = 3, threshold = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(exact.sameElements(Array(1L, 4L)))
+    // 1↔2 agree in every minhash slot, so they always share every band —
+    // the LSH path must surface the exact copy deterministically; the
+    // near-dup 3 may or may not be caught (recall is the S-curve), so only
+    // assert the guaranteed collapses
+    val lsh = Dedup.dedupCorpusLsh(df, "id", "text",
+      n = 3, numPerms = 16, bands = 4, threshold = 0.5)
+      .collect().map(_.getLong(0)).sorted
+    assert(lsh.contains(1L) && !lsh.contains(2L) && lsh.contains(4L))
+  }
+
   test("brute-force topk finds the planted nearest neighbor first") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0, 0.0)),
