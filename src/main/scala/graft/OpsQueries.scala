@@ -788,6 +788,42 @@ object OpsQueries {
              |       END AS rep_ratio
              |FROM g""".stripMargin)),
 
+    // Gopher heuristic filter (Rae et al. 2021 A1.1 + C4 line rules). Docs
+    // with doc_id % 7 get bullet/ellipsis lines appended so the line-shape
+    // rules provably fire; short docs (< 30 words) fail the word-count
+    // floor, so `pass` has both values at sf0.01.
+    "text_gopher" -> Q(
+      (s, d) => {
+        val salted = Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), when(col("doc_id") % 7 === 0,
+            lit("\n- bullet point\ntrailing line...")).otherwise(lit(""))).as("text"))
+        TextOps.gopherRules(salted, "doc_id", "text", minWords = 30)
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+             |    THEN chr(10) || '- bullet point' || chr(10) || 'trailing line...'
+             |    ELSE '' END AS text FROM documents),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS w,
+             |        string_split(lower(text), ' ') AS wl,
+             |        string_split(text, chr(10)) AS ls FROM corpus),
+             |s AS (SELECT doc_id,
+             |  len(w) AS n_words,
+             |  list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) AS mean_word_len,
+             |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w) AS alpha_frac,
+             |  len(list_distinct(list_intersect(list_distinct(wl),
+             |    ['the','be','to','of','and','that','have','with','a']))) AS n_stopwords,
+             |  len(list_filter(ls, l -> starts_with(ltrim(l), '-')
+             |    OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))
+             |    * 1.0 / len(ls) AS bullet_frac,
+             |  len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+             |    * 1.0 / len(ls) AS ellipsis_frac
+             | FROM t)
+             |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+             |  bullet_frac, ellipsis_frac,
+             |  (n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             |  AND alpha_frac >= 0.8 AND n_stopwords >= 2
+             |  AND bullet_frac < 0.9 AND ellipsis_frac < 0.3 AS pass
+             |FROM s""".stripMargin)),
+
     // PII scrub: emails/IPv4 masked, occurrences counted. The corpus is
     // salted with synthetic PII (doc_id % 11) so the scrubber provably
     // finds and masks things; the oracle mirrors the salting.

@@ -154,6 +154,65 @@ object TextOps {
             / size(col("_g"))).as("rep_ratio"))
   }
 
+  /** The Gopher rule stopword list (Rae et al. 2021, appendix A1.1): a doc
+    * must contain at least `minStopwords` DISTINCT words from this list.
+    */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+  /** Gopher-style heuristic document filter (Rae et al. 2021, A1.1) plus the
+    * C4 line-shape signals — the standard pre-training quality gate a corpus
+    * passes before dedup:
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *   - ≥ minAlphaFrac of words contain an alphabetic character
+    *   - ≥ minStopwords distinct stopwords present
+    *   - < maxBulletFrac of lines start with a bullet ('-', '*', '•')
+    *   - < maxEllipsisFrac of lines end with an ellipsis ("..." or "…")
+    *
+    * Output: (idCol, n_words, mean_word_len, alpha_frac, n_stopwords,
+    * bullet_frac, ellipsis_frac, pass) — the signals are kept so callers can
+    * tune thresholds from one profiling pass instead of re-scanning.
+    *
+    * Shape at scale: one map-only projection per row — every signal is an
+    * array fold over the row's own tokens/lines, no explode, no shuffle; the
+    * gate runs at scan speed on 100 TB. All ratios are single divisions of
+    * integers, so results are bit-deterministic across engines.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
+      maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3): DataFrame = {
+    val w = split(col(textCol), " ")
+    val lines = split(col(textCol), "\n")
+    val nWords = size(w)
+    val nLines = size(lines)
+    val charSum = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val nAlpha = size(filter(w, x => x.rlike("[A-Za-z]")))
+    val nStops = size(array_intersect(array_distinct(split(lower(col(textCol)), " ")),
+      lit(gopherStops.toArray)))
+    val nBullet = size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") || ltrim(l).startsWith("•")))
+    val nEllipsis = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    df.select(col(idCol),
+        nWords.cast("long").as("n_words"),
+        (charSum * lit(1.0) / nWords).as("mean_word_len"),
+        (nAlpha * lit(1.0) / nWords).as("alpha_frac"),
+        nStops.cast("long").as("n_stopwords"),
+        (nBullet * lit(1.0) / nLines).as("bullet_frac"),
+        (nEllipsis * lit(1.0) / nLines).as("ellipsis_frac"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("n_stopwords") >= minStopwords &&
+        col("bullet_frac") < maxBulletFrac &&
+        col("ellipsis_frac") < maxEllipsisFrac)
+  }
+
   /** Email regex shared with the oracle: a pragmatic RFC-lite pattern using
     * only syntax Java regex and RE2 agree on.
     */

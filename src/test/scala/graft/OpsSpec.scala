@@ -690,4 +690,22 @@ class OpsSpec extends AnyFunSuite {
       assert(est > 0.65 && est < 0.95, s"estimate $est far from true 0.81")
     }
   }
+
+  test("gopher rules: line-shape and word-shape signals gate as specified") {
+    val good = ("the data and pipeline have a job to do with care " * 5).trim // 55 words, stopwords present
+    val df = docs(
+      1L -> good,
+      2L -> "the and of short",                                  // fails word-count floor
+      3L -> ("- item one\n- item two\n- item three\nthe and of " +
+        good),                                                    // 3/4 bullet lines: < 0.9 still passes
+      4L -> (good + "\nso it trails off...\nand again…\nplain"), // 2/4 ellipsis lines ≥ 0.3: fails
+      5L -> (("0 1 2 3 4 " * 11).trim + " the and"))             // alpha_frac < 0.8: fails
+    val r = TextOps.gopherRules(df, "id", "text", minWords = 30)
+      .collect().map(x => x.getAs[Long]("id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("pass"))
+    assert(!r(2L).getAs[Boolean]("pass") && r(2L).getAs[Long]("n_words") === 4L)
+    assert(r(3L).getAs[Double]("bullet_frac") === 0.75 && r(3L).getAs[Boolean]("pass"))
+    assert(r(4L).getAs[Double]("ellipsis_frac") === 0.5 && !r(4L).getAs[Boolean]("pass"))
+    assert(r(5L).getAs[Double]("alpha_frac") < 0.8 && !r(5L).getAs[Boolean]("pass"))
+  }
 }
