@@ -1036,6 +1036,40 @@ object OpsQueries {
     // sf0.001/0.01) keeps ~everything, the rest downsample to match. The
     // oracle recomputes the same rates with the same double arithmetic
     // (n/f, min, (f*t)/n, trunc to 2^32 hex) so thresholds agree bit-exactly.
+    // DSIR importance weights: every-5th doc is the "target distribution";
+    // each doc scored by hashed-unigram log-likelihood ratio between the
+    // target fit and the raw-corpus fit (add-1 smoothing, 4096 buckets).
+    "curate_dsir_weights" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+        Curate.importanceWeights(
+          docs.withColumnRenamed("doc_id", "id"),
+          docs.filter(col("doc_id") % 5 === 0), "id", "text")
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some {
+        def bucket(h: String) = (0 until 3).map { i =>
+          val w = 1 << (4 * (2 - i))
+          s"(strpos('0123456789abcdef', substr(md5($h), ${i + 1}, 1)) - 1) * $w"
+        }.mkString(" + ")
+        s"""WITH ct0 AS (SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS tok
+           |  FROM documents),
+           |db AS (SELECT id, ${bucket("tok")} AS bucket, count(*) AS c
+           |  FROM ct0 GROUP BY 1, 2),
+           |rf AS (SELECT bucket, sum(c) AS cr FROM db GROUP BY bucket),
+           |tt0 AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |tf AS (SELECT ${bucket("tok")} AS bucket, count(*) AS ct FROM tt0 GROUP BY 1),
+           |tot AS (SELECT (SELECT sum(cr) FROM rf) AS totr, (SELECT sum(ct) FROM tf) AS tott),
+           |lr AS (SELECT rf.bucket,
+           |    ln((coalesce(tf.ct, 0) + 1.0) / (tott + 1.0 * 4096))
+           |  - ln((rf.cr + 1.0) / (totr + 1.0 * 4096)) AS lr
+           |  FROM rf LEFT JOIN tf ON rf.bucket = tf.bucket CROSS JOIN tot)
+           |SELECT db.id AS doc_id, sum(db.c) AS n_tokens,
+           |  round(sum(db.c * lr.lr), 4) AS log_weight
+           |FROM db JOIN lr ON db.bucket = lr.bucket GROUP BY db.id""".stripMargin
+      }),
+
     "curate_mix_rebalance" -> Q(
       (s, d) => Curate.rebalanceToMix(
         Tables.load(s, d, "documents"), col("lang"),

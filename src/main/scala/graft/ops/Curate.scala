@@ -283,4 +283,55 @@ object Curate {
       .agg(countDistinct(col("sh")).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its hashed-unigram bag is under a
+    * TARGET distribution (e.g. Wikipedia + books) than under the raw corpus
+    * distribution:
+    *
+    *   log w(doc) = Σ_tok [ ln p_target(b(tok)) − ln p_raw(b(tok)) ]
+    *
+    * with `b(tok)` = a `buckets`-way hashed feature (first 3 hex chars of
+    * md5 — deterministic on any engine) and add-k smoothed bucket
+    * probabilities. Downstream, resampling ≈ keep the top fraction by
+    * `log_weight` (compose with [[capPerGroupBounded]] or a threshold from
+    * one profiling pass).
+    *
+    * Output: (id, n_tokens, log_weight) — log_weight rounded to 1e-4 so
+    * float summation order never shows in results.
+    *
+    * Scale shape: both "model fits" ARE aggregations — one bucket-count agg
+    * per corpus (map-side combinable, ≤ `buckets` rows out); the per-doc
+    * score is one (id,bucket) count agg + a broadcast join against the
+    * ≤4096-row log-ratio table + one id-keyed sum. The (id,bucket) exchange
+    * appears twice in the plan (doc scores + raw-corpus fit) and Spark's
+    * ReuseExchange collapses it — the corpus text is read once, nothing is
+    * collected.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096, smoothing: Double = 1.0): DataFrame = {
+    def toks(df: DataFrame, cols: Column*) =
+      df.select(cols :+ explode(split(lower(col(textCol)), " ")).as("tok"): _*)
+        .withColumn("bucket", conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
+        .drop("tok")
+    val kB = lit(smoothing * buckets)
+    val k = lit(smoothing)
+    val docBuckets = toks(corpus, col(idCol).as("id"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+    val rawFit = docBuckets.groupBy("bucket").agg(sum("c").as("cr"))
+    val targetFit = toks(target).groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = rawFit.agg(sum("cr").as("totr"))
+      .crossJoin(targetFit.agg(sum("ct").as("tott")))
+    val logRatio = rawFit
+      .join(targetFit, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + k) / (col("tott") + kB))
+          - log((col("cr") + k) / (col("totr") + kB))).as("lr"))
+    docBuckets.join(broadcast(logRatio), Seq("bucket"))
+      .groupBy("id")
+      .agg(sum("c").as("n_tokens"),
+        round(sum(col("c") * col("lr")), 4).as("log_weight"))
+  }
 }

@@ -708,4 +708,21 @@ class OpsSpec extends AnyFunSuite {
     assert(r(4L).getAs[Double]("ellipsis_frac") === 0.5 && !r(4L).getAs[Boolean]("pass"))
     assert(r(5L).getAs[Double]("alpha_frac") < 0.8 && !r(5L).getAs[Boolean]("pass"))
   }
+
+  test("DSIR weights rank target-like documents above off-distribution ones") {
+    val corpus = docs(
+      1L -> "alpha beta gamma delta alpha beta",
+      2L -> "alpha beta gamma epsilon beta alpha",
+      3L -> "xx yy zz ww xx yy",
+      4L -> "alpha beta gamma delta epsilon beta")
+    val target = docs(
+      10L -> "alpha beta gamma delta epsilon",
+      11L -> "beta alpha gamma gamma delta")
+    val w = Curate.importanceWeights(corpus, target, "id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.keySet === Set(1L, 2L, 3L, 4L))
+    // every target-like doc outranks the off-distribution doc
+    Seq(1L, 2L, 4L).foreach(i => assert(w(i) > w(3L),
+      s"doc $i (${w(i)}) should outrank noise doc 3 (${w(3L)})"))
+  }
 }

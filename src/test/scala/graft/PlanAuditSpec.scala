@@ -267,4 +267,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchangeIdx < partialIdx,
       s"expected partial top-k BELOW the exchange in:\n$plan")
   }
+
+  test("DSIR doc scoring joins the log-ratio table by broadcast — corpus rows never shuffle for a join") {
+    import graft.ops.Curate
+    val df = Curate.importanceWeights(corpus, corpus.filter(col("id") % 3 === 0),
+      "id", "text", buckets = 256)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the ≤buckets-row log-ratio frame must broadcast to the (id,bucket)
+    // counts; a sort-merge join here would shuffle the whole corpus stream
+    // on the bucket key
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast doc-score join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"expected no corpus-side sort-merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"totals must broadcast, not cartesian:\n$plan")
+  }
 }
