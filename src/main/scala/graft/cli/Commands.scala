@@ -16,7 +16,7 @@ object Commands {
 
   /** `consume`: read a pool (optionally from an offset) and print/return as
     * text lines in any of the zed CLI's text output formats (`-f`: json,
-    * zson, zjson, csv, tsv, text, table, line — the reference writes any Zed
+    * zson, zjson, csv, tsv, text, table, line, zeek — the reference writes any Zed
     * output format, cmd/zync/consume/command.go:71-107; JSON stays our
     * default since it is the interchange format everywhere else in this
     * port). The tabular family renders from the scan's typed schema
@@ -26,10 +26,10 @@ object Commands {
     */
   def consume(pool: Pool, topic: Option[String] = None, fromOffset: Long = 0L,
       format: String = "json"): Seq[String] = {
-    if (!Set("json", "zson", "zjson", "csv", "tsv", "text", "table", "line").contains(format))
+    if (!Set("json", "zson", "zjson", "csv", "tsv", "text", "table", "line", "zeek").contains(format))
       throw new IllegalArgumentException(
         s"unknown consume format '$format' (expected json, zson, zjson, csv, " +
-          "tsv, text, table or line; binary zng is consumeZng)") // before the pool scan
+          "tsv, text, table, line or zeek; binary zng is consumeZng)") // before the pool scan
     val base = pool.read()
     val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
     val ordered = scoped.filter(col("kafka.offset") >= fromOffset)
@@ -40,6 +40,7 @@ object Commands {
       case "text"  => Tabular.text(ordered)
       case "table" => Tabular.table(ordered)
       case "line"  => Tabular.line(ordered)
+      case "zeek"  => Zeek.write(ordered)
       case _ =>
         val jsonLines = ordered.toJSON.collect().toSeq
         format match {
@@ -59,6 +60,22 @@ object Commands {
   def consumeZng(pool: Pool, topic: Option[String] = None,
       fromOffset: Long = 0L, compress: Boolean = true): Array[Byte] =
     Zng.write(consume(pool, topic, fromOffset), compress)
+
+  /** `consume -f arrow`: the same record stream as [[consume]], serialized
+    * as one Arrow IPC stream (schema header + record batches + EOS) —
+    * readable by pyarrow/arrow-cpp/DuckDB. Uses Spark's own Arrow
+    * conversion ([[org.apache.spark.sql.graft.ArrowBridge]]), so the full
+    * typed schema (timestamps, nested records, arrays, binary) crosses
+    * losslessly — the second binary format next to ZNG.
+    */
+  def consumeArrow(pool: Pool, topic: Option[String] = None,
+      fromOffset: Long = 0L): Array[Byte] = {
+    val base = pool.read()
+    val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
+    val ordered = scoped.filter(col("kafka.offset") >= fromOffset)
+      .orderBy(col("kafka.topic"), col("kafka.offset"))
+    org.apache.spark.sql.graft.ArrowBridge.toIpcStream(ordered)
+  }
 
   /** `produce`: load a file of records into a pool as enveloped values
     * (cmd/zync/produce/command.go:72-81).
@@ -87,6 +104,21 @@ object Commands {
         // so a .zng fixture and its .zson twin load identical pool contents
         val lines = spark.sparkContext.binaryFiles(path).collect()
           .sortBy(_._1).toSeq.flatMap { case (_, pds) => Zng.readJsonLines(pds.toArray()) }
+        import spark.implicits._
+        spark.read.json(spark.createDataset(lines))
+      }
+      else if (path.endsWith(".arrow")) {
+        // Arrow IPC stream: typed schema travels in the stream header, so
+        // no JSON-lines inference hop — types land exactly as written
+        val bytes = spark.sparkContext.binaryFiles(path).collect()
+          .sortBy(_._1).map { case (_, pds) => pds.toArray() }
+        bytes.map(b => org.apache.spark.sql.graft.ArrowBridge.fromIpcStream(spark, b))
+          .reduce(_ unionByName _)
+      }
+      else if (path.endsWith(".zeek")) {
+        // zeek TSV: headers carry the schema; per-file decode like zson/zjson
+        val lines = spark.sparkContext.wholeTextFiles(path).collect()
+          .sortBy(_._1).toSeq.flatMap { case (_, text) => Zeek.toJsonLines(text) }
         import spark.implicits._
         spark.read.json(spark.createDataset(lines))
       }
@@ -212,7 +244,7 @@ object Commands {
     */
   def main(args: Array[String]): Unit = args.toList match {
     case "consume" :: path :: rest =>
-      // [-f json|zson|zjson|csv|tsv|text|table|line|zng] [topic]
+      // [-f json|zson|zjson|csv|tsv|text|table|line|zeek|zng] [topic]
       // [fromOffset] — the reference's
       // -f/-offset flags (consume/command.go:57-107)
       val spark = GraftSession.get()
