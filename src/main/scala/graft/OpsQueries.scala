@@ -788,6 +788,35 @@ object OpsQueries {
              |       END AS rep_ratio
              |FROM g""".stripMargin)),
 
+    // Line-level boilerplate removal: doc_id % 6 docs get a shared template
+    // line appended (~83 occurrences at sf0.01, over the minCount=10 bar)
+    // so corpus-wide repeated lines provably get cut while unique lines
+    // survive; multi-line docs rebuild in original order.
+    "dedup_repeated_lines" -> Q(
+      (s, d) => {
+        val salted = Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 6 === 0, lit("Subscribe to our newsletter today\n"))
+              .otherwise(lit("")),
+            col("text")).as("text"))
+        Dedup.removeRepeatedLines(salted, "doc_id", "text", minCount = 10)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 6 = 0 THEN 'Subscribe to our newsletter today' || chr(10)
+             |       ELSE '' END || text AS text FROM documents),
+             |w AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+             |l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+             |    i -> {'pos': i, 'line': ls[i]}), recursive := true) FROM w),
+             |c AS (SELECT line, count(*) AS n FROM l GROUP BY line),
+             |f AS (SELECT doc_id, pos, l.line, c.n < 10 AS keep FROM l JOIN c USING (line))
+             |SELECT doc_id,
+             |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+             |    AS text_clean,
+             |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+             |  sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
+             |FROM f GROUP BY doc_id""".stripMargin)),
+
     // Gopher heuristic filter (Rae et al. 2021 A1.1 + C4 line rules). Docs
     // with doc_id % 7 get bullet/ellipsis lines appended so the line-shape
     // rules provably fire; short docs (< 30 words) fail the word-count

@@ -686,4 +686,41 @@ object Dedup {
       keepCanonical(df, idCol, verified, maxRounds)
     } finally cand.unpersist(blocking = false)
   }
+
+  /** Line-level boilerplate removal (the CCNet/C4 move: "Subscribe to our
+    * newsletter", cookie banners, nav menus repeat verbatim across a crawl):
+    * drop every line that occurs at least `minCount` times corpus-wide and
+    * rebuild each document from its surviving lines in order. The line-level
+    * sibling of [[removeDuplicatedSpans]] — spans catch long shared
+    * passages, this catches short template lines whole documents share.
+    *
+    * Scale shape: one line explode, one line-keyed count (map-side
+    * combinable — the shuffle carries one row per distinct line per
+    * partition), a hash join back (hot boilerplate lines are one row on the
+    * counts side, so no skew amplification), and one id-keyed rebuild whose
+    * `collect_list` is bounded by the doc's own line count. No windows, no
+    * all-pairs. The join keys on the raw line text so results are exact;
+    * pre-hashing lines (md5/xxhash) is the exchange-volume knob at 100 TB,
+    * at the price of cross-line hash-collision conflation.
+    *
+    * Output: (id, text_clean, n_kept, n_dropped) — every input doc appears,
+    * even when all of its lines were boilerplate (empty text_clean).
+    */
+  def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+    val counts = lines.groupBy("line").agg(count(lit(1)).as("_n"))
+    lines.join(counts, Seq("line"))
+      .withColumn("_keep", col("_n") < minCount)
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          sep).as("text_clean"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
 }

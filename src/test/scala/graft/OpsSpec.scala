@@ -709,6 +709,22 @@ class OpsSpec extends AnyFunSuite {
     assert(r(5L).getAs[Double]("alpha_frac") < 0.8 && !r(5L).getAs[Boolean]("pass"))
   }
 
+  test("repeated-line removal cuts corpus-wide boilerplate, keeps order, empties all-boilerplate docs") {
+    val boiler = "subscribe now"
+    val df = docs(
+      1L -> s"keep one\n$boiler\nkeep two",
+      2L -> s"$boiler\nunique middle\n$boiler",
+      3L -> boiler,                        // nothing survives
+      4L -> "solo line stands alone")
+    val r = Dedup.removeRepeatedLines(df, "id", "text", minCount = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r(1L).getString(1) == "keep one\nkeep two" && r(1L).getLong(3) == 1L)
+    assert(r(2L).getString(1) == "unique middle" && r(2L).getLong(3) == 2L)
+    assert(r(3L).getString(1) == "" && r(3L).getLong(2) == 0L && r(3L).getLong(3) == 1L)
+    assert(r(4L).getString(1) == "solo line stands alone" && r(4L).getLong(3) == 0L)
+  }
+
   test("DSIR weights rank target-like documents above off-distribution ones") {
     val corpus = docs(
       1L -> "alpha beta gamma delta alpha beta",
