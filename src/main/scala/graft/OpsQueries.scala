@@ -817,6 +817,20 @@ object OpsQueries {
              |  sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
              |FROM f GROUP BY doc_id""".stripMargin)),
 
+    // Real BPE tokenization: learn 12 merges from the corpus (deterministic
+    // — lexicographic tiebreaks), encode every doc by rank priority. The
+    // learn loop is iterative and data-dependent, so there is no SQL oracle
+    // (the one deliberate rows-only entry); exactness is pinned by OpsSpec's
+    // textbook merge-sequence test instead.
+    "text_bpe_tokens" -> Q(
+      (s, d) => {
+        val corpus = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
+        val merges = TextOps.bpeLearn(corpus, "text", numMerges = 12)
+        TextOps.bpeEncode(corpus, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_bpe_tokens"))
+      },
+      None),
+
     // Gopher heuristic filter (Rae et al. 2021 A1.1 + C4 line rules). Docs
     // with doc_id % 7 get bullet/ellipsis lines appended so the line-shape
     // rules provably fire; short docs (< 30 words) fail the word-count

@@ -725,6 +725,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r(4L).getString(1) == "solo line stands alone" && r(4L).getLong(3) == 0L)
   }
 
+  test("BPE learns the textbook merge sequence and encodes by rank priority") {
+    // the classic word-frequency example: {hug:10, pug:5, pun:12, bun:4,
+    // hugs:5} learns ug, un, hug in that order
+    val corpus = docs(
+      1L -> ("hug " * 10).trim, 2L -> ("pug " * 5).trim, 3L -> ("pun " * 12).trim,
+      4L -> ("bun " * 4).trim, 5L -> ("hugs " * 5).trim)
+    val merges = TextOps.bpeLearn(corpus, "text", numMerges = 3)
+    assert(merges == Seq(("u", "g"), ("u", "n"), ("h", "ug")))
+    val enc = TextOps.bpeEncode(docs(
+      10L -> "hugs bug pun", 11L -> null.asInstanceOf[String]), "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(10L) == Seq("hug", "s", "b", "ug", "p", "un"))
+    assert(enc(11L).isEmpty)
+  }
+
+  test("BPE learn stops early when no pair reaches minPairCount") {
+    val merges = TextOps.bpeLearn(docs(1L -> "ab cd ef"), "text",
+      numMerges = 10, minPairCount = 2)
+    assert(merges.isEmpty)
+  }
+
   test("DSIR weights rank target-like documents above off-distribution ones") {
     val corpus = docs(
       1L -> "alpha beta gamma delta alpha beta",
