@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
+import scala.jdk.CollectionConverters._
+
 /** Approximate / exact nearest-neighbor search over embedding columns
   * (`Array[Float]` / `Array[Double]`).
   *
@@ -339,4 +341,250 @@ object Similarity {
       metaCols: Seq[String] = Nil): DataFrame =
     rankTopKMeta(ivfCandidates(corpus, queries, centroids, idCol, vecCol, nprobe, metaCols),
       k, metaCols)
+
+  // ---------------- product quantization (Jégou et al. 2011) ----------------
+  //
+  // The embedding COMPRESSION path, complementing IVF's pruning path: each
+  // d-dim vector becomes m small integer codes (one per contiguous subspace),
+  // and search scans codes + a per-query lookup table instead of floats. At
+  // 100 TB of float32 embeddings, m=16 byte codes are a 16× storage/scan-IO
+  // cut — the difference between an ANN sweep that reads 100 TB and one that
+  // reads 6 TB. Assignment metric is SQUARED L2 per subspace (the PQ
+  // formulation: reconstruction error — and hence dot/cosine against the
+  // reconstruction — decomposes exactly across subspaces; per-subspace
+  // cosine would not). Scale shapes:
+  // - training: one joint Lloyd loop over ALL m subspaces at once — per
+  //   round one map-only encode pass + one vectors×dims-row aggregation,
+  //   exactly the `kmeans` shuffle shape, NOT m separate k-means jobs;
+  // - encode: map-only (1-row broadcast codebook + the fused `pq_encode`
+  //   kernel) — zero exchanges touch corpus rows;
+  // - search: per-query LUTs (m×k dots, built query-side), one broadcast
+  //   join against the codes frame, O(m) `pq_adc_score` per candidate,
+  //   ranked by the bounded two-phase `top_k_by_score`.
+
+  private def bridge = org.apache.spark.sql.graft.GraftColumnsBridge
+
+  /** `pq_encode(vec, books)` as a Column (books: the 1-row broadcast flat
+    * codebook, array<struct<sub,cid,cv>>). See
+    * [[org.apache.spark.sql.graft.PqEncode]].
+    */
+  def pqEncodeCol(vec: Column, books: Column): Column =
+    bridge.of(org.apache.spark.sql.graft.PqEncode(bridge.expr(vec), bridge.expr(books)))
+
+  /** ADC cosine as a Column. See [[org.apache.spark.sql.graft.PqAdcScore]]. */
+  def pqAdcScoreCol(codes: Column, dots: Column, norms: Column, qnorm: Column): Column =
+    bridge.of(org.apache.spark.sql.graft.PqAdcScore(bridge.expr(codes),
+      bridge.expr(dots), bridge.expr(norms), bridge.expr(qnorm)))
+
+  /** Normalized flat codebook frame → collected rows + the 1-row broadcast
+    * frame PqEncode consumes. Codebooks are metadata-scale by contract
+    * (m×k rows, a [[pqTrain]] product) — collecting one is a driver metadata
+    * read, EAGER like [[ivfAssignN]]'s centroid collect.
+    */
+  private def booksOneRow(df: DataFrame, codebook: DataFrame,
+      vecCol: String): DataFrame = {
+    val b = codebook.select(col("sub").cast("int").as("sub"),
+      col("centroid_id").cast("int").as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val rows = b.collect().toSeq
+    df.sparkSession.createDataFrame(
+      java.util.List.of(Row(rows)),
+      StructType(Seq(StructField("_books",
+        ArrayType(b.schema, containsNull = false), nullable = false))))
+  }
+
+  /** Map-only codes column: `df` + `codesCol` via a 1-row broadcast of the
+    * codebook and the fused `pq_encode` kernel — zero exchanges touch `df`.
+    */
+  private def withCodes(df: DataFrame, codebook: DataFrame, vecCol: String,
+      srcVecCol: String, codesCol: String): DataFrame =
+    df.crossJoin(broadcast(booksOneRow(df, codebook, vecCol)))
+      .withColumn(codesCol, pqEncodeCol(col(srcVecCol), col("_books")))
+      .drop("_books")
+
+  /** Train a product-quantization codebook: `m` contiguous equal subspaces,
+    * `k` centroids each, by a JOINT Lloyd loop (all subspaces advance in one
+    * pass per round — per round: one map-only [[pqEncode]] + one
+    * vectors×dims-row aggregation with exact decimal means, the same
+    * shuffle shape and bit-reproducibility contract as [[kmeans]];
+    * `roundDigits`/`seedByHash` as there). Seeds: the k lowest rows (by id,
+    * or by `md5(id)` with `seedByHash`) sliced per subspace; centroid ids
+    * are DENSE 0..k-1 in seed order (the k-row rank window is
+    * metadata-scale), so codes index LUT arrays directly. A centroid whose
+    * cell empties drops out (codes stay dense-valid; its LUT slot is simply
+    * never produced). Vector length must be divisible by `m` (asserted
+    * per-row). Output: (sub, centroid_id, `vecCol`).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+      iters: Int, seedByHash: Boolean = false, roundDigits: Int = -1): DataFrame = {
+    require(m >= 1 && k >= 1 && iters >= 0,
+      "pqTrain needs m >= 1, k >= 1, iters >= 0")
+    val pts = corpus.select(col(idCol).as("_pid"),
+      transform(col(vecCol), x => x.cast("double")).as("_pv"))
+      .filter(assert_true(pmod(size(col("_pv")), lit(m)) === 0,
+        lit(s"pqTrain: vector length not divisible by m=$m")).isNull)
+    val seedOrder =
+      if (seedByHash) Seq(md5(col("_pid").cast("string")), col("_pid"))
+      else Seq(col("_pid"))
+    // the k seed rows are metadata-scale: slice them driver-side (same
+    // contract as the centroid collects) — dense cid = seed rank, no window
+    val seedRows = pts.orderBy(seedOrder: _*).limit(k).collect()
+    require(seedRows.nonEmpty, "pqTrain: empty corpus")
+    val bookSchema = StructType(Seq(
+      StructField("sub", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("centroid_id", org.apache.spark.sql.types.IntegerType, nullable = false),
+      StructField("cv", ArrayType(org.apache.spark.sql.types.DoubleType,
+        containsNull = false), nullable = false)))
+    val bookRows: Seq[Row] = seedRows.toSeq.zipWithIndex.flatMap { case (r, cid) =>
+      val v = r.getSeq[Double](1)
+      require(v.length % m == 0,
+        s"pqTrain: seed vector length ${v.length} not divisible by m=$m")
+      val sl = v.length / m
+      (0 until m).map(s => Row(s, cid, v.slice(s * sl, (s + 1) * sl)))
+    }
+    var books = corpus.sparkSession.createDataFrame(bookRows.asJava, bookSchema)
+    for (_ <- 1 to iters)
+      books = pqLloydRound(pts, books, m, roundDigits)
+    books.select(col("sub"), col("centroid_id"), col("cv").as(vecCol))
+  }
+
+  private def pqLloydRound(pts: DataFrame, books: DataFrame, m: Int,
+      roundDigits: Int): DataFrame = {
+    def maybeRound(c: Column): Column =
+      if (roundDigits >= 0) transform(c, x => round(x, roundDigits)) else c
+    val sl = (size(col("_pv")) / m).cast("int")
+    val sub = (col("_pos") / col("_sl")).cast("int")
+    withCodes(pts, books.withColumnRenamed("cv", "_bv"), "_bv", "_pv", "_codes")
+      .filter(col("_codes").isNotNull)
+      .select(col("_codes"), sl.as("_sl"), posexplode(col("_pv")).as(Seq("_pos", "_x")))
+      .select(sub.as("sub"), pmod(col("_pos"), col("_sl")).cast("int").as("_within"),
+        element_at(col("_codes"), sub + 1).as("centroid_id"), col("_x"))
+      .groupBy("sub", "centroid_id", "_within")
+      .agg((sum(col("_x").cast("decimal(30,15)")).cast("double") /
+        count(lit(1))).as("_m"))
+      .groupBy("sub", "centroid_id")
+      .agg(maybeRound(transform(array_sort(collect_list(struct(col("_within"), col("_m")))),
+        s => s.getField("_m"))).as("cv"))
+      .localCheckpoint(true)
+  }
+
+  /** Encode a corpus against a trained codebook: every row keeps its columns
+    * and gains `codes` (array<int>, one dense centroid id per subspace).
+    * Map-only — the codebook ships as one broadcast row; no exchange touches
+    * corpus rows (pinned by PlanAuditSpec). Rows whose vector length doesn't
+    * match the codebook encode as null codes.
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    withCodes(corpus, codebook.withColumnRenamed(vecCol, "_bv"), "_bv",
+      vecCol, "codes")
+
+  /** Reconstruct approximate vectors from codes (x̂ = concatenated subspace
+    * centroids) — the decode side, for inspection/testing; search never
+    * materializes this (that is ADC's point). One broadcast join against
+    * the codebook + an id-keyed rebuild. Output: (idCol, `vhat`).
+    */
+  def pqReconstruct(encoded: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    encoded.select(col(idCol), posexplode(col("codes")).as(Seq("sub", "centroid_id")))
+      .join(broadcast(codebook.select(col("sub"), col("centroid_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_cv"))),
+        Seq("sub", "centroid_id"))
+      .groupBy(idCol)
+      .agg(flatten(transform(array_sort(collect_list(struct(col("sub"), col("_cv")))),
+        s => s.getField("_cv"))).as("vhat"))
+
+  /** Per-query LUT columns over `qv`: (`_dots` m×k dot tables, `_qnorm`).
+    * Built with HOFs at QUERY cardinality (nq × m × k × d/m work — queries
+    * are the small side by contract); the corpus-side scan never touches
+    * them except through O(m) `pq_adc_score` reads. Returns the augmented
+    * query frame plus the query-independent norms literal.
+    */
+  private def withQueryLuts(queries: DataFrame, codebook: DataFrame,
+      vecCol: String): (DataFrame, Column) = {
+    val b = codebook.select(col("sub").cast("int").as("sub"),
+      col("centroid_id").cast("int").as("cid"),
+      transform(col(vecCol), x => x.cast("double")).as("cv"))
+    val rows = b.collect() // metadata-scale by contract (m×k codebook rows)
+    require(rows.nonEmpty, "pqTopK: empty codebook")
+    val m = rows.map(_.getInt(0)).max + 1
+    val subLen = Array.fill(m)(-1)
+    val maxCid = Array.fill(m)(0)
+    rows.foreach { r =>
+      val s = r.getInt(0)
+      val cv = r.getSeq[Double](2)
+      require(subLen(s) == -1 || subLen(s) == cv.length,
+        s"pqTopK: inconsistent centroid lengths in subspace $s")
+      subLen(s) = cv.length
+      maxCid(s) = math.max(maxCid(s), r.getInt(1) + 1)
+    }
+    require(subLen.forall(_ >= 0), "pqTopK: a subspace has no centroids")
+    // dense [sub][cid] planes; holes (emptied training cells) are zero
+    // vectors — their code values are never produced, the slots just keep
+    // LUT indexing aligned
+    val planes = Array.tabulate(m)(s =>
+      Array.fill(maxCid(s))(Seq.fill(subLen(s))(0.0)))
+    rows.foreach(r => planes(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+    // norms are query-independent: computed once, left-to-right like the
+    // oracle's list_sum — shipped as one literal
+    val norms = typedlit(planes.toSeq.map(_.toSeq.map(
+      _.foldLeft(0.0)((acc, x) => acc + x * x))))
+    val planesLit = typedlit(planes.toSeq.map(_.toSeq))
+    val sl = (size(col("qv")) / m).cast("int")
+    val dots = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(planesLit, s + 1), c =>
+        aggregate(zip_with(slice(col("qv"), s * sl + 1, sl), c,
+          (a, bb) => a * bb), lit(0.0), (acc, x) => acc + x)))
+    val qnorm = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
+    (queries.withColumn("_dots", dots).withColumn("_qnorm", qnorm), norms)
+  }
+
+  /** ADC top-k search over an ENCODED corpus: rank by the asymmetric cosine
+    * `cos(q, x̂)` computed entirely from codes + per-query LUTs (the corpus
+    * scan reads m ints per row, never a float vector — PQ's 100 TB move).
+    * `encoded` is a [[pqEncode]] product (idCol + `codes`); queries carry
+    * real vectors. One broadcast join + two-phase bounded top-k; self-match
+    * excluded by id. Output: (query_id, rank, neighbor_id).
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val (q0, norms) = withQueryLuts(
+      queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv")),
+      codebook.withColumnRenamed(vecCol, "_bv"), "_bv")
+    val q = q0.select(col("query_id"), col("_dots"), col("_qnorm"))
+    val candidates = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", pqAdcScoreCol(col("codes"), col("_dots"), norms, col("_qnorm")))
+    rankTopK(candidates, k)
+  }
+
+  /** IVF-PQ: the coarse inverted file prunes cells, PQ codes shrink what a
+    * probed cell scans — composed exactly from [[ivfAssignN]] (map-only
+    * cell assignment both sides) + [[pqEncode]] (map-only codes) +
+    * [[pqTopK]]'s ADC scoring, joined on the probed cell. Codes quantize
+    * the RAW vectors (IVFFlat-style, not cell residuals — residual encoding
+    * doubles training complexity for recall this corpus scale doesn't need;
+    * the hook point is documented here). Output: (query_id, rank,
+    * neighbor_id).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val centRows = cents.collect().toSeq // once, for both sides
+    val ac = withCodes(
+      assignCollected(corpus, centRows, cents.schema, vecCol, nprobe = 1),
+      codebook.withColumnRenamed(vecCol, "_bv"), "_bv", vecCol, "codes")
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"), col("codes"))
+    val (aq0, norms) = withQueryLuts(
+      assignCollected(queries, centRows, cents.schema, vecCol, nprobe)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("centroid_id")),
+      codebook.withColumnRenamed(vecCol, "_bv"), "_bv")
+    val aq = aq0.select(col("query_id"), col("centroid_id"), col("_dots"), col("_qnorm"))
+    val candidates = ac.join(aq, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", pqAdcScoreCol(col("codes"), col("_dots"), norms, col("_qnorm")))
+    rankTopK(candidates, k)
+  }
 }

@@ -75,5 +75,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         org.apache.spark.sql.graft.NearestCentroids(children(0), children(1), nprobe)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.PqEncode].getName, "pq_encode"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.graft.PqEncode(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_score"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.graft.PqAdcScore].getName, "pq_adc_score"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.graft.PqAdcScore(children(0), children(1), children(2), children(3))))
   }
 }
