@@ -25,6 +25,23 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** events with `ts` as raw epoch-NANOSECOND longs, whichever physical
+    * type the driver generated: TIMESTAMP(NANOS) parquet loads as ns longs
+    * under `nanosAsLong`; TIMESTAMP(MICROS) (the round-8 regeneration)
+    * loads as timestamp_ntz and is converted here (µs → ns; the session tz
+    * is pinned UTC everywhere, so the ntz→instant cast matches the
+    * oracle's `epoch_ns` of DuckDB's naive timestamp). Keeps every
+    * downstream window/as-of/range computation on engine-exact integer ns.
+    */
+  private def eventsNs(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev
+      case _ => ev.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000)
+    }
+  }
+
   // ---------------------------------------------------------------------------
   // §2.3 Q1–Q32: relational / dataflow surface
   // ---------------------------------------------------------------------------
@@ -409,7 +426,7 @@ object Queries {
   val extensions: Map[String, Q] = Map(
     "q33_time_window" -> Q(
       (s, d) =>
-        t(s, d, "events")
+        eventsNs(s, d)
           .groupBy(expr("ts div 3600000000000").as("hour_bucket"), col("event_type"))
           .agg(count(lit(1)).as("cnt"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("total")),
@@ -424,7 +441,7 @@ object Queries {
     "q34_sliding_window" -> Q(
       (s, d) => {
         val slide = 1800000000000L // 30 min in ns
-        t(s, d, "events")
+        eventsNs(s, d)
           .withColumn("k", explode(array(
             expr(s"ts div ${slide}L - 1"), expr(s"ts div ${slide}L"))))
           .groupBy((col("k") * slide).as("window_start_ns"), col("event_type"))
@@ -443,7 +460,7 @@ object Queries {
     "q35_session_window" -> Q(
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        t(s, d, "events")
+        eventsNs(s, d)
           .withColumn("prev_ts", lag(col("ts"), 1).over(w))
           .withColumn("new_session",
             when(col("prev_ts").isNull || col("ts") - col("prev_ts") > 1800000000000L, 1)
@@ -477,7 +494,7 @@ object Queries {
     // implementations of the semantics.
     "q36_asof_join" -> Q(
       (s, d) => {
-        val ev = t(s, d, "events")
+        val ev = eventsNs(s, d)
         val clicks = ev.filter(col("event_type") === "click")
           .select("event_id", "user_id", "ts")
         val errors = ev.filter(col("event_type") === "error")
@@ -505,7 +522,7 @@ object Queries {
     // (Spark reads parquet ns, DuckDB truncates to µs).
     "q37_range_join" -> Q(
       (s, d) => {
-        val ev = t(s, d, "events")
+        val ev = eventsNs(s, d)
         val win = 1800000000L // 30 min in µs
         val errors = ev.filter(col("event_type") === "error")
           .select(col("user_id"), col("event_id").as("err_id"),
