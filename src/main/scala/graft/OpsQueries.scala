@@ -73,6 +73,52 @@ object OpsQueries {
   private def cos(a: String, b: String): String =
     cosSql.replace("%A", a).replace("%B", b)
 
+  /** Unrolled DuckDB CTE chain for a product-quantization codebook over
+    * `base` (64-dim vectors): m=2 subspaces of 32 dims, `k` seeds (lowest
+    * vec_ids, dense cid = seed rank), ONE joint-L2 Lloyd round with exact
+    * decimal means rounded to 9 digits — mirrors
+    * `Similarity.pqTrain(m=2, k, iters=1, roundDigits=9)`. Ends with
+    * `pcents(sub, cid, cv)`; also leaves `sliced(vec_id, sub, sv)` for
+    * downstream encode CTEs. Distances accumulate left-to-right like the
+    * fused `pq_encode` loop, so ties are exact on both engines or neither.
+    */
+  private def pqTrainSql(k: Int): String =
+    s"""subs AS (SELECT unnest(range(2)) AS sub),
+       |pseeds AS (
+       |  SELECT s.sub, r.cid, list_slice(r.v, s.sub*32+1, (s.sub+1)*32) AS cv
+       |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |        FROM (SELECT * FROM base ORDER BY vec_id LIMIT $k)) r
+       |  CROSS JOIN subs s),
+       |sliced AS (
+       |  SELECT b.vec_id, s.sub, list_slice(b.v, s.sub*32+1, (s.sub+1)*32) AS sv
+       |  FROM base b CROSS JOIN subs s),
+       |pscored AS (
+       |  SELECT l.vec_id, l.sub, c.cid,
+       |         row_number() OVER (PARTITION BY l.vec_id, l.sub
+       |           ORDER BY list_sum(list_transform(list_zip(l.sv, c.cv),
+       |                    p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cid) AS rn
+       |  FROM sliced l JOIN pseeds c ON l.sub = c.sub),
+       |passigned AS (SELECT vec_id, sub, cid FROM pscored WHERE rn = 1),
+       |pex AS (SELECT a.sub, a.cid, unnest(l.sv) AS x, unnest(range(len(l.sv))) AS i
+       |        FROM passigned a JOIN sliced l ON a.vec_id = l.vec_id AND a.sub = l.sub),
+       |pdims AS (SELECT sub, cid, i,
+       |            round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS mv
+       |          FROM pex GROUP BY 1, 2, 3),
+       |pcents AS (SELECT sub, cid, list(mv ORDER BY i) AS cv FROM pdims GROUP BY sub, cid)"""
+      .stripMargin
+
+  /** Encode CTE against `pcents`: per-(vec, sub) L2 argmin, tie → lowest
+    * cid. Ends with `ecodes(vec_id, sub, cid)`.
+    */
+  private val pqEncodeSql =
+    """escored AS (
+      |  SELECT l.vec_id, l.sub, c.cid,
+      |         row_number() OVER (PARTITION BY l.vec_id, l.sub
+      |           ORDER BY list_sum(list_transform(list_zip(l.sv, c.cv),
+      |                    p -> (p[1]-p[2])*(p[1]-p[2]))) ASC, c.cid) AS rn
+      |  FROM sliced l JOIN pcents c ON l.sub = c.sub),
+      |ecodes AS (SELECT vec_id, sub, cid FROM escored WHERE rn = 1)""".stripMargin
+
   /** Unrolled DuckDB CTE chain for `iters` Lloyd rounds over `base`
     * (mirrors Similarity.kmeans with seedByHash=true, roundDigits=9):
     * md5-ordered seeds, then per round cosine assignment (tie → lowest
@@ -140,6 +186,34 @@ object OpsQueries {
       Some(textCorpusSql +
         """SELECT md5(text) AS fp, count(*) AS cnt, min(id) AS canonical
           |FROM corpus GROUP BY md5(text) HAVING count(*) > 1""".stripMargin)),
+
+    // normalize → dedup composition: byte-different renderings of the same
+    // text (decomposed accents, case, whitespace runs) are invisible to
+    // byte-level exact dedup but collapse after canonicalization — the
+    // id+300000 salt re-encodes each %9 doc decomposed/uppercased/padded,
+    // detectable ONLY through the normalize step (both engines mirror it)
+    "dedup_normalized" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val salted = docs.unionByName(docs.filter(col("id") % 9 === 0)
+          .select((col("id") + 300000).as("id"),
+            concat(lit("  "), upper(col("text")), lit("\t")).as("text")))
+        Dedup.exactGroups(
+          TextOps.normalizeText(salted, "id", "text")
+            .withColumnRenamed("text_norm", "text"), "id", "text")
+      },
+      Some("""WITH salted AS (
+             |  SELECT doc_id AS id, text FROM documents
+             |  UNION ALL SELECT doc_id + 300000, '  ' || upper(text) || chr(9)
+             |    FROM documents WHERE doc_id % 9 = 0),
+             |normed AS (
+             |  SELECT id,
+             |    trim(regexp_replace(lower(regexp_replace(nfc_normalize(text),
+             |      '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g')),
+             |      '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+             |  FROM salted)
+             |SELECT md5(text) AS fp, count(*) AS cnt, min(id) AS canonical
+             |FROM normed GROUP BY md5(text) HAVING count(*) > 1""".stripMargin)),
 
     // continuous-ingest dedup: which of the odd-id docs has the even-id
     // history never seen? Bloom-pruned, exactly verified — the sketch only
@@ -690,6 +764,79 @@ object OpsQueries {
           |         ',') AS codes
           |FROM mm""".stripMargin)),
 
+    // product quantization: codebook after one joint-L2 Lloyd round vs an
+    // independent SQL unroll — seeds are the 4 lowest ids sliced into m=2
+    // subspaces (dense cids in seed order), assignment is per-subspace
+    // squared L2 (tie → lowest cid), means are exact decimal sums rounded
+    // to 9 digits on both sides (the kmeans reproducibility contract)
+    "sim_pq_train" -> Q(
+      (s, d) => Similarity.pqTrain(embBase(s, d), "vec_id", "v",
+        m = 2, k = 4, iters = 1, roundDigits = 9)
+        .select(col("sub").cast("long").as("sub"),
+          col("centroid_id").cast("long").as("centroid_id"),
+          array_join(transform(col("v"),
+            x => format_string("%.9f", x + lit(0.0))), ",").as("v")),
+      Some(embBaseSql + ", " + pqTrainSql(k = 4) +
+        s"""
+           |SELECT sub, cid AS centroid_id,
+           |       array_to_string(list_transform(cv,
+           |                                      x -> printf('%.9f', x + 0)), ',') AS v
+           |FROM pcents""".stripMargin)),
+
+    // encode against the round-1 codebook: one dense centroid id per
+    // subspace, map-only on the corpus (the 16×-compression storage path)
+    "sim_pq_encode" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val book = Similarity.pqTrain(base, "vec_id", "v",
+          m = 2, k = 4, iters = 1, roundDigits = 9)
+        Similarity.pqEncode(base, book, "vec_id", "v")
+          .select(col("vec_id"),
+            array_join(transform(col("codes"), _.cast("string")), ",").as("codes"))
+      },
+      Some(embBaseSql + ", " + pqTrainSql(k = 4) + ", " + pqEncodeSql +
+        s"""
+           |SELECT vec_id,
+           |       array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sub), ',') AS codes
+           |FROM ecodes GROUP BY vec_id""".stripMargin)),
+
+    // end-to-end ADC search: train → encode → asymmetric-cosine top-k read
+    // entirely from codes + per-query LUTs. The oracle reconstructs x̂ and
+    // scores cos(q, x̂) with the SAME per-subspace grouping (inner dot per
+    // subspace, outer sum over subspaces) so floats match bit-for-bit.
+    "sim_pq_topk" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val book = Similarity.pqTrain(base, "vec_id", "v",
+          m = 2, k = 4, iters = 1, roundDigits = 9)
+        val enc = Similarity.pqEncode(base, book, "vec_id", "v")
+        Similarity.pqTopK(enc, base.filter(col("vec_id") < 5), book,
+          "vec_id", "v", k = 3)
+      },
+      Some(embBaseSql + ", " + pqTrainSql(k = 4) + ", " + pqEncodeSql +
+        s""", recon AS (
+           |  SELECT e.vec_id, flatten(list(c.cv ORDER BY c.sub)) AS vhat
+           |  FROM ecodes e JOIN pcents c ON c.sub = e.sub AND c.cid = e.cid
+           |  GROUP BY e.vec_id),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+           |ppairs AS (
+           |  SELECT q.query_id, r.vec_id AS neighbor_id,
+           |    list_sum(list_transform(range(2), s ->
+           |      list_sum(list_transform(list_zip(list_slice(q.qv, s*32+1, (s+1)*32),
+           |                                       list_slice(r.vhat, s*32+1, (s+1)*32)),
+           |               p -> p[1]*p[2]))))
+           |    / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+           |       * sqrt(list_sum(list_transform(range(2), s ->
+           |           list_sum(list_transform(list_slice(r.vhat, s*32+1, (s+1)*32),
+           |                    x -> x*x))))))
+           |    AS cos
+           |  FROM q JOIN recon r ON r.vec_id <> q.query_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ppairs)
+           |WHERE rank <= 3""".stripMargin)),
+
     // ---------------- text analysis ----------------
 
     "text_langid" -> Q(
@@ -891,6 +1038,46 @@ object OpsQueries {
              |    '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ips
              |FROM corpus""".stripMargin)),
 
+    // canonical text normalization (NFC + control strip + lowercase +
+    // whitespace collapse) — docs salted with a decomposed accent
+    // (e + U+0301 composes to é under NFC), a control char, and whitespace
+    // runs so every step provably fires; the ﬁ ligature stays (NFC
+    // preserves compatibility chars — the NFKC fold is spec-checked)
+    "text_normalize" -> Q(
+      (s, d) => {
+        val salted = Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit("  Café   du  ﬁn\tXY  ")).as("text"))
+        TextOps.normalizeText(salted, "doc_id", "text")
+      },
+      Some("""WITH corpus AS (SELECT doc_id,
+             |    text || '  Cafe' || chr(769) || '   du  ' || chr(64257) ||
+             |    'n' || chr(9) || 'X' || chr(7) || 'Y  ' AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  trim(regexp_replace(lower(regexp_replace(nfc_normalize(text),
+             |    '[\x00-\x08\x0E-\x1F\x7F-\x9F]', '', 'g')),
+             |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_norm
+             |FROM corpus""".stripMargin)),
+
+    // TF-IDF keyword extraction: top-5 terms per doc by tf·ln(N/df), ranked
+    // by the bounded two-phase top-k aggregate (no rank window)
+    "text_tfidf" -> Q(
+      (s, d) => TextOps.tfidfKeywords(textCorpus(s, d), "id", "text", k = 5),
+      Some(textCorpusSql +
+        """, tk AS (SELECT id, unnest(string_split(lower(text), ' ')) AS term FROM corpus),
+          |tf AS (SELECT id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+          |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM corpus),
+          |w AS (SELECT tf.id, tf.term,
+          |        tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df) AS weight
+          |      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+          |SELECT id, rank, term FROM (
+          |  SELECT id, term,
+          |         row_number() OVER (PARTITION BY id ORDER BY weight DESC, term) AS rank
+          |  FROM w)
+          |WHERE rank <= 5""".stripMargin)),
+
     // ---------------- multimodal ----------------
 
     "mm_decode_stub" -> Q(
@@ -1038,6 +1225,30 @@ object OpsQueries {
         .select("doc_id", "lang"),
       Some("""SELECT doc_id, lang FROM documents
              |WHERE md5(CAST(doc_id AS VARCHAR)) < '40000000'""".stripMargin)),
+
+    // quantile quality gate: keep the top 30% by score — the exact
+    // interpolated percentile threshold (same estimator as text_profile's
+    // quantile_cont parity), at-threshold ties kept
+    "curate_quality_gate" -> Q(
+      (s, d) => Curate.qualityGate(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("score")),
+        col("score"), keepFraction = 0.3),
+      Some("""WITH scored AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS score
+             |                FROM documents),
+             |thr AS (SELECT quantile_cont(score, 0.7) AS t FROM scored)
+             |SELECT doc_id, score FROM scored, thr WHERE score >= t""".stripMargin)),
+
+    // bounded-memory approximate variant (the 100 TB form): threshold from
+    // approx_percentile — deterministic for a fixed input but not
+    // bit-portable across engines, so rows-only here; exactness of the
+    // kept-fraction mechanics is OpsSpec's job
+    "curate_quality_gate_approx" -> Q(
+      (s, d) => Curate.qualityGateApprox(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("n_chars").cast("double").as("score")),
+        col("score"), keepFraction = 0.3),
+      None),
 
     // deterministic global shuffle: rank under md5 order, assigned by
     // range-partition + prefix sums — never a single-partition window

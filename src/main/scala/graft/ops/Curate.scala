@@ -334,4 +334,45 @@ object Curate {
       .agg(sum("c").as("n_tokens"),
         round(sum(col("c") * col("lr")), 4).as("log_weight"))
   }
+
+  /** Keep the top `keepFraction` of rows by `scoreCol` — the standard
+    * "filter to the best X% by quality/DSIR/perplexity score" gate. The
+    * threshold is the exact interpolated (1−keepFraction) percentile (the
+    * same estimator as [[graft.ops.TextOps.corpusProfile]], so it
+    * hash-matches `quantile_cont` on any engine); rows scoring exactly AT
+    * the threshold are kept, so ties never drop nondeterministically.
+    *
+    * One aggregation to a 1-row threshold frame (broadcast) + one filtering
+    * scan. NOTE the exact percentile buffers the score column per
+    * aggregation buffer — fine into the billions of rows (8 bytes/score),
+    * but for 100 TB-scale row counts use [[qualityGateApprox]], which
+    * trades the reproducible threshold for bounded memory.
+    */
+  def qualityGate(df: DataFrame, scoreCol: Column,
+      keepFraction: Double): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"qualityGate: keepFraction must be in (0, 1], got $keepFraction")
+    val thr = df.agg(
+      percentile(scoreCol, lit(1.0 - keepFraction)).as("_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(scoreCol >= col("_thr"))
+      .drop("_thr")
+  }
+
+  /** As [[qualityGate]] with a bounded-memory approximate threshold
+    * (`approx_percentile`, `accuracy` controls the error bound) — the
+    * 100 TB form. The kept fraction is then approximate too; the result is
+    * deterministic for a fixed input but not bit-portable across engines,
+    * so this variant is spec-checked rather than oracle-hashed.
+    */
+  def qualityGateApprox(df: DataFrame, scoreCol: Column, keepFraction: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"qualityGateApprox: keepFraction must be in (0, 1], got $keepFraction")
+    val thr = df.agg(approx_percentile(scoreCol,
+      lit(1.0 - keepFraction), lit(accuracy)).as("_thr"))
+    df.crossJoin(broadcast(thr))
+      .filter(scoreCol >= col("_thr"))
+      .drop("_thr")
+  }
 }

@@ -372,4 +372,68 @@ object TextOps {
         .cast("long").as("n_emails"),
       size(regexp_extract_all(col(textCol), lit(Ipv4Pattern), lit(0)))
         .cast("long").as("n_ips"))
+
+  /** `unicode_normalize(str, form)` as a Column (native codegen; see
+    * [[org.apache.spark.sql.graft.UnicodeNormalize]]).
+    */
+  def unicodeNormalize(c: Column, form: String): Column =
+    org.apache.spark.sql.graft.GraftColumnsBridge.of(
+      org.apache.spark.sql.graft.UnicodeNormalize(
+        org.apache.spark.sql.graft.GraftColumnsBridge.expr(c), form))
+
+  /** Canonical text normalization — the step BEFORE any exact/fuzzy dedup or
+    * tokenization, because byte-different renderings of the same text (NFC
+    * vs decomposed accents, stray control chars, whitespace runs, case) are
+    * the classic silent near-duplicate source:
+    * Unicode-normalize (`form`: NFC default; NFKC folds ligatures/widths
+    * too) → strip control characters → optional lowercase → collapse
+    * whitespace runs to one space → trim. Output: `idCol`, `text_norm`.
+    *
+    * Pure per-row projection (native normalize kernel + codegen'd
+    * `regexp_replace`), zero shuffle, scales with the scan. Both regexes
+    * use EXPLICIT character classes (not `\p{Cc}` / `\s`, whose ASCII-range
+    * membership differs between regex engines — tab/newline ARE category Cc,
+    * and Java's `\s` includes U+000B where RE2's doesn't): the strip class
+    * is the non-whitespace C0/C1 controls, the collapse class is the five
+    * ASCII whitespace controls + space — identical on any engine, the same
+    * Java∩RE2 discipline as [[scrubPii]].
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String,
+      form: String = "NFC", lowercase: Boolean = true): DataFrame = {
+    val normed = unicodeNormalize(col(textCol), form)
+    // C0/C1 controls minus the whitespace ones (U+0009–U+000D)
+    val stripped = regexp_replace(normed,
+      lit("[\\x00-\\x08\\x0E-\\x1F\\x7F-\\x9F]"), lit(""))
+    val cased = if (lowercase) lower(stripped) else stripped
+    df.select(col(idCol),
+      trim(regexp_replace(cased, lit("[ \\t\\n\\x0B\\f\\r]+"), lit(" ")))
+        .as("text_norm"))
+  }
+
+  /** TF-IDF keyword extraction: top-`k` terms per document by
+    * `tf · ln(N/df)` (raw term frequency × inverse document frequency),
+    * ties → lexicographically first term. Output: (idCol, rank, term).
+    *
+    * Scale shape: one token explode → one partial-aggregating (id, term)
+    * count → one term-keyed doc-frequency aggregation joined back on the
+    * term key (vocabulary-scale, bounded by distinct terms — never a
+    * corpus-row shuffle) → the corpus size N rides a 1-row broadcast →
+    * per-doc ranking via the bounded two-phase `top_k_by_score` aggregate
+    * (≤k rows per (doc, partition) cross the shuffle; no rank window).
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val terms = df.select(col(idCol), explode(toks(col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("weight", col("tf") * log(col("n_docs") / col("df")))
+      .groupBy(idCol)
+      .agg(Similarity.topKByScore(col("weight"), col("term"), k).as("_top"))
+      .select(col(idCol), posexplode(col("_top")))
+      .select(col(idCol), (col("pos") + 1).as("rank"),
+        col("col").getField("payload").as("term"))
+  }
 }

@@ -762,4 +762,57 @@ class OpsSpec extends AnyFunSuite {
     Seq(1L, 2L, 4L).foreach(i => assert(w(i) > w(3L),
       s"doc $i (${w(i)}) should outrank noise doc 3 (${w(3L)})"))
   }
+
+  test("text normalization: NFC composes accents, controls stripped, case+whitespace folded") {
+    // decomposed e + U+0301, a BEL control, tabs, runs of spaces
+    val df = docs(1L -> "  Café   DU\t\tMondeX  ")
+    val out = TextOps.normalizeText(df, "id", "text").collect()(0).getString(1)
+    assert(out == "café du mondex", s"got '$out'")
+    // NFC preserves the ﬁ ligature; NFKC folds it to "fi"
+    val lig = docs(2L -> "the ﬁnal word")
+    assert(TextOps.normalizeText(lig, "id", "text").collect()(0).getString(1)
+      == "the ﬁnal word")
+    assert(TextOps.normalizeText(lig, "id", "text", form = "NFKC")
+      .collect()(0).getString(1) == "the final word")
+    // idempotent: normalizing a normalized text is identity
+    val once = TextOps.normalizeText(df, "id", "text")
+      .select(col("id"), col("text_norm").as("text"))
+    assert(TextOps.normalizeText(once, "id", "text").collect()(0).getString(1)
+      == "café du mondex")
+  }
+
+  test("tf-idf keywords: corpus-wide terms weigh zero, doc-specific terms rank first") {
+    val df = docs(
+      1L -> "the the the zebra quark",
+      2L -> "the the photon photon muon",
+      3L -> "the gluon")
+    val top = TextOps.tfidfKeywords(df, "id", "text", k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // "the" appears in every doc → ln(3/3)=0, never outranks specific terms
+    // doc2: photon tf=2 beats muon tf=1
+    assert(top((2L, 1)) == "photon" && top((2L, 2)) == "muon")
+    assert(top((3L, 1)) == "gluon")
+    // doc1: quark/zebra tie at tf=1·ln(3) → lexicographic order
+    assert(top((1L, 1)) == "quark" && top((1L, 2)) == "zebra")
+  }
+
+  test("quality gate keeps exactly the top fraction; at-threshold ties survive") {
+    val df = spark.createDataFrame(
+      (1 to 100).map(i => Row(i.toLong, i.toDouble)).asJava,
+      StructType.fromDDL("id bigint, score double"))
+    val kept = Curate.qualityGate(df, col("score"), keepFraction = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    // exact p75 of 1..100 = 75.25 → keep 76..100
+    assert(kept == (76 to 100).map(_.toLong).toSet)
+    // ties at the threshold are all kept: constant scores keep everything
+    val flat = spark.createDataFrame(
+      (1 to 10).map(i => Row(i.toLong, 5.0)).asJava,
+      StructType.fromDDL("id bigint, score double"))
+    assert(Curate.qualityGate(flat, col("score"), 0.5).count() == 10)
+    // approx variant agrees on well-separated scores
+    val keptApprox = Curate.qualityGateApprox(df, col("score"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptApprox.size >= 24 && keptApprox.size <= 26 &&
+      keptApprox.forall(_ >= 74L), s"approx gate kept $keptApprox")
+  }
 }
