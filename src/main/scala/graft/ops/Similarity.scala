@@ -559,6 +559,27 @@ object Similarity {
     rankTopK(candidates, k)
   }
 
+  /** As [[pqTopK]] with neighbor metadata riding the top-k payload struct
+    * (see [[rankTopKMeta]]): `encoded` keeps its `metaCols`, and each hit
+    * returns them without any join back to the corpus — with PQ that
+    * matters twice, because the codes frame is the ONLY thing the scan
+    * reads. Output: (query_id, rank, neighbor_id, cos, metaCols*).
+    */
+  def pqTopKMeta(encoded: DataFrame, queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      metaCols: Seq[String] = Nil): DataFrame = {
+    val (q0, norms) = withQueryLuts(
+      queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv")),
+      codebook.withColumnRenamed(vecCol, "_bv"), "_bv")
+    val q = q0.select(col("query_id"), col("_dots"), col("_qnorm"))
+    val candidates = encoded
+      .select(col(idCol).as("neighbor_id") +: col("codes") +: metaCols.map(col): _*)
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", pqAdcScoreCol(col("codes"), col("_dots"), norms, col("_qnorm")))
+    rankTopKMeta(candidates, k, metaCols)
+  }
+
   /** IVF-PQ: the coarse inverted file prunes cells, PQ codes shrink what a
     * probed cell scans — composed exactly from [[ivfAssignN]] (map-only
     * cell assignment both sides) + [[pqEncode]] (map-only codes) +

@@ -111,6 +111,26 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pq top-k meta: neighbor metadata rides the payload struct, ranks unchanged") {
+    val corpus = vecs((0 until 30).map(i =>
+      i.toLong -> (0 until 8).map(j => math.cos((i % 3) * 2.0 + j) * 3 + i * 0.01)): _*)
+      .withColumn("label", (col("id") % 3).cast("int"))
+    val book = Similarity.pqTrain(corpus, "id", "v", m = 4, k = 4, iters = 1)
+    val enc = Similarity.pqEncode(corpus, book, "id", "v")
+    val queries = corpus.filter(col("id") < 2)
+    val bare = Similarity.pqTopK(enc, queries, book, "id", "v", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val meta = Similarity.pqTopKMeta(enc, queries, book, "id", "v", k = 3,
+      metaCols = Seq("label")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getInt(4)))).toMap
+    assert(meta.keySet == bare.keySet)
+    for ((k, nid) <- bare) {
+      val (mid, lbl) = meta(k)
+      assert(mid == nid, s"$k: meta neighbor $mid vs bare $nid")
+      assert(lbl == (nid % 3).toInt, s"$k: label $lbl for neighbor $nid")
+    }
+  }
+
   test("ivf-pq: probed-cell ADC search finds same-cell neighbors, never self, nprobe expands") {
     val corpus = vecs((0 until 60).map { i =>
       val c = i % 3
