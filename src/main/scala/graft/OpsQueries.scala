@@ -1125,6 +1125,50 @@ object OpsQueries {
              |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_norm
              |FROM corpus""".stripMargin)),
 
+    // sentence segmentation — the salt guarantees every doc carries a
+    // terminator run, an exclamation, a question mark, and an unterminated
+    // trailing fragment, so all four regex branches fire
+    "text_sentences" -> Q(
+      (s, d) => TextOps.sentences(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(". Extra one!! Second? trailing tail"))
+            .as("text")),
+        "doc_id", "text"),
+      Some("""WITH corpus AS (SELECT doc_id,
+             |    text || '. Extra one!! Second? trailing tail' AS text FROM documents)
+             |SELECT doc_id, sent_idx, sentence FROM (
+             |  SELECT doc_id,
+             |    unnest(range(len(regexp_extract_all(text, '[^.!?]+(?:[.!?]+|\z)')))) AS sent_idx,
+             |    trim(unnest(regexp_extract_all(text, '[^.!?]+(?:[.!?]+|\z)'))) AS sentence
+             |  FROM corpus)
+             |WHERE sentence <> ''""".stripMargin)),
+
+    // sentence-window chunking: groups of 3 consecutive sentences per doc,
+    // rebuilt in order via sorted in-group arrays (never a window on the
+    // engine side; the oracle states the same grouping with row_number)
+    "text_sentence_chunks" -> Q(
+      (s, d) => TextOps.chunkBySentences(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit(". Extra one!! Second? trailing tail"))
+            .as("text")),
+        "doc_id", "text", sentsPerChunk = 3),
+      Some("""WITH corpus AS (SELECT doc_id,
+             |    text || '. Extra one!! Second? trailing tail' AS text FROM documents),
+             |sents AS (
+             |  SELECT doc_id, sent_idx, sentence FROM (
+             |    SELECT doc_id,
+             |      unnest(range(len(regexp_extract_all(text, '[^.!?]+(?:[.!?]+|\z)')))) AS sent_idx,
+             |      trim(unnest(regexp_extract_all(text, '[^.!?]+(?:[.!?]+|\z)'))) AS sentence
+             |    FROM corpus)
+             |  WHERE sentence <> ''),
+             |ranked AS (SELECT doc_id, sentence,
+             |             row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx) - 1 AS rnk
+             |           FROM sents)
+             |SELECT doc_id, rnk // 3 AS chunk_idx,
+             |       string_agg(sentence, ' ' ORDER BY rnk) AS chunk,
+             |       count(*) AS n_sents
+             |FROM ranked GROUP BY doc_id, rnk // 3""".stripMargin)),
+
     // TF-IDF keyword extraction: top-5 terms per doc by tf·ln(N/df), ranked
     // by the bounded two-phase top-k aggregate (no rank window)
     "text_tfidf" -> Q(

@@ -410,6 +410,53 @@ object TextOps {
         .as("text_norm"))
   }
 
+  /** Sentence segmentation: one row per sentence, a sentence being a
+    * maximal run of non-terminator characters plus its `[.!?]+` terminator
+    * run (a trailing fragment without a terminator is a sentence too).
+    * Whitespace-only fragments are dropped; `sent_idx` keeps the
+    * pre-filter position so downstream windows stay aligned with the
+    * source. Output: (idCol, sent_idx, sentence).
+    *
+    * Map-only (one `regexp_extract_all` + posexplode per row). The pattern
+    * uses `\z`, not `$`: Java's `$` also matches before a FINAL newline
+    * where RE2's does not — the one Java∩RE2 divergence a trailing-newline
+    * document would hit.
+    */
+  private val SentencePattern = "[^.!?]+(?:[.!?]+|\\z)"
+
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(regexp_extract_all(col(textCol), lit(SentencePattern), lit(0))))
+      .select(col(idCol), col("pos").cast("long").as("sent_idx"),
+        trim(col("col")).as("sentence"))
+      .filter(col("sentence") =!= "")
+
+  /** Sentence-window chunking: consecutive groups of `sentsPerChunk`
+    * sentences per document, rebuilt in order — the long-document →
+    * training-sequence step at sentence granularity (vs
+    * [[graft.ops.Curate.chunkDocuments]]'s token windows, which can split
+    * mid-sentence). One segmentation pass + one id-keyed aggregation; the
+    * ordered rebuild is a sorted in-group array, never a window. Output:
+    * (idCol, chunk_idx, chunk, n_sents).
+    */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+      sentsPerChunk: Int): DataFrame = {
+    require(sentsPerChunk > 0, "need sentsPerChunk > 0")
+    // rank sentences AFTER the empty-fragment filter so chunks fill fully
+    sentences(df, idCol, textCol)
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("sent_idx"), col("sentence"))))
+        .as("_ordered"))
+      .select(col(idCol), posexplode(col("_ordered")))
+      .select(col(idCol), (col("pos") / sentsPerChunk).cast("long").as("chunk_idx"),
+        col("col").getField("sentence").as("sentence"), col("pos"))
+      .groupBy(idCol, "chunk_idx")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("sentence")))),
+          s => s.getField("sentence")), " ").as("chunk"),
+        count(lit(1)).as("n_sents"))
+  }
+
   /** TF-IDF keyword extraction: top-`k` terms per document by
     * `tf · ln(N/df)` (raw term frequency × inverse document frequency),
     * ties → lexicographically first term. Output: (idCol, rank, term).

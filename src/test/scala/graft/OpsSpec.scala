@@ -796,6 +796,24 @@ class OpsSpec extends AnyFunSuite {
     assert(top((1L, 1)) == "quark" && top((1L, 2)) == "zebra")
   }
 
+  test("sentence segmentation and sentence-window chunking keep order and boundaries") {
+    val df = docs(1L -> "First one. Second!! Third? Fourth. tail bit")
+    val sents = TextOps.sentences(df, "id", "text").collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(sents == Map(0L -> "First one.", 1L -> "Second!!", 2L -> "Third?",
+      3L -> "Fourth.", 4L -> "tail bit"))
+    val chunks = TextOps.chunkBySentences(df, "id", "text", sentsPerChunk = 2)
+      .collect().map(r => r.getLong(1) -> ((r.getString(2), r.getLong(3)))).toMap
+    assert(chunks == Map(
+      0L -> (("First one. Second!!", 2L)),
+      1L -> (("Third? Fourth.", 2L)),
+      2L -> (("tail bit", 1L))))
+    // terminator-only text yields nothing ("...!!" has no non-terminator
+    // char to anchor a match); whitespace-only fragments are dropped
+    assert(TextOps.sentences(docs(2L -> "...!!"), "id", "text").count() == 0)
+    assert(TextOps.sentences(docs(3L -> "   "), "id", "text").count() == 0)
+  }
+
   test("quality gate keeps exactly the top fraction; at-threshold ties survive") {
     val df = spark.createDataFrame(
       (1 to 100).map(i => Row(i.toLong, i.toDouble)).asJava,
