@@ -54,7 +54,10 @@ case class UnicodeNormalize(child: Expression, form: String)
     UnicodeNormalizeHelper.normalize(input.asInstanceOf[UTF8String], f)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val formRef = ctx.addReferenceObj("form", f, classOf[Normalizer.Form].getName)
+    // source-form type name: the binary name (java.text.Normalizer$Form)
+    // would make Janino reject the cast and silently drop the whole
+    // projection to interpreted eval
+    val formRef = ctx.addReferenceObj("form", f, "java.text.Normalizer.Form")
     nullSafeCodeGen(ctx, ev, s => s"""
       |${ev.value} = org.apache.spark.sql.graft.UnicodeNormalizeHelper.normalize($s, $formRef);
       |""".stripMargin)

@@ -196,4 +196,31 @@ class ExpressionSpec extends AnyFunSuite {
     assert(t.getSeq[Long](0) == Seq(6L, 13L, 20L))
     assert(t.getSeq[String](1) == Seq("t0", "t1", "t2"))
   }
+
+  test("unicode_normalize compiles codegen-only and composes/decomposes") {
+    // Guards the nested-enum reference: the binary type name
+    // (java.text.Normalizer$Form) would make Janino reject the generated
+    // cast and silently drop the projection to interpreted eval.
+    val conf = spark.conf
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    conf.set("spark.sql.codegen.fallback", "false")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import org.apache.spark.sql.functions.{col, length}
+      val df = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row("Café"),
+          org.apache.spark.sql.Row("é")),
+        org.apache.spark.sql.types.StructType.fromDDL("s string"))
+      val out = df.select(
+        graft.ops.TextOps.unicodeNormalize(col("s"), "NFC").as("c"),
+        length(graft.ops.TextOps.unicodeNormalize(col("s"), "NFD")).as("dlen"))
+        .collect()
+      assert(out(0).getString(0) == "Café" && out(0).getInt(1) == 5)
+      assert(out(1).getString(0) == "é" && out(1).getInt(1) == 2)
+    } finally {
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
 }
