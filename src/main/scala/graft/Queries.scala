@@ -420,8 +420,9 @@ object Queries {
 
   /** Beyond-reference streaming extension (SURVEY T8 notes the reference has
     * no event-time windows; Structured Streaming gives them for free): the
-    * batch form of a tumbling event-time window. `ts` reads as raw ns longs
-    * (nanosAsLong), so the hour bucket is integer division — engine-exact.
+    * batch form of a tumbling event-time window. `ts` arrives as raw epoch-ns
+    * longs via [[eventsNs]] (whichever physical type the parquet carries),
+    * so the hour bucket is integer division — engine-exact.
     */
   val extensions: Map[String, Q] = Map(
     "q33_time_window" -> Q(

@@ -348,16 +348,19 @@ object Curate {
     * but for 100 TB-scale row counts use [[qualityGateApprox]], which
     * trades the reproducible threshold for bounded memory.
     */
-  def qualityGate(df: DataFrame, scoreCol: Column,
-      keepFraction: Double): DataFrame = {
+  private def gateAbove(df: DataFrame, scoreCol: Column, name: String,
+      keepFraction: Double, threshold: Column): DataFrame = {
     require(keepFraction > 0.0 && keepFraction <= 1.0,
-      s"qualityGate: keepFraction must be in (0, 1], got $keepFraction")
-    val thr = df.agg(
-      percentile(scoreCol, lit(1.0 - keepFraction)).as("_thr"))
-    df.crossJoin(broadcast(thr))
+      s"$name: keepFraction must be in (0, 1], got $keepFraction")
+    df.crossJoin(broadcast(df.agg(threshold.as("_thr"))))
       .filter(scoreCol >= col("_thr"))
       .drop("_thr")
   }
+
+  def qualityGate(df: DataFrame, scoreCol: Column,
+      keepFraction: Double): DataFrame =
+    gateAbove(df, scoreCol, "qualityGate", keepFraction,
+      percentile(scoreCol, lit(1.0 - keepFraction)))
 
   /** As [[qualityGate]] with a bounded-memory approximate threshold
     * (`approx_percentile`, `accuracy` controls the error bound) — the
@@ -366,13 +369,7 @@ object Curate {
     * so this variant is spec-checked rather than oracle-hashed.
     */
   def qualityGateApprox(df: DataFrame, scoreCol: Column, keepFraction: Double,
-      accuracy: Int = 10000): DataFrame = {
-    require(keepFraction > 0.0 && keepFraction <= 1.0,
-      s"qualityGateApprox: keepFraction must be in (0, 1], got $keepFraction")
-    val thr = df.agg(approx_percentile(scoreCol,
-      lit(1.0 - keepFraction), lit(accuracy)).as("_thr"))
-    df.crossJoin(broadcast(thr))
-      .filter(scoreCol >= col("_thr"))
-      .drop("_thr")
-  }
+      accuracy: Int = 10000): DataFrame =
+    gateAbove(df, scoreCol, "qualityGateApprox", keepFraction,
+      approx_percentile(scoreCol, lit(1.0 - keepFraction), lit(accuracy)))
 }

@@ -412,24 +412,31 @@ object Similarity {
     * are DENSE 0..k-1 in seed order (the k-row rank window is
     * metadata-scale), so codes index LUT arrays directly. A centroid whose
     * cell empties drops out (codes stay dense-valid; its LUT slot is simply
-    * never produced). Vector length must be divisible by `m` (asserted
-    * per-row). Output: (sub, centroid_id, `vecCol`).
+    * never produced). Every vector must match the corpus dimensionality
+    * (taken from the first seed; divisible by `m`) — asserted per-row, so a
+    * ragged corpus errors instead of silently shrinking the training set.
+    * Output: (sub, centroid_id, `vecCol`).
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
       iters: Int, seedByHash: Boolean = false, roundDigits: Int = -1): DataFrame = {
     require(m >= 1 && k >= 1 && iters >= 0,
       "pqTrain needs m >= 1, k >= 1, iters >= 0")
-    val pts = corpus.select(col(idCol).as("_pid"),
+    val pts0 = corpus.select(col(idCol).as("_pid"),
       transform(col(vecCol), x => x.cast("double")).as("_pv"))
-      .filter(assert_true(pmod(size(col("_pv")), lit(m)) === 0,
-        lit(s"pqTrain: vector length not divisible by m=$m")).isNull)
     val seedOrder =
       if (seedByHash) Seq(md5(col("_pid").cast("string")), col("_pid"))
       else Seq(col("_pid"))
     // the k seed rows are metadata-scale: slice them driver-side (same
     // contract as the centroid collects) — dense cid = seed rank, no window
-    val seedRows = pts.orderBy(seedOrder: _*).limit(k).collect()
+    val seedRows = pts0.orderBy(seedOrder: _*).limit(k).collect()
     require(seedRows.nonEmpty, "pqTrain: empty corpus")
+    // EVERY row must match the seed dimensionality, not merely be divisible
+    // by m — a divisible-but-shorter vector would otherwise encode as null
+    // codes and silently vanish from training
+    val dim = seedRows.head.getSeq[Double](1).length
+    require(dim % m == 0, s"pqTrain: vector length $dim not divisible by m=$m")
+    val pts = pts0.filter(assert_true(size(col("_pv")) === dim,
+      lit(s"pqTrain: vector length differs from the corpus dimensionality $dim")).isNull)
     val bookSchema = StructType(Seq(
       StructField("sub", org.apache.spark.sql.types.IntegerType, nullable = false),
       StructField("centroid_id", org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -437,9 +444,9 @@ object Similarity {
         containsNull = false), nullable = false)))
     val bookRows: Seq[Row] = seedRows.toSeq.zipWithIndex.flatMap { case (r, cid) =>
       val v = r.getSeq[Double](1)
-      require(v.length % m == 0,
-        s"pqTrain: seed vector length ${v.length} not divisible by m=$m")
-      val sl = v.length / m
+      require(v.length == dim,
+        s"pqTrain: seed vector length ${v.length} differs from dimensionality $dim")
+      val sl = dim / m
       (0 until m).map(s => Row(s, cid, v.slice(s * sl, (s + 1) * sl)))
     }
     var books = corpus.sparkSession.createDataFrame(bookRows.asJava, bookSchema)
@@ -525,6 +532,12 @@ object Similarity {
     val planes = Array.tabulate(m)(s =>
       Array.fill(maxCid(s))(Seq.fill(subLen(s))(0.0)))
     rows.foreach(r => planes(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2))
+    // a mismatched query vector would misslice into null LUT entries and
+    // silently VANISH from the ranked output (null scores rank nowhere) —
+    // error loudly instead, mirroring pqTrain's per-row dimensionality check
+    val totalLen = subLen.sum
+    val checked = queries.filter(assert_true(size(col("qv")) === totalLen,
+      lit(s"pqTopK: query vector length differs from codebook total $totalLen")).isNull)
     // norms are query-independent: computed once, left-to-right like the
     // oracle's list_sum — shipped as one literal
     val norms = typedlit(planes.toSeq.map(_.toSeq.map(
@@ -536,7 +549,24 @@ object Similarity {
         aggregate(zip_with(slice(col("qv"), s * sl + 1, sl), c,
           (a, bb) => a * bb), lit(0.0), (acc, x) => acc + x)))
     val qnorm = sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x))
-    (queries.withColumn("_dots", dots).withColumn("_qnorm", qnorm), norms)
+    (checked.withColumn("_dots", dots).withColumn("_qnorm", qnorm), norms)
+  }
+
+  /** Scored ADC candidate frame shared by the pqTopK variants (the
+    * bruteCandidates/ivfCandidates pattern): LUT-augmented broadcast
+    * queries × the codes frame, self-match excluded, `metaCols` carried.
+    */
+  private def pqCandidates(encoded: DataFrame, queries: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String,
+      metaCols: Seq[String]): DataFrame = {
+    val (q0, norms) = withQueryLuts(
+      queries.select(col(idCol).as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("qv")),
+      codebook.withColumnRenamed(vecCol, "_bv"), "_bv")
+    val q = q0.select(col("query_id"), col("_dots"), col("_qnorm"))
+    encoded.select(col(idCol).as("neighbor_id") +: col("codes") +: metaCols.map(col): _*)
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", pqAdcScoreCol(col("codes"), col("_dots"), norms, col("_qnorm")))
   }
 
   /** ADC top-k search over an ENCODED corpus: rank by the asymmetric cosine
@@ -547,17 +577,8 @@ object Similarity {
     * excluded by id. Output: (query_id, rank, neighbor_id).
     */
   def pqTopK(encoded: DataFrame, queries: DataFrame, codebook: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val (q0, norms) = withQueryLuts(
-      queries.select(col(idCol).as("query_id"),
-        transform(col(vecCol), x => x.cast("double")).as("qv")),
-      codebook.withColumnRenamed(vecCol, "_bv"), "_bv")
-    val q = q0.select(col("query_id"), col("_dots"), col("_qnorm"))
-    val candidates = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", pqAdcScoreCol(col("codes"), col("_dots"), norms, col("_qnorm")))
-    rankTopK(candidates, k)
-  }
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    rankTopK(pqCandidates(encoded, queries, codebook, idCol, vecCol, Nil), k)
 
   /** As [[pqTopK]] with neighbor metadata riding the top-k payload struct
     * (see [[rankTopKMeta]]): `encoded` keeps its `metaCols`, and each hit
@@ -567,18 +588,9 @@ object Similarity {
     */
   def pqTopKMeta(encoded: DataFrame, queries: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      metaCols: Seq[String] = Nil): DataFrame = {
-    val (q0, norms) = withQueryLuts(
-      queries.select(col(idCol).as("query_id"),
-        transform(col(vecCol), x => x.cast("double")).as("qv")),
-      codebook.withColumnRenamed(vecCol, "_bv"), "_bv")
-    val q = q0.select(col("query_id"), col("_dots"), col("_qnorm"))
-    val candidates = encoded
-      .select(col(idCol).as("neighbor_id") +: col("codes") +: metaCols.map(col): _*)
-      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", pqAdcScoreCol(col("codes"), col("_dots"), norms, col("_qnorm")))
-    rankTopKMeta(candidates, k, metaCols)
-  }
+      metaCols: Seq[String] = Nil): DataFrame =
+    rankTopKMeta(pqCandidates(encoded, queries, codebook, idCol, vecCol, metaCols),
+      k, metaCols)
 
   /** IVF-PQ: the coarse inverted file prunes cells, PQ codes shrink what a
     * probed cell scans — composed exactly from [[ivfAssignN]] (map-only

@@ -40,15 +40,12 @@ object PqScale {
     }
     val bookRows = book.count()
 
-    val (_, tEncode) = timed {
-      Similarity.pqEncode(corpus, book, "vec_id", "v")
-        .select("vec_id", "codes")
-        .write.mode("overwrite").format("noop").save()
-    }
-
+    // one encode pass: the timed materialization doubles as the search
+    // stage's cached input (timing includes the persist write — the honest
+    // cost of producing a reusable codes frame)
     val encoded = Similarity.pqEncode(corpus, book, "vec_id", "v")
       .select("vec_id", "codes").persist()
-    encoded.count()
+    val (_, tEncode) = timed { encoded.count() }
     val queries = base.filter(col("vec_id") < 16)
     val (hits, tSearch) = timed {
       Similarity.pqTopK(encoded, queries, book, "vec_id", "v", k = 10).count()

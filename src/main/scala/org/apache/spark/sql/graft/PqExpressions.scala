@@ -41,7 +41,6 @@ object PqExpressions {
   final class Books(val m: Int, val subLens: Array[Int],
       val planes: Array[Array[Array[Double]]]) {
     val totalLen: Int = subLens.sum
-    /** fingerprint guard data: per (sub, cid) plane length + first element */
   }
 }
 
