@@ -268,6 +268,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected partial top-k BELOW the exchange in:\n$plan")
   }
 
+  test("tf-idf ranks with the bounded top-k aggregate — no rank window, partial below the doc exchange") {
+    import graft.ops.TextOps
+    val df = TextOps.tfidfKeywords(corpus, "id", "text", k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"expected window-free tf-idf plan:\n$plan")
+    assert(plan.contains("partial_top_k_by_score"),
+      s"expected a partial top-k aggregate in:\n$plan")
+    // the 1-row corpus-size frame must broadcast, never cartesian-shuffle
+    assert(!plan.contains("CartesianProduct"),
+      s"N must ride a broadcast, not a cartesian product:\n$plan")
+  }
+
   test("DSIR doc scoring joins the log-ratio table by broadcast — corpus rows never shuffle for a join") {
     import graft.ops.Curate
     val df = Curate.importanceWeights(corpus, corpus.filter(col("id") % 3 === 0),
