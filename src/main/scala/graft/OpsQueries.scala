@@ -837,6 +837,44 @@ object OpsQueries {
            |  FROM ppairs)
            |WHERE rank <= 3""".stripMargin)),
 
+    // ADC top-k with label metadata riding the payload struct — with PQ
+    // the no-corpus-re-join property matters twice, since the codes frame
+    // is the only thing the scan reads
+    "sim_pq_topk_meta" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val book = Similarity.pqTrain(base, "vec_id", "v",
+          m = 2, k = 4, iters = 1, roundDigits = 9)
+        val enc = Similarity.pqEncode(base, book, "vec_id", "v")
+        Similarity.pqTopKMeta(enc, base.filter(col("vec_id") < 5), book,
+          "vec_id", "v", k = 3, metaCols = Seq("label"))
+          .select("query_id", "rank", "neighbor_id", "label")
+      },
+      Some(embBaseSql + ", " + pqTrainSql(k = 4) + ", " + pqEncodeSql +
+        s""", recon AS (
+           |  SELECT e.vec_id, flatten(list(c.cv ORDER BY c.sub)) AS vhat
+           |  FROM ecodes e JOIN pcents c ON c.sub = e.sub AND c.cid = e.cid
+           |  GROUP BY e.vec_id),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5),
+           |ppairs AS (
+           |  SELECT q.query_id, r.vec_id AS neighbor_id, b.label,
+           |    list_sum(list_transform(range(2), s ->
+           |      list_sum(list_transform(list_zip(list_slice(q.qv, s*32+1, (s+1)*32),
+           |                                       list_slice(r.vhat, s*32+1, (s+1)*32)),
+           |               p -> p[1]*p[2]))))
+           |    / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+           |       * sqrt(list_sum(list_transform(range(2), s ->
+           |           list_sum(list_transform(list_slice(r.vhat, s*32+1, (s+1)*32),
+           |                    x -> x*x))))))
+           |    AS cos
+           |  FROM q JOIN recon r ON r.vec_id <> q.query_id
+           |  JOIN base b ON b.vec_id = r.vec_id)
+           |SELECT query_id, rank, neighbor_id, label FROM (
+           |  SELECT query_id, neighbor_id, label,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ppairs)
+           |WHERE rank <= 3""".stripMargin)),
+
     // IVF-PQ end-to-end: coarse cells from one in-engine Lloyd round
     // (cosine assignment, as sim_ivf_kmeans_e2e), PQ codes from one
     // joint-L2 round, queries scored by ADC cosine WITHIN their probed
