@@ -1163,6 +1163,26 @@ object OpsQueries {
              |    '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text_norm
              |FROM corpus""".stripMargin)),
 
+    // paragraph segmentation — the salt appends a blank-line-separated
+    // tail (incl. a whitespace-bearing blank line and a trailing
+    // whitespace-only paragraph, which must drop) to every doc
+    "text_paragraphs" -> Q(
+      (s, d) => TextOps.paragraphs(
+        Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(col("text"), lit("\n\nSecond para\n \nThird para\n\n  "))
+            .as("text")),
+        "doc_id", "text"),
+      Some("""WITH corpus AS (SELECT doc_id,
+             |    text || chr(10) || chr(10) || 'Second para' || chr(10) || ' ' ||
+             |    chr(10) || 'Third para' || chr(10) || chr(10) || '  ' AS text
+             |  FROM documents)
+             |SELECT doc_id, par_idx, paragraph FROM (
+             |  SELECT doc_id,
+             |    unnest(range(len(string_split_regex(text, '\n[ \t]*\n+')))) AS par_idx,
+             |    trim(unnest(string_split_regex(text, '\n[ \t]*\n+'))) AS paragraph
+             |  FROM corpus)
+             |WHERE paragraph <> ''""".stripMargin)),
+
     // sentence segmentation — the salt guarantees every doc carries a
     // terminator run, an exclamation, a question mark, and an unterminated
     // trailing fragment, so all four regex branches fire

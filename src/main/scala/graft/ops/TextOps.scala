@@ -431,6 +431,20 @@ object TextOps {
         trim(col("col")).as("sentence"))
       .filter(col("sentence") =!= "")
 
+  /** Paragraph segmentation: split on blank-line runs (one-or-more newlines
+    * separated by optional horizontal whitespace — the CCNet-style unit for
+    * per-paragraph dedup/quality scoring before chunking). Whitespace-only
+    * paragraphs are dropped; `par_idx` keeps the pre-filter position.
+    * Output: (idCol, par_idx, paragraph). Map-only, one split + posexplode
+    * per row; the pattern stays in the Java∩RE2 subset.
+    */
+  def paragraphs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(split(col(textCol), "\\n[ \\t]*\\n+")))
+      .select(col(idCol), col("pos").cast("long").as("par_idx"),
+        trim(col("col")).as("paragraph"))
+      .filter(col("paragraph") =!= "")
+
   /** Sentence-window chunking: consecutive groups of `sentsPerChunk`
     * sentences per document, rebuilt in order — the long-document →
     * training-sequence step at sentence granularity (vs

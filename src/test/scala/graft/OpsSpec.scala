@@ -814,6 +814,15 @@ class OpsSpec extends AnyFunSuite {
     assert(TextOps.sentences(docs(3L -> "   "), "id", "text").count() == 0)
   }
 
+  test("paragraph segmentation: blank-line runs split, single newlines stay inside") {
+    val df = docs(1L -> "First para line a\nline b\n\nSecond\n \t\nThird\n\n   ")
+    val out = TextOps.paragraphs(df, "id", "text").collect()
+      .map(r => r.getLong(1) -> r.getString(2)).toMap
+    // single \n stays inside a paragraph; blank lines (even with horizontal
+    // whitespace) split; the trailing whitespace-only paragraph drops
+    assert(out == Map(0L -> "First para line a\nline b", 1L -> "Second", 2L -> "Third"))
+  }
+
   test("quality gate keeps exactly the top fraction; at-threshold ties survive") {
     val df = spark.createDataFrame(
       (1 to 100).map(i => Row(i.toLong, i.toDouble)).asJava,
