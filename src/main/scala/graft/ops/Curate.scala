@@ -348,6 +348,30 @@ object Curate {
     * but for 100 TB-scale row counts use [[qualityGateApprox]], which
     * trades the reproducible threshold for bounded memory.
     */
+  /** Deterministic training-shard assignment + export — the hand-off step
+    * after dedup/filter/mix/pack: every row lands in
+    * `shard = md5(key‖salt) mod numShards` (the same portable-hash space as
+    * [[hashSample]]/[[assignSplits]], so a re-run, a different cluster, or
+    * a different engine produces byte-identical shard membership), rows
+    * sort by their hash within each shard (reproducible file order), and
+    * each shard writes as exactly one parquet file under
+    * `outDir/shard=N/`. One hash-partitioned shuffle + a within-partition
+    * sort — no global sort, no driver collection; shard count bounds the
+    * write parallelism exactly.
+    */
+  def writeShards(df: DataFrame, keyCol: Column, outDir: String,
+      numShards: Int, salt: String = ""): Unit = {
+    require(numShards >= 1, s"writeShards: numShards must be >= 1, got $numShards")
+    val hash = md5Key(keyCol, salt)
+    df.withColumn("_h", hash)
+      .withColumn("shard", pmod(conv(substring(col("_h"), 1, 8), 16, 10)
+        .cast("long"), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "_h")
+      .drop("_h")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   private def gateAbove(df: DataFrame, scoreCol: Column, name: String,
       keepFraction: Double, threshold: Column): DataFrame = {
     require(keepFraction > 0.0 && keepFraction <= 1.0,

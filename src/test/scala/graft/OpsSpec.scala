@@ -823,6 +823,31 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(0L -> "First para line a\nline b", 1L -> "Second", 2L -> "Third"))
   }
 
+  test("training-shard export: deterministic membership, exhaustive, one file per shard") {
+    val df = spark.createDataFrame(
+      (1 to 300).map(i => Row(i.toLong, s"doc $i")).asJava,
+      StructType.fromDDL("id bigint, text string"))
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Curate.writeShards(df, col("id"), out, numShards = 4)
+    val back = spark.read.parquet(out)
+    // exhaustive and disjoint: every input row comes back exactly once
+    assert(back.count() == 300)
+    assert(back.select("id").distinct().count() == 300)
+    // membership matches the portable-hash formula (re-run = same shards)
+    val expected = df.select(col("id"),
+      pmod(conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(4L)).cast("int").as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    back.select("id", "shard").collect()
+      .foreach(r => assert(r.getInt(1) == expected(r.getLong(0))))
+    // exactly one parquet file per shard directory
+    for (s <- 0 until 4) {
+      val files = new java.io.File(s"$out/shard=$s").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s has ${files.length} files")
+    }
+  }
+
   test("quality gate keeps exactly the top fraction; at-threshold ties survive") {
     val df = spark.createDataFrame(
       (1 to 100).map(i => Row(i.toLong, i.toDouble)).asJava,
