@@ -503,6 +503,44 @@ object OpsQueries {
           |SELECT c.id, c.text FROM corpus c JOIN canon ON c.id = canon.id
           |WHERE canon.canonical = c.id""".stripMargin)),
 
+    // the 100 TB corpus-dedup composition end-to-end (dedupCorpusLsh): LSH
+    // candidate generation → exact-Jaccard verify on candidates only →
+    // connected components (recursive closure) → keep min-id per cluster.
+    // The oracle mirrors the md5-minhash/banded candidate generation
+    // EXACTLY (same CTEs as the green dedup_lsh_jaccard), so candidate-set
+    // equality is structural — recall needs no probabilistic argument and
+    // the row survives testdata regeneration.
+    "dedup_corpus_clean_lsh" -> Q(
+      (s, d) => Dedup.dedupCorpusLsh(textCorpus(s, d), "id", "text",
+        n = 3, numPerms = 16, bands = 4, threshold = 0.5),
+      Some("WITH RECURSIVE " + textCorpusSql.stripPrefix("WITH ") + "," + shinglesSql +
+        """, perms AS (SELECT id, sh, unnest(range(16)) AS p FROM sh0),
+          |mh AS (SELECT id, p, min(md5(concat(p, '|', sh))) AS mv FROM perms GROUP BY 1, 2),
+          |bands AS (SELECT id, p // 4 AS band, md5(string_agg(mv, ',' ORDER BY p)) AS bk
+          |          FROM mh GROUP BY 1, 2),
+          |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2
+          |         FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+          |sizes AS (SELECT id, count(*) AS sz FROM sh0 GROUP BY id),
+          |inters AS (SELECT c.d1, c.d2, count(*) AS inter
+          |           FROM cand c JOIN sh0 a ON a.id = c.d1
+          |                       JOIN sh0 b ON b.id = c.d2 AND b.sh = a.sh
+          |           GROUP BY 1, 2),
+          |pairsj AS (SELECT d1, d2 FROM (
+          |  SELECT cand.d1 AS d1, cand.d2 AS d2,
+          |         coalesce(inter, 0) * 1.0 / (s1.sz + s2.sz - coalesce(inter, 0)) AS jaccard
+          |  FROM cand LEFT JOIN inters USING (d1, d2)
+          |  JOIN sizes s1 ON cand.d1 = s1.id JOIN sizes s2 ON cand.d2 = s2.id)
+          |  WHERE jaccard >= 0.5),
+          |sym AS (SELECT d1 AS a, d2 AS b FROM pairsj
+          |        UNION ALL SELECT d2 AS a, d1 AS b FROM pairsj),
+          |reach AS (
+          |  SELECT id, id AS r FROM corpus
+          |  UNION
+          |  SELECT s.b AS id, reach.r AS r FROM reach JOIN sym s ON s.a = reach.id),
+          |canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+          |SELECT c.id, c.text FROM corpus c JOIN canon ON c.id = canon.id
+          |WHERE canon.canonical = c.id""".stripMargin)),
+
     // ---------------- similarity search ----------------
 
     "sim_topk_brute" -> Q(
@@ -1052,20 +1090,23 @@ object OpsQueries {
         Dedup.removeRepeatedLines(salted, "doc_id", "text", minCount = 10)
           .withColumnRenamed("id", "doc_id")
       },
+      // oracle idiom note: deliberately plain list functions (list_filter
+      // preserves input order, so no positions / recursive unnest / ordered
+      // string_agg are needed) — the r8 driver flap pointed at the
+      // DuckDB-version-sensitive recursive-unnest formulation
       Some("""WITH corpus AS (SELECT doc_id,
              |  CASE WHEN doc_id % 6 = 0 THEN 'Subscribe to our newsletter today' || chr(10)
              |       ELSE '' END || text AS text FROM documents),
              |w AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
-             |l AS (SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
-             |    i -> {'pos': i, 'line': ls[i]}), recursive := true) FROM w),
-             |c AS (SELECT line, count(*) AS n FROM l GROUP BY line),
-             |f AS (SELECT doc_id, pos, l.line, c.n < 10 AS keep FROM l JOIN c USING (line))
-             |SELECT doc_id,
-             |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
-             |    AS text_clean,
-             |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-             |  sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dropped
-             |FROM f GROUP BY doc_id""".stripMargin)),
+             |c AS (SELECT line FROM (SELECT unnest(ls) AS line FROM w)
+             |      GROUP BY line HAVING count(*) >= 10),
+             |freq AS (SELECT CAST(coalesce(list(line), []) AS VARCHAR[]) AS fl FROM c),
+             |k AS (SELECT doc_id, ls, list_filter(ls, x -> NOT list_contains(fl, x)) AS kept
+             |      FROM w CROSS JOIN freq)
+             |SELECT doc_id, array_to_string(kept, chr(10)) AS text_clean,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped
+             |FROM k""".stripMargin)),
 
     // Real BPE tokenization: learn 12 merges from the corpus (deterministic
     // — lexicographic tiebreaks), encode every doc by rank priority. The
@@ -1080,6 +1121,52 @@ object OpsQueries {
           .select(col("doc_id"), col("n_bpe_tokens"))
       },
       None),
+
+    // BPE encode against a FIXED literal merge table (th < er < in by
+    // rank). The pairs are single characters and their merged tokens never
+    // appear in another table pair, so the greedy lowest-rank-first loop
+    // reduces EXACTLY to sequential leftmost-nonoverlapping replacement in
+    // rank order (later merges can destroy but never create single-char
+    // adjacencies) — which gives the UDF encode path a hash-checked oracle.
+    // The iterative learn loop itself stays spec-pinned (OpsSpec's textbook
+    // merge sequence) plus text_bpe_first_merge below.
+    "text_bpe_encode_fixed" -> Q(
+      (s, d) => TextOps.bpeEncode(
+        Tables.load(s, d, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq(("t", "h"), ("e", "r"), ("i", "n")))
+        .select(col("doc_id"), col("n_bpe_tokens")),
+      Some("""WITH w AS (SELECT doc_id,
+             |  unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             |                     x -> len(x) > 0)) AS w FROM documents),
+             |m AS (SELECT doc_id,
+             |  len(replace(replace(replace(w, 'th', chr(1)), 'er', chr(2)),
+             |      'in', chr(3))) AS n FROM w),
+             |t AS (SELECT doc_id, sum(n) AS n FROM m GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_bpe_tokens
+             |FROM documents d LEFT JOIN t USING (doc_id)""".stripMargin)),
+
+    // the learn loop's first iteration end-to-end (distributed word-count
+    // aggregation + driver pair count + argmax with lexicographic
+    // tiebreak): hash-checked against a full SQL recomputation. Top-count
+    // ties among non-ASCII pairs could in principle order differently
+    // (UTF-16 vs UTF-8 collation) — the argmax pair of a natural corpus is
+    // ASCII, so the tiebreak comparison space is collation-identical.
+    "text_bpe_first_merge" -> Q(
+      (s, d) => {
+        val merges = TextOps.bpeLearn(
+          Tables.load(s, d, "documents").select(col("text")), "text", numMerges = 1)
+        import s.implicits._
+        merges.toDF("a", "b")
+      },
+      Some("""WITH w0 AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+             |  FROM documents),
+             |v AS (SELECT w, count(*) AS f FROM w0 WHERE len(w) > 0 GROUP BY w),
+             |p AS (SELECT substr(w, CAST(i AS INT), 1) AS a,
+             |             substr(w, CAST(i AS INT) + 1, 1) AS b, f
+             |      FROM (SELECT w, f, unnest(range(1, len(w))) AS i FROM v
+             |            WHERE len(w) >= 2)),
+             |c AS (SELECT a, b, sum(f) AS cnt FROM p GROUP BY a, b)
+             |SELECT a, b FROM c ORDER BY cnt DESC, a, b LIMIT 1""".stripMargin)),
 
     // Gopher heuristic filter (Rae et al. 2021 A1.1 + C4 line rules). Docs
     // with doc_id % 7 get bullet/ellipsis lines appended so the line-shape
@@ -1482,12 +1569,17 @@ object OpsQueries {
            |  FROM documents WHERE doc_id % 5 = 0),
            |tf AS (SELECT ${bucket("tok")} AS bucket, count(*) AS ct FROM tt0 GROUP BY 1),
            |tot AS (SELECT (SELECT sum(cr) FROM rf) AS totr, (SELECT sum(ct) FROM tf) AS tott),
+           |-- round to 12 decimals THEN cast to DECIMAL: ln() agrees across
+           |-- libms to ~1 ulp (1e-15), far inside the 0.5e-12 round window,
+           |-- and the exact-decimal product/sum is associative, so neither
+           |-- partial-agg order nor libm build can flip the final rounding
            |lr AS (SELECT rf.bucket,
+           |  CAST(round(
            |    ln((coalesce(tf.ct, 0) + 1.0) / (tott + 1.0 * 4096))
-           |  - ln((rf.cr + 1.0) / (totr + 1.0 * 4096)) AS lr
+           |  - ln((rf.cr + 1.0) / (totr + 1.0 * 4096)), 12) AS DECIMAL(18,12)) AS lr
            |  FROM rf LEFT JOIN tf ON rf.bucket = tf.bucket CROSS JOIN tot)
            |SELECT db.id AS doc_id, sum(db.c) AS n_tokens,
-           |  round(sum(db.c * lr.lr), 4) AS log_weight
+           |  CAST(round(sum(CAST(db.c AS DECIMAL(10,0)) * lr.lr), 4) AS DOUBLE) AS log_weight
            |FROM db JOIN lr ON db.bucket = lr.bucket GROUP BY db.id""".stripMargin
       }),
 

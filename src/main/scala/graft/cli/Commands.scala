@@ -77,6 +77,28 @@ object Commands {
     org.apache.spark.sql.graft.ArrowBridge.toIpcStream(ordered)
   }
 
+  /** `consume -f parquet`: the same record stream as [[consume]], as the
+    * bytes of ONE parquet file (the engine's own pool/storage format, so
+    * the typed schema round-trips exactly and any parquet reader — Spark,
+    * DuckDB, pyarrow — opens the output directly). The single-file coalesce
+    * is deliberate: a CLI consume is batch-sized by contract, like the
+    * ZNG/Arrow byte-stream siblings.
+    */
+  def consumeParquet(pool: Pool, topic: Option[String] = None,
+      fromOffset: Long = 0L): Array[Byte] = {
+    val base = pool.read()
+    val scoped = topic.map(t => base.filter(col("kafka.topic") === t)).getOrElse(base)
+    val ordered = scoped.filter(col("kafka.offset") >= fromOffset)
+      .orderBy(col("kafka.topic"), col("kafka.offset"))
+    val dir = graft.TempDirs.create("graft-consume-parquet-")
+    ordered.coalesce(1).write.mode("overwrite").parquet(dir)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet part written in $dir"))
+    java.nio.file.Files.readAllBytes(part)
+  }
+
   /** `produce`: load a file of records into a pool as enveloped values
     * (cmd/zync/produce/command.go:72-81).
     *
@@ -244,8 +266,8 @@ object Commands {
     */
   def main(args: Array[String]): Unit = args.toList match {
     case "consume" :: path :: rest =>
-      // [-f json|zson|zjson|csv|tsv|text|table|line|zeek|zng] [topic]
-      // [fromOffset] — the reference's
+      // [-f json|zson|zjson|csv|tsv|text|table|line|zeek|zng|arrow|parquet]
+      // [topic] [fromOffset] — the reference's
       // -f/-offset flags (consume/command.go:57-107)
       val spark = GraftSession.get()
       val (format, positional) = rest match {
@@ -253,10 +275,14 @@ object Commands {
         case _                 => ("json", rest)
       }
       val fromOffset = positional.lift(1).map(_.toLong).getOrElse(0L)
-      if (format == "zng") {
+      if (format == "zng" || format == "arrow" || format == "parquet") {
         // binary stream → raw stdout, like `zed -f zng` to a pipe
-        System.out.write(consumeZng(Pool.open(spark, path),
-          positional.headOption, fromOffset))
+        val bytes = format match {
+          case "zng" => consumeZng(Pool.open(spark, path), positional.headOption, fromOffset)
+          case "arrow" => consumeArrow(Pool.open(spark, path), positional.headOption, fromOffset)
+          case _ => consumeParquet(Pool.open(spark, path), positional.headOption, fromOffset)
+        }
+        System.out.write(bytes)
         System.out.flush()
       } else
         consume(Pool.open(spark, path), positional.headOption, fromOffset, format)

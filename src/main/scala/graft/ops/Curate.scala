@@ -298,8 +298,13 @@ object Curate {
     * `log_weight` (compose with [[capPerGroupBounded]] or a threshold from
     * one profiling pass).
     *
-    * Output: (id, n_tokens, log_weight) — log_weight rounded to 1e-4 so
-    * float summation order never shows in results.
+    * Output: (id, n_tokens, log_weight) — log_weight rounded to 1e-4.
+    * Reproducibility: the per-bucket log-ratio is rounded to 12 decimals
+    * (double `ln` agrees across libms to ~1 ulp ≈ 1e-15, far inside the
+    * 0.5e-12 rounding window) and then carried as DECIMAL so the per-doc
+    * sum is EXACT and associative — partial-aggregation order, libm build,
+    * and engine can't flip the 4-decimal final rounding (the same
+    * exact-decimal trick as the k-means "exact decimal means").
     *
     * Scale shape: both "model fits" ARE aggregations — one bucket-count agg
     * per corpus (map-side combinable, ≤ `buckets` rows out); the per-doc
@@ -327,27 +332,21 @@ object Curate {
       .join(targetFit, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
-        (log((coalesce(col("ct"), lit(0L)) + k) / (col("tott") + kB))
-          - log((col("cr") + k) / (col("totr") + kB))).as("lr"))
+        // round → cast: the rounded double sits within 1 ulp of a 12-decimal
+        // value, so the decimal cast is an exact conversion on any engine
+        // regardless of its cast rounding mode. |lr| < 50 fits DECIMAL(18,12).
+        round(log((coalesce(col("ct"), lit(0L)) + k) / (col("tott") + kB))
+          - log((col("cr") + k) / (col("totr") + kB)), 12)
+          .cast("decimal(18,12)").as("lr"))
     docBuckets.join(broadcast(logRatio), Seq("bucket"))
       .groupBy("id")
       .agg(sum("c").as("n_tokens"),
-        round(sum(col("c") * col("lr")), 4).as("log_weight"))
+        // DECIMAL(10,0) * DECIMAL(18,12) → DECIMAL(29,12): exact product,
+        // exact (associative) sum; the 4-decimal round is then deterministic.
+        round(sum(col("c").cast("decimal(10,0)") * col("lr")), 4)
+          .cast("double").as("log_weight"))
   }
 
-  /** Keep the top `keepFraction` of rows by `scoreCol` — the standard
-    * "filter to the best X% by quality/DSIR/perplexity score" gate. The
-    * threshold is the exact interpolated (1−keepFraction) percentile (the
-    * same estimator as [[graft.ops.TextOps.corpusProfile]], so it
-    * hash-matches `quantile_cont` on any engine); rows scoring exactly AT
-    * the threshold are kept, so ties never drop nondeterministically.
-    *
-    * One aggregation to a 1-row threshold frame (broadcast) + one filtering
-    * scan. NOTE the exact percentile buffers the score column per
-    * aggregation buffer — fine into the billions of rows (8 bytes/score),
-    * but for 100 TB-scale row counts use [[qualityGateApprox]], which
-    * trades the reproducible threshold for bounded memory.
-    */
   /** Deterministic training-shard assignment + export — the hand-off step
     * after dedup/filter/mix/pack: every row lands in
     * `shard = md5(key‖salt) mod numShards` (the same portable-hash space as
@@ -356,8 +355,13 @@ object Curate {
     * sort by their hash within each shard (reproducible file order), and
     * each shard writes as exactly one parquet file under
     * `outDir/shard=N/`. One hash-partitioned shuffle + a within-partition
-    * sort — no global sort, no driver collection; shard count bounds the
-    * write parallelism exactly.
+    * sort — no global sort, no driver collection. Write parallelism is AT
+    * MOST `numShards` concurrent writers: the repartition hashes the shard
+    * value, so distinct shards can share a task (one-file-per-shard still
+    * holds — `partitionBy` splits by value). In practice set numShards a
+    * few × the cluster's cores and the scheduler balances the collisions
+    * out; exact one-task-per-shard would need a custom partitioner for no
+    * change in total write work.
     */
   def writeShards(df: DataFrame, keyCol: Column, outDir: String,
       numShards: Int, salt: String = ""): Unit = {
@@ -381,6 +385,19 @@ object Curate {
       .drop("_thr")
   }
 
+  /** Keep the top `keepFraction` of rows by `scoreCol` — the standard
+    * "filter to the best X% by quality/DSIR/perplexity score" gate. The
+    * threshold is the exact interpolated (1−keepFraction) percentile (the
+    * same estimator as [[graft.ops.TextOps.corpusProfile]], so it
+    * hash-matches `quantile_cont` on any engine); rows scoring exactly AT
+    * the threshold are kept, so ties never drop nondeterministically.
+    *
+    * One aggregation to a 1-row threshold frame (broadcast) + one filtering
+    * scan. NOTE the exact percentile buffers the score column per
+    * aggregation buffer — fine into the billions of rows (8 bytes/score),
+    * but for 100 TB-scale row counts use [[qualityGateApprox]], which
+    * trades the reproducible threshold for bounded memory.
+    */
   def qualityGate(df: DataFrame, scoreCol: Column,
       keepFraction: Double): DataFrame =
     gateAbove(df, scoreCol, "qualityGate", keepFraction,

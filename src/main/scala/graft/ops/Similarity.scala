@@ -450,6 +450,12 @@ object Similarity {
       (0 until m).map(s => Row(s, cid, v.slice(s * sl, (s + 1) * sl)))
     }
     var books = corpus.sparkSession.createDataFrame(bookRows.asJava, bookSchema)
+    // the per-row assert on pts only evaluates inside Lloyd rounds; with
+    // iters=0 validate dimensionality explicitly so a ragged corpus still
+    // errors here instead of surfacing later as null codes at encode time
+    if (iters == 0)
+      require(pts0.filter(size(col("_pv")) =!= dim).limit(1).count() == 0,
+        s"pqTrain: vector length differs from the corpus dimensionality $dim")
     for (_ <- 1 to iters)
       books = pqLloydRound(pts, books, m, roundDigits)
     books.select(col("sub"), col("centroid_id"), col("cv").as(vecCol))
@@ -526,6 +532,13 @@ object Similarity {
       maxCid(s) = math.max(maxCid(s), r.getInt(1) + 1)
     }
     require(subLen.forall(_ >= 0), "pqTopK: a subspace has no centroids")
+    // the query slicing below is UNIFORM (size(qv)/m) — a hand-built
+    // codebook with unequal subspace lengths would pass the total-length
+    // check yet mis-slice every query (silently wrong rankings, since
+    // pqEncode itself handles unequal lengths fine); fail loudly instead
+    require(subLen.forall(_ == subLen(0)),
+      s"pqTopK: subspace lengths differ (${subLen.mkString(",")}) — ADC " +
+        "slicing requires a uniform d/m split, as produced by pqTrain")
     // dense [sub][cid] planes; holes (emptied training cells) are zero
     // vectors — their code values are never produced, the slots just keep
     // LUT indexing aligned

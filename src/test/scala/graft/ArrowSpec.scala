@@ -87,4 +87,22 @@ class ArrowSpec extends AnyFunSuite {
       Seq("x", "y"))
     assert(back.schema.fieldNames.toSeq == Seq("kafka", "key", "value", "_kind"))
   }
+
+  test("consume -f parquet emits one file that reads back to the pool contents") {
+    val dir = Files.createTempDirectory("pqpool")
+    val f = dir.resolve("batch.jsonl")
+    Files.write(f, Seq(
+      """{"id": 1, "name": "x"}""",
+      """{"id": 2, "name": "y"}""").mkString("\n").getBytes("UTF-8"))
+    val pool = Pool.create(spark, dir.resolve("pool").toString)
+    Commands.produce(spark, pool, f.toString, "T")
+    val bytes = Commands.consumeParquet(pool)
+    val out = dir.resolve("out.parquet")
+    Files.write(out, bytes)
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 2)
+    assert(back.selectExpr("value.name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("x", "y"))
+    assert(back.schema.fieldNames.toSeq == Seq("kafka", "key", "value", "_kind"))
+  }
 }

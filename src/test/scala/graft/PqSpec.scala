@@ -216,4 +216,32 @@ class PqSpec extends AnyFunSuite {
     assert(partialIdx >= 0 && exchangeIdx >= 0 && exchangeIdx < partialIdx,
       s"expected partial top-k BELOW the query_id exchange in:\n$plan")
   }
+
+  test("pq train with iters=0 still rejects a ragged corpus") {
+    val corpus = vecs(
+      0L -> Seq(0.0, 0.0, 1.0, 1.0),
+      1L -> Seq(2.0, 2.0, 3.0, 3.0),
+      2L -> Seq(5.0, 5.0)) // divisible by m=2 but shorter than the corpus dim
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(corpus, "id", "v", m = 2, k = 2, iters = 0)
+    }
+    assert(e.getMessage.contains("vector length differs"), e.getMessage)
+  }
+
+  test("pq ADC search rejects a codebook with unequal subspace lengths") {
+    // hand-built book: sub0 centroids are length 2, sub1 length 4 (total 6)
+    // — passes a total-length check but would mis-slice every query
+    val book = spark.createDataFrame(Seq(
+      Row(0, 0, Seq(0.0, 0.0)), Row(0, 1, Seq(1.0, 1.0)),
+      Row(1, 0, Seq(0.0, 0.0, 0.0, 0.0)), Row(1, 1, Seq(1.0, 1.0, 1.0, 1.0))
+    ).asJava, StructType.fromDDL(
+      "sub int, centroid_id int, v array<double>"))
+    val six = vecs(0L -> Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      1L -> Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0))
+    val enc = Similarity.pqEncode(six, book, "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(enc, six, book, "id", "v", k = 1)
+    }
+    assert(e.getMessage.contains("subspace lengths differ"), e.getMessage)
+  }
 }
