@@ -785,6 +785,22 @@ object OpsQueries {
 
     // int8 quantization: the embedding storage-scale path (4× smaller than
     // float32); floor + IEEE doubles → codes bit-identical across engines
+    // Johnson–Lindenstrauss random-sign projection 64→8 dims: the oracle
+    // unrolls the SAME md5-seeded ±1 matrix (Similarity.projectionSigns)
+    // as explicit left-associated arithmetic, so results are bit-identical
+    "sim_random_projection" -> {
+      val signs = Similarity.projectionSigns(64, 8, "rp")
+      val projSql = signs.map { row =>
+        "(" + row.zipWithIndex.map { case (sgn, i) =>
+          s"v[${i + 1}] * ${if (sgn > 0) "1.0" else "-1.0"}"
+        }.mkString(" + ") + ") / sqrt(CAST(8 AS DOUBLE))"
+      }.mkString("[", ", ", "]")
+      Q(
+        (s, d) => Similarity.randomProjection(embBase(s, d), "vec_id", "v",
+          dIn = 64, dOut = 8, salt = "rp"),
+        Some(embBaseSql + s"SELECT vec_id, $projSql AS proj FROM base"))
+    },
+
     "sim_quantize_int8" -> Q(
       (s, d) => Similarity.quantizeInt8(embBase(s, d), "vec_id", "v")
         // codes flattened to one canonical string (see sim_kmeans_1iter: the
@@ -1017,6 +1033,48 @@ object OpsQueries {
       Some("""SELECT doc_id,
              |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
              |FROM documents""".stripMargin)),
+
+    // winnowing fingerprint selection (MOSS, SIGMOD 2003): min-hash of each
+    // w-window of k-gram md5s, map-only per document — any shared run of
+    // >= w+k-1 tokens forces a shared fingerprint
+    "text_winnow" -> Q(
+      (s, d) => TextOps.winnowFingerprints(
+        Tables.load(s, d, "documents"), "doc_id", "text", k = 3, w = 4)
+        .withColumn("n_grams", col("n_grams").cast("long")),
+      Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, len(t) - 2 AS m, t FROM t),
+             |h AS (SELECT doc_id, greatest(m, 0) AS n_grams,
+             |  CASE WHEN m >= 1 THEN list_transform(range(1, m + 1),
+             |    i -> md5(array_to_string(t[i:i+2], ' '))) ELSE [] END AS h FROM g)
+             |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             |  CASE WHEN len(h) = 0 THEN [] ELSE
+             |    list_sort(list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+             |      s -> list_min(h[s:s+3])))) END AS fps
+             |FROM h""".stripMargin)),
+
+    // winnow-fingerprint near-dup candidates: inverted-index join over the
+    // ~1/w-sampled fingerprint stream, df <= 100 skew guard, containment
+    // overlap = shared / min(|fps|) — the local-guarantee complement to
+    // minhash-LSH candidate generation
+    "dedup_winnow_pairs" -> Q(
+      (s, d) => Dedup.winnowCandidatePairs(textCorpus(s, d), "id", "text",
+        k = 3, w = 4, maxDf = 100, minShared = 2),
+      Some(textCorpusSql +
+        """, t AS (SELECT id, string_split(lower(text), ' ') AS t FROM corpus),
+          |g AS (SELECT id, len(t) - 2 AS m, t FROM t),
+          |hh AS (SELECT id, CASE WHEN m >= 1 THEN list_transform(range(1, m + 1),
+          |  i -> md5(array_to_string(t[i:i+2], ' '))) ELSE [] END AS h FROM g),
+          |fp0 AS (SELECT id, unnest(CASE WHEN len(h) = 0 THEN [] ELSE
+          |  list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+          |    s -> list_min(h[s:s+3]))) END) AS fp FROM hh),
+          |freq AS (SELECT fp, count(*) AS c FROM fp0 GROUP BY fp),
+          |fps AS (SELECT f.id, f.fp FROM fp0 f JOIN freq q ON f.fp = q.fp WHERE q.c <= 100),
+          |sizes AS (SELECT id, count(*) AS sz FROM fps GROUP BY id),
+          |pairs AS (SELECT a.id AS d1, b.id AS d2, count(*) AS shared
+          |          FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id GROUP BY 1, 2)
+          |SELECT d1, d2, shared, shared * 1.0 / least(s1.sz, s2.sz) AS overlap
+          |FROM pairs JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
+          |WHERE shared >= 2""".stripMargin)),
 
     "text_vocab" -> Q(
       (s, d) => TextOps.vocabulary(Tables.load(s, d, "documents"), "doc_id", "text", k = 100),
@@ -1707,6 +1765,23 @@ object OpsQueries {
              |FROM c""".stripMargin)),
 
     // sequence packing: ~1000-token packs filled in doc_id order per source
+    // length-bucket histogram (batch-by-length loader tuning): map-only
+    // bucket assignment + one map-combinable agg; pad_waste = the padding
+    // cost of batching each bucket to its boundary
+    "curate_length_buckets" -> Q(
+      (s, d) => Curate.lengthBucketStats(
+        Tables.load(s, d, "documents"), col("n_chars"),
+        Seq(256L, 512L, 1024L, 2048L, 4096L)),
+      Some("""WITH b AS (SELECT n_chars,
+             |  CASE WHEN n_chars <= 256 THEN 256 WHEN n_chars <= 512 THEN 512
+             |       WHEN n_chars <= 1024 THEN 1024 WHEN n_chars <= 2048 THEN 2048
+             |       WHEN n_chars <= 4096 THEN 4096 ELSE -1 END AS bucket
+             |  FROM documents)
+             |SELECT bucket, count(*) AS n_rows, sum(n_chars) AS total_len,
+             |  min(n_chars) AS min_len, max(n_chars) AS max_len,
+             |  sum(CASE WHEN bucket >= 0 THEN bucket - n_chars ELSE 0 END) AS pad_waste
+             |FROM b GROUP BY bucket""".stripMargin)),
+
     "curate_pack_sequences" -> Q(
       (s, d) => Curate.packSequences(
         Tables.load(s, d, "documents")

@@ -413,4 +413,44 @@ object Curate {
       accuracy: Int = 10000): DataFrame =
     gateAbove(df, scoreCol, "qualityGateApprox", keepFraction,
       approx_percentile(scoreCol, lit(1.0 - keepFraction), lit(accuracy)))
+
+  /** Per-row length-bucket assignment: `bucket` is the smallest boundary
+    * ≥ `lengthCol`, or −1 for rows past the last boundary (the overflow
+    * bin a packing step must split or truncate). Training loaders batch by
+    * length so padding waste stays bounded; assigning the bucket is the
+    * map-only pre-step to [[packSequences]]-style batching. Boundaries must
+    * be strictly increasing.
+    */
+  def assignLengthBuckets(df: DataFrame, lengthCol: Column,
+      boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted.distinct,
+      s"assignLengthBuckets: boundaries must be strictly increasing, got $boundaries")
+    val bucket = boundaries.foldRight(lit(-1L): Column) { (b, els) =>
+      when(lengthCol <= b, lit(b)).otherwise(els)
+    }
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Length-bucket histogram over the corpus: per bucket, row count, total
+    * and min/max length, plus the padded-token cost of batching the bucket
+    * to its boundary (`pad_waste` = Σ(boundary − length); overflow rows
+    * count 0 — they don't batch as-is). The knob-tuning companion to
+    * [[assignLengthBuckets]]: pick boundaries until Σ pad_waste is an
+    * acceptable fraction of Σ total.
+    *
+    * Scale shape: one map-side-combinable aggregation over the map-only
+    * bucket assignment — ≤ |boundaries|+1 rows out of a 100 TB scan, the
+    * same single-agg profile as `TextOps.corpusProfile`.
+    */
+  def lengthBucketStats(df: DataFrame, lengthCol: Column,
+      boundaries: Seq[Long]): DataFrame =
+    assignLengthBuckets(df, lengthCol, boundaries)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(lengthCol).as("total_len"),
+        min(lengthCol).as("min_len"),
+        max(lengthCol).as("max_len"),
+        sum(when(col("bucket") >= 0, col("bucket") - lengthCol)
+          .otherwise(lit(0L))).as("pad_waste"))
 }

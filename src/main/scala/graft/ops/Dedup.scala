@@ -362,6 +362,44 @@ object Dedup {
           .otherwise(lit(0.0)).as("jaccard"))
   }
 
+  /** Near-duplicate candidates from shared winnowing fingerprints
+    * ([[TextOps.winnowFingerprints]] — SIGMOD 2003 §3): two documents pair
+    * when they share ≥ `minShared` selected gram hashes; `overlap` is the
+    * containment ratio shared / min(|fps₁|, |fps₂|) (a single integer
+    * division — bit-deterministic). Winnowing's guarantee makes this a
+    * LOCAL near-dup detector: any common run of ≥ `w + k − 1` tokens
+    * forces a shared fingerprint, so long verbatim overlaps can't hide,
+    * unlike MinHash whose global sampling can miss a contained passage.
+    *
+    * Scale shape — the same inverted-index discipline as [[jaccardPairs]],
+    * but over the ~1/w-winnowed fingerprint stream (w× less data into the
+    * index than shingle-level joins):
+    *  1. map-only fingerprint selection (no explode until after winnowing);
+    *  2. document frequency by partial-aggregating groupBy, then a
+    *     semi-join keeps fingerprints with df ≤ `maxDf` — the skew guard
+    *     that drops boilerplate before any hot key can concentrate;
+    *  3. the self-join emits Σ df² pairs over RARE fingerprints only,
+    *     never all-pairs.
+    */
+  def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4, maxDf: Int = 100, minShared: Int = 2): DataFrame = {
+    val fps = graft.ops.TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), explode(col("fps")).as("fp"))
+    val rareKeys = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val rare = fps.join(rareKeys, Seq("fp"), "left_semi")
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("sz"))
+    rare.select(col("id").as("d1"), col("fp"))
+      .join(rare.select(col("id").as("d2"), col("fp")), Seq("fp"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("shared"),
+        (col("shared") * lit(1.0) / least(col("sz1"), col("sz2"))).as("overlap"))
+  }
+
   /** 16-bit SimHash per document over distinct word tokens. Bit b of a
     * token's hash comes from the first 4 hex chars of its md5; the simhash
     * bit is the sign of the ±1 token votes — all integer arithmetic, so

@@ -205,6 +205,54 @@ object Similarity {
           .as("codes"))
   }
 
+  /** The ±1 sign matrix for [[randomProjection]], derived from the md5 of
+    * `salt|i|j` (first hex char < '8' → +1): deterministic, engine-portable
+    * (any system with md5 reproduces it), and seeded by `salt` so disjoint
+    * projections can coexist. Row j is output dimension j over all `dIn`
+    * input dimensions.
+    */
+  def projectionSigns(dIn: Int, dOut: Int, salt: String): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dOut).map { j =>
+      (0 until dIn).map { i =>
+        val h = md.digest(s"$salt|$i|$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (h.head < '8') 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss random-sign projection: map each `dIn`-dim
+    * vector to `dOut` dims via `proj_j = (Σ_i v_i · s_ij) / √dOut` with
+    * s_ij ∈ {±1} from [[projectionSigns]]. Pairwise distances and angles
+    * are preserved in expectation (JL lemma; sign matrices are the
+    * Achlioptas 2003 database-friendly variant) — the standard cheap
+    * pre-step before ANN indexing when embeddings arrive wider than the
+    * index wants, and a complement to PQ (which compresses storage but
+    * keeps dimensionality).
+    *
+    * Scale shape: MAP-ONLY — the sign matrix is folded into the plan as
+    * literals (dIn·dOut flips, trivially small next to any real corpus),
+    * each output dim is one codegen'd multiply-add chain over the input
+    * array, and the pass is a zero-exchange projection like `pqEncode`.
+    * Determinism: products by ±1 are exact, the additions run in one fixed
+    * left-to-right order on every engine, and √dOut and the final division
+    * are correctly-rounded IEEE ops — the output is bit-identical anywhere.
+    */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+      dIn: Int, dOut: Int, salt: String = "rp"): DataFrame = {
+    require(dIn >= 1 && dOut >= 1,
+      s"randomProjection: dims must be >= 1, got dIn=$dIn dOut=$dOut")
+    val signs = projectionSigns(dIn, dOut, salt)
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val outs = signs.map { row =>
+      (0 until dIn).map(i => element_at(col("_v"), i + 1) * lit(row(i)))
+        .reduceLeft(_ + _) / sqrt(lit(dOut.toDouble))
+    }
+    df.select(col(idCol), v.as("_v"))
+      .select(col(idCol), array(outs: _*).as("proj"))
+  }
+
   /** Train K centroids with Lloyd's algorithm, entirely as DataFrame ops —
     * the in-engine source of `ivfAssign`/`ivfTopK` centroids.
     *

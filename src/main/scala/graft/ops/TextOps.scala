@@ -497,4 +497,46 @@ object TextOps {
       .select(col(idCol), (col("pos") + 1).as("rank"),
         col("col").getField("payload").as("term"))
   }
+
+  /** Winnowing fingerprint selection (the MOSS scheme: Schleimer, Wilkerson
+    * & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash every `k`-token gram, slide a window of `w`
+    * consecutive gram hashes, and keep the minimum hash of each window.
+    * The selected set is position-independent but LOCAL — any shared
+    * substring of ≥ `w + k − 1` tokens between two documents is guaranteed
+    * to contribute at least one common fingerprint, the guarantee plain
+    * min-hashing (global minimum) lacks. Documents with at least one gram
+    * but fewer than `w` windows keep the minimum of what they have, so no
+    * non-empty document fingerprints to the empty set.
+    *
+    * Output: (idCol, n_grams, fps) where `fps` is the sorted distinct
+    * selected gram hashes (md5 hex — string order is byte order in every
+    * engine, so window minima are engine-portable).
+    *
+    * Scale shape: winnowing is per-document, so this is MAP-ONLY — the
+    * gram hashing and window minima run inside one codegen'd projection
+    * (higher-order functions over the token array), no explode, no
+    * shuffle, no state. At 100 TB it is a streaming pass over the corpus
+    * bounded by CPU, the ideal operator shape; the downstream join over
+    * selected fingerprints (see `Dedup.winnowCandidatePairs`) touches only
+    * the ~1/w-sampled fingerprint stream instead of every gram.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k and w must be >= 1, got k=$k w=$w")
+    val t = toks(col(textCol))
+    val m = size(t) - k + 1 // gram count (may be <= 0 for short docs)
+    val grams = transform(sequence(lit(1), m),
+      i => md5(array_join(slice(t, i, lit(k)), " ")))
+    // sequence(1, m) flips direction when m < 1 — guard the empty case
+    val hashes = when(m >= 1, grams).otherwise(array().cast("array<string>"))
+    val nWin = greatest(size(col("_h")) - w + 1, lit(1))
+    val selected = transform(sequence(lit(1), nWin),
+      s => array_min(slice(col("_h"), s, lit(w))))
+    df.select(col(idCol), greatest(m, lit(0)).as("n_grams"), hashes.as("_h"))
+      .withColumn("fps",
+        when(size(col("_h")) >= 1, array_sort(array_distinct(selected)))
+          .otherwise(array().cast("array<string>")))
+      .drop("_h")
+  }
 }

@@ -867,4 +867,85 @@ class OpsSpec extends AnyFunSuite {
     assert(keptApprox.size >= 24 && keptApprox.size <= 26 &&
       keptApprox.forall(_ >= 74L), s"approx gate kept $keptApprox")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("winnowing selects window minima; short docs keep their minimum; empty docs none") {
+    val df = docs(
+      1L -> "a b c d e f", // 4 grams (k=3), one full window (w=4)
+      2L -> "a b c",       // 1 gram < w: keep its minimum anyway
+      3L -> "a b")         // 0 grams: no fingerprints
+    val out = TextOps.winnowFingerprints(df, "id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[String](2)))).toMap
+    val grams1 = Seq("a b c", "b c d", "c d e", "d e f").map(md5hex)
+    assert(out(1L) == (4, Seq(grams1.min)))
+    assert(out(2L) == (1, Seq(md5hex("a b c"))))
+    assert(out(3L) == (0, Seq.empty))
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens forces a shared fingerprint") {
+    // k=3, w=4: any common substring of >= 6 tokens contains one full
+    // window of grams, whose minimum both documents must select
+    val run = "golden shared run of six tokens"
+    val df = docs(
+      1L -> s"alpha beta $run gamma delta epsilon",
+      2L -> s"zeta $run eta theta iota kappa lambda mu")
+    val fps = TextOps.winnowFingerprints(df, "id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      s"expected a shared fingerprint, got ${fps(1L)} vs ${fps(2L)}")
+  }
+
+  test("winnow candidate pairs surface duplicates, not unrelated docs; boilerplate df-capped") {
+    val boiler = "subscribe to our newsletter for more updates daily" // in every doc
+    val body = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = docs(
+      1L -> s"$body $boiler",
+      2L -> s"$body $boiler",
+      3L -> s"totally different content about columnar engines and shuffles $boiler",
+      4L -> s"yet another unrelated page on streaming watermarks and state $boiler")
+    // maxDf=2 drops the boilerplate fingerprints (df=4) before the join, so
+    // only the true dup pair (sharing body fingerprints with df=2) survives
+    val pairs = Dedup.winnowCandidatePairs(df, "id", "text",
+      k = 3, w = 4, maxDf = 2, minShared = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs")
+    assert(pairs((1L, 2L)) == 1.0) // identical docs: full containment
+  }
+
+  test("random projection matches the sign-matrix arithmetic exactly and scales linearly") {
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Seq(1.0, 2.0, 3.0)),
+      Row(2L, Seq(2.0, 4.0, 6.0)), // 2 × vector 1
+      Row(3L, Seq(0.0, 0.0, 0.0))
+    ).asJava, StructType.fromDDL("id bigint, v array<double>"))
+    val signs = Similarity.projectionSigns(3, 2, "rp")
+    val out = Similarity.randomProjection(df, "id", "v", dIn = 3, dOut = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expect1 = signs.map(row =>
+      ((1.0 * row(0) + 2.0 * row(1)) + 3.0 * row(2)) / math.sqrt(2.0))
+    assert(out(1L) == expect1, s"got ${out(1L)}, want $expect1")
+    // linearity: a scaled vector projects to the scaled projection
+    assert(out(2L).zip(out(1L)).forall { case (a, b) => a == 2.0 * b })
+    assert(out(3L).forall(_ == 0.0))
+    // the matrix really mixes signs (not all +1 / all −1)
+    assert(signs.flatten.toSet == Set(1.0, -1.0))
+  }
+
+  test("length buckets: smallest boundary >= length, overflow to -1, pad waste exact") {
+    val df = spark.createDataFrame(
+      Seq(Row(1L, 10L), Row(2L, 64L), Row(3L, 65L), Row(4L, 500L)).asJava,
+      StructType.fromDDL("id bigint, n bigint"))
+    val assigned = Curate.assignLengthBuckets(df, col("n"), Seq(64L, 128L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(assigned == Map(1L -> 64L, 2L -> 64L, 3L -> 128L, 4L -> -1L))
+    val stats = Curate.lengthBucketStats(df, col("n"), Seq(64L, 128L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(stats(64L) == (2L, 74L, 10L, 64L, 54L))   // pad: (64-10)+(64-64)
+    assert(stats(128L) == (1L, 65L, 65L, 65L, 63L))
+    assert(stats(-1L) == (1L, 500L, 500L, 500L, 0L)) // overflow: no padding cost
+  }
 }

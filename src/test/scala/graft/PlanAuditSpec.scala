@@ -294,4 +294,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"expected no corpus-side sort-merge join:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"totals must broadcast, not cartesian:\n$plan")
   }
+
+  test("winnowing fingerprints are map-only: no exchange, no explode, one codegen'd projection") {
+    import graft.ops.TextOps
+    val df = TextOps.winnowFingerprints(corpus, "id", "text", k = 3, w = 4)
+    val plan = df.queryExecution.executedPlan.toString
+    // per-document HOFs: the gram hashing and window minima must never
+    // shuffle or row-multiply — the whole operator is one projection pass
+    assert(!plan.contains("Exchange"), s"winnowing must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"winnowing must not explode grams:\n$plan")
+  }
+
+  test("random projection is a zero-exchange codegen'd projection") {
+    import graft.ops.Similarity
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+    val plan = Similarity.randomProjection(df, "vec_id", "v", dIn = 64, dOut = 8)
+      .queryExecution.executedPlan.toString
+    // the sign matrix rides the plan as literals: no shuffle, no join, no
+    // broadcast — the pass must stay a single projection
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    assert(plan.contains("Project"), s"expected a plain projection:\n$plan")
+  }
 }
