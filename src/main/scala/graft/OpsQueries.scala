@@ -1034,6 +1034,34 @@ object OpsQueries {
              |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
              |FROM documents""".stripMargin)),
 
+    // corpus-frequent trigram mining (boilerplate detection): HOF gram
+    // construction + map-combinable counts + bounded top-k; run over the
+    // salted corpus so repeated content provably surfaces
+    "text_heavy_ngrams" -> Q(
+      (s, d) => TextOps.frequentNgrams(textCorpus(s, d), "id", "text",
+        n = 3, k = 100, minCount = 2),
+      Some(textCorpusSql +
+        """, t AS (SELECT id, string_split(lower(text), ' ') AS t FROM corpus),
+          |g AS (SELECT id, unnest(list_transform(range(1, len(t) - 1),
+          |  i -> array_to_string(t[i:i+2], ' '))) AS gram FROM t WHERE len(t) >= 3)
+          |SELECT gram, count(*) AS total, count(DISTINCT id) AS doc_freq
+          |FROM g GROUP BY gram HAVING count(*) >= 2
+          |ORDER BY total DESC, gram LIMIT 100""".stripMargin)),
+
+    // the sketch-pruned form: CMS pre-pass + broadcast probe + exact verify
+    // — result is EXACTLY the exact version's (sketch prunes, never
+    // decides), so it shares that oracle
+    "text_heavy_ngrams_sketched" -> Q(
+      (s, d) => TextOps.frequentNgramsSketched(textCorpus(s, d), "id", "text",
+        n = 3, k = 100, minCount = 2, eps = 1e-4, confidence = 0.99),
+      Some(textCorpusSql +
+        """, t AS (SELECT id, string_split(lower(text), ' ') AS t FROM corpus),
+          |g AS (SELECT id, unnest(list_transform(range(1, len(t) - 1),
+          |  i -> array_to_string(t[i:i+2], ' '))) AS gram FROM t WHERE len(t) >= 3)
+          |SELECT gram, count(*) AS total, count(DISTINCT id) AS doc_freq
+          |FROM g GROUP BY gram HAVING count(*) >= 2
+          |ORDER BY total DESC, gram LIMIT 100""".stripMargin)),
+
     // winnowing fingerprint selection (MOSS, SIGMOD 2003): min-hash of each
     // w-window of k-gram md5s, map-only per document — any shared run of
     // >= w+k-1 tokens forces a shared fingerprint

@@ -498,6 +498,74 @@ object TextOps {
         col("col").getField("payload").as("term"))
   }
 
+  /** Corpus-frequent word n-grams — the boilerplate-mining pass whose
+    * output seeds template-removal filters (`Dedup.removeRepeatedLines` /
+    * `removeDuplicatedSpans`): top-`k` n-grams by total occurrences (ties →
+    * lexicographically first), with document frequency alongside so
+    * "every doc says it once" (navigation chrome) separates from "one doc
+    * repeats it" (spam).
+    *
+    * Scale shape: per-doc n-gram construction is a HOF (no row growth until
+    * the single explode), the count aggregation is map-side combinable —
+    * the shuffle carries one row per distinct gram per partition, not per
+    * occurrence — and `minCount` prunes the long singleton tail BEFORE the
+    * bounded top-k (`TakeOrderedAndProject`: k rows per partition, never a
+    * global sort). For corpora whose distinct-gram count itself explodes,
+    * the same two-pass shape drops in a `count_min_sketch` first pass; the
+    * exact aggregation here IS the verify half of that composition.
+    */
+  def frequentNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 100, minCount: Long = 2): DataFrame =
+    heavyGrams(gramStream(df, idCol, textCol, n), k, minCount)
+
+  /** As [[frequentNgrams]] with a count-min-sketch pre-pass — the form for
+    * corpora whose DISTINCT gram count is itself huge (the common case: on
+    * web text most grams are singletons). Pass 1 folds every gram into a
+    * fixed-size sketch (one distributed aggregation, ~MBs of driver state
+    * at any corpus size); the sketch then rides a broadcast and a
+    * might-be-heavy probe drops sub-`minCount` grams BEFORE the count
+    * shuffle, which shrinks from "one row per distinct gram per partition"
+    * to just the candidates. CMS only ever overestimates, so the candidate
+    * set is a superset of the truly heavy grams and the exact second-pass
+    * aggregation returns EXACTLY [[frequentNgrams]]'s answer — the sketch
+    * prunes work, it never decides (the repo-wide sketch discipline, same
+    * as the dedup Bloom). `eps`/`confidence` size the sketch: width 2/eps
+    * counters × depth ln(1/(1−confidence)) — overestimation beyond
+    * eps·(total grams) has probability 1−confidence, and any overestimate
+    * only costs verify work, never correctness.
+    */
+  def frequentNgramsSketched(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 100, minCount: Long = 2,
+      eps: Double = 1e-5, confidence: Double = 0.999): DataFrame = {
+    val grams = gramStream(df, idCol, textCol, n)
+    val cms = grams.stat.countMinSketch("gram", eps, confidence, seed = 42)
+    val bc = df.sparkSession.sparkContext.broadcast(cms)
+    val mightBeHeavy = udf((g: String) =>
+      g != null && bc.value.estimateCount(g) >= minCount)
+    heavyGrams(grams.filter(mightBeHeavy(col("gram"))), k, minCount)
+  }
+
+  /** (_id, gram) word-n-gram stream: HOF construction, one explode. */
+  private def gramStream(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"gramStream: n must be >= 1, got n=$n")
+    val t = toks(col(textCol))
+    val m = size(t) - n + 1
+    val grams = when(m >= 1, transform(sequence(lit(1), m),
+      i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("_id"), explode(grams).as("gram"))
+  }
+
+  private def heavyGrams(grams: DataFrame, k: Int, minCount: Long): DataFrame = {
+    require(k >= 1, s"frequentNgrams: k must be >= 1, got k=$k")
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("total"), countDistinct("_id").as("doc_freq"))
+      .filter(col("total") >= minCount)
+      .orderBy(col("total").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Winnowing fingerprint selection (the MOSS scheme: Schleimer, Wilkerson
     * & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash every `k`-token gram, slide a window of `w`

@@ -915,6 +915,38 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 1.0) // identical docs: full containment
   }
 
+  test("frequent n-grams: totals vs doc frequency separate repetition from boilerplate") {
+    val df = docs(
+      1L -> "click here to subscribe now",
+      2L -> "click here to unsubscribe",
+      3L -> "spam spam spam spam spam",
+      4L -> "one ordinary sentence")
+    val out = TextOps.frequentNgrams(df, "id", "text", n = 3, k = 10, minCount = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("click here to") == (2L, 2L))   // boilerplate: 2 docs, once each
+    assert(out("spam spam spam") == (3L, 1L))  // repetition: 1 doc, 3 windows
+    assert(!out.contains("one ordinary sentence")) // minCount=2 prunes singletons
+  }
+
+  test("sketched frequent n-grams return exactly the exact version's answer") {
+    val df = docs(
+      1L -> "click here to subscribe now please do it today friend",
+      2L -> "click here to unsubscribe whenever you like best regards",
+      3L -> "spam spam spam spam spam and then some more spam spam",
+      4L -> "one entirely ordinary sentence with no repetition at all")
+    // tight sketch (few collisions) and a deliberately sloppy one
+    // (eps=0.5 → 4 counters, heavy collisions): both must agree with the
+    // exact aggregation — overestimates only widen the verify set
+    for (eps <- Seq(1e-3, 0.5)) {
+      val exact = TextOps.frequentNgrams(df, "id", "text", n = 3, k = 20)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val sketched = TextOps.frequentNgramsSketched(df, "id", "text", n = 3,
+        k = 20, minCount = 2, eps = eps, confidence = 0.9)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(sketched == exact, s"eps=$eps: $sketched != $exact")
+    }
+  }
+
   test("random projection matches the sign-matrix arithmetic exactly and scales linearly") {
     val df = spark.createDataFrame(Seq(
       Row(1L, Seq(1.0, 2.0, 3.0)),
