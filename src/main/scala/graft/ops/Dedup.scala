@@ -115,11 +115,18 @@ object Dedup {
     * every consumer that can skip it should.
     */
   def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = split(col(textCol), " ")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    // The token array is bound as a HOF lambda variable (`transform(array(x),
+    // w => …)`), NOT written inline in the per-shingle lambda: an inline
+    // `split` would be re-evaluated for EVERY shingle element (HOF lambda
+    // bodies are interpreted — no common-subexpression elimination), turning
+    // the O(tokens) pass into O(tokens²) per document. Measured 20× on
+    // 500-token documents; the lambda binding evaluates the split once per
+    // row regardless of what the optimizer collapses around it.
+    val grams = flatten(transform(array(split(col(textCol), " ")), w =>
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))))
     df.select(col(idCol).as("id"), explode(grams).as("sh"))
   }
 
@@ -600,11 +607,15 @@ object Dedup {
   // space-joined window). sequence(0, n) runs DESCENDING when n < 0 —
   // guard short docs to an empty window list instead
   private def spanGrams(base: DataFrame, k: Int): DataFrame =
-    base.select(col("id"), explode(when(col("nw") > 0,
-        transform(sequence(lit(1), col("nw")),
-          i => struct(i.as("i"),
-            xxhash64(concat_ws(" ", slice(col("t"), i, lit(k)))).as("h")))
-      ).otherwise(array().cast("array<struct<i:long,h:bigint>>"))).as("w"))
+    // `t` rides in as a lambda binding (same guard as rawShingles): if the
+    // optimizer ever collapses base's split-projection into this Generate,
+    // an inline alias would re-split the text once per window
+    base.select(col("id"), explode(flatten(transform(array(col("t")), t =>
+        when(col("nw") > 0,
+          transform(sequence(lit(1), col("nw")),
+            i => struct(i.as("i"),
+              xxhash64(concat_ws(" ", slice(t, i, lit(k)))).as("h"))))
+          .otherwise(array().cast("array<struct<i:long,h:bigint>>"))))).as("w"))
       .select(col("id"), col("w.i").as("i"), col("w.h").as("h"))
 
   /** The cut step of exact-substring dedup (Lee et al. 2022 §"we remove all

@@ -142,16 +142,21 @@ object TextOps {
     * Output: (idCol, n_grams, rep_ratio).
     */
   def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val w = split(col(textCol), " ")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), grams.as("_g"))
-      .select(col(idCol), size(col("_g")).cast("long").as("n_grams"),
-        when(size(col("_g")) === 0, lit(0.0))
-          .otherwise((size(col("_g")) - size(array_distinct(col("_g")))) * lit(1.0)
-            / size(col("_g"))).as("rep_ratio"))
+    // Token and gram arrays are lambda-bound (see rawShingles/winnow): an
+    // inline split would re-run once per gram element (O(tokens²) per doc,
+    // measured 100× on 500-token docs), and the `_g` alias would be inlined
+    // into each of its reference sites by CollapseProject.
+    val grams = flatten(transform(array(split(col(textCol), " ")), w =>
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))))
+    val nGrams = greatest(size(split(col(textCol), " ")) - (n - 1), lit(0))
+    val ratio = element_at(transform(array(grams), g =>
+      when(size(g) === 0, lit(0.0))
+        .otherwise((size(g) - size(array_distinct(g))) * lit(1.0) / size(g))), 1)
+    df.select(col(idCol), nGrams.cast("long").as("n_grams"),
+      ratio.as("rep_ratio"))
   }
 
   /** The Gopher rule stopword list (Rae et al. 2021, appendix A1.1): a doc
@@ -592,19 +597,31 @@ object TextOps {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"winnowFingerprints: k and w must be >= 1, got k=$k w=$w")
-    val t = toks(col(textCol))
-    val m = size(t) - k + 1 // gram count (may be <= 0 for short docs)
-    val grams = transform(sequence(lit(1), m),
-      i => md5(array_join(slice(t, i, lit(k)), " ")))
-    // sequence(1, m) flips direction when m < 1 — guard the empty case
-    val hashes = when(m >= 1, grams).otherwise(array().cast("array<string>"))
-    val nWin = greatest(size(col("_h")) - w + 1, lit(1))
-    val selected = transform(sequence(lit(1), nWin),
-      s => array_min(slice(col("_h"), s, lit(w))))
-    df.select(col(idCol), greatest(m, lit(0)).as("n_grams"), hashes.as("_h"))
-      .withColumn("fps",
-        when(size(col("_h")) >= 1, array_sort(array_distinct(selected)))
-          .otherwise(array().cast("array<string>")))
-      .drop("_h")
+    val emptyS = array().cast("array<string>")
+    // The token and hash arrays are bound as HOF LAMBDA VARIABLES
+    // (`transform(array(x), v => ...)`), not projection aliases:
+    // CollapseProject inlines aliases into every use site, and a downstream
+    // `explode` folds this whole projection into the Generate — an aliased
+    // hash array would then be RECOMPUTED inside each per-window lambda
+    // element, turning the O(m·w) winnow into O(m²) md5 calls per document
+    // (measured 36× slower at sf0.1). Lambda bindings are opaque to the
+    // optimizer, so each array is evaluated exactly once per row no matter
+    // what collapses around it.
+    val winnowed = flatten(transform(array(toks(col(textCol))), t => {
+      val m = size(t) - k + 1 // gram count (may be <= 0 for short docs)
+      // sequence(1, m) flips direction when m < 1 — greatest-guard it; the
+      // when() below never evaluates the gram branch for short docs anyway
+      val grams = transform(sequence(lit(1), greatest(m, lit(1))),
+        i => md5(array_join(slice(t, i, lit(k)), " ")))
+      flatten(transform(array(when(m >= 1, grams).otherwise(emptyS)), h =>
+        when(size(h) >= 1,
+          array_sort(array_distinct(transform(
+            sequence(lit(1), greatest(size(h) - w + 1, lit(1))),
+            s => array_min(slice(h, s, lit(w)))))))
+          .otherwise(emptyS)))
+    }))
+    df.select(col(idCol),
+      greatest(size(toks(col(textCol))) - k + 1, lit(0)).as("n_grams"),
+      winnowed.as("fps"))
   }
 }
