@@ -443,15 +443,19 @@ object Dedup {
     * (does any edge still join two different labels?) run before each
     * round after the first — so reaching fixpoint costs the rounds that do
     * work plus one probe, not a full extra round whose only purpose is to
-    * observe zero change; labels stay distributed, and each
-    * round's result is persisted eagerly — and the PREVIOUS round's cache
+    * observe zero change; labels stay distributed, and each round's result
+    * is `localCheckpoint`ed eagerly — and the PREVIOUS round's blocks
     * released — so executor storage stays one label frame deep no matter
-    * the round count, while lineage is preserved (an executor loss
-    * recomputes instead of failing, unlike a localCheckpoint). The plan
-    * grows by two joins per round — a driver-side analysis cost bounded by
-    * maxRounds and independent of data scale; execution always reads the
-    * previous round from cache. The returned frame stays persisted (callers running in a
-    * loop may `unpersist()` it once consumed; it remains recomputable).
+    * the round count. The checkpoint (not a plain persist) is load-bearing:
+    * each round references the previous labels twice and the hop result
+    * twice, so the LOGICAL plan would QUADRUPLE per round, and Catalyst
+    * re-analyzes the whole tree before cache substitution kicks in —
+    * measured 4 s → 25 s per round by round 1 at sf0.1 under persist, pure
+    * driver-side planning (the kmeans loop hit the same wall and made the
+    * same call; an executor loss now recomputes from the checkpointed
+    * blocks' RDD lineage within the run, or the caller reruns — the price
+    * of constant-size plans). The returned frame stays checkpointed
+    * (callers running in a loop may `unpersist()` it once consumed).
     * Docs in no pair keep their own id. If the round budget is exhausted
     * before fixpoint (pathological topology), this THROWS rather than
     * silently returning partially-propagated labels.
@@ -461,13 +465,22 @@ object Dedup {
     // symmetrize with a map-side explode, NOT a self-union: a union would
     // evaluate the pair-generator subtree (often an expensive Jaccard /
     // LSH plan) twice when this cache materializes
+    // localCheckpoint, not persist: the base lineage (often a full LSH /
+    // Jaccard candidate plan) would otherwise be re-analyzed inside every
+    // round's exponentially-growing tree (see scaladoc)
     val edges = pairs.select(explode(array(
         struct(col("d1").as("id"), col("d2").as("nb")),
         struct(col("d2").as("id"), col("d1").as("nb")))).as("e"))
       .select(col("e.id").as("id"), col("e.nb").as("nb"))
-      .persist()
+      .localCheckpoint(true)
+    // initial labels are checkpointed too: round 0 references them three
+    // times (probe is skipped but hop joins + union), which would otherwise
+    // re-analyze the caller's member-derivation plan (often the same LSH /
+    // Jaccard tree as the edges) that many more times
     var labels = df.select(col(idCol).as("id"), col(idCol).as("canonical"))
-    var prevRound: Option[DataFrame] = None
+      .localCheckpoint(true)
+    // seed prevRound with the initial labels so round 0's swap releases them
+    var prevRound: Option[DataFrame] = Some(labels)
     var round = 0
     var converged = false
     // Fixpoint probe: labels are final iff no edge joins two DIFFERENT
@@ -497,13 +510,14 @@ object Dedup {
         // only lower. The round is persisted and FULLY materialized before
         // the previous round's cache is released, keeping executor storage
         // one frame deep.
+        // eager localCheckpoint: materializes every partition AND truncates
+        // the plan to a leaf before the next round builds on it
         val next = hopped
           .join(hopped.select(col("id").as("canonical"), col("canonical").as("cc")),
             Seq("canonical"), "left")
           .select(col("id"),
             least(col("canonical"), coalesce(col("cc"), col("canonical"))).as("canonical"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize every partition before dropping the old round
+          .localCheckpoint(true)
         prevRound.foreach(_.unpersist(blocking = false))
         prevRound = Some(next)
         labels = next
@@ -723,11 +737,14 @@ object Dedup {
   def dedupCorpusLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    // localCheckpoint (eager), not persist: the verifier references the
+    // candidate frame three times and the component loop again — with a
+    // plain persist each reference re-ANALYZES the full LSH plan even
+    // though execution reads the cache; the checkpoint makes every
+    // downstream plan see a leaf
     val cand = lshCandidatePairs(df, idCol, textCol, n, numPerms, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
-      cand.count() // pin one LSH run before the verifier's three references
-
       val verified = jaccardForPairs(df, cand, idCol, textCol, n)
         .filter(col("jaccard") >= threshold).select("d1", "d2")
       // keepCanonical materializes the components eagerly (per-round
