@@ -1104,6 +1104,41 @@ object OpsQueries {
           |FROM pairs JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id
           |WHERE shared >= 2""".stripMargin)),
 
+    // passage containment (local decontamination): eval docs = doc_id%13
+    // slice; the salted corpus provably contains their exact copies, so
+    // every query doc hits. Corpus-side df cap mirrors maxDf=1000
+    "dedup_winnow_containment" -> Q(
+      (s, d) => Dedup.winnowContainment(
+        textCorpus(s, d),
+        Tables.load(s, d, "documents").filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("id"), col("text")),
+        "id", "text", k = 3, w = 4, maxDf = 1000, minShared = 1),
+      Some(textCorpusSql +
+        """, t AS (SELECT id, string_split(lower(text), ' ') AS t FROM corpus),
+          |g AS (SELECT id, len(t) - 2 AS m, t FROM t),
+          |hh AS (SELECT id, CASE WHEN m >= 1 THEN list_transform(range(1, m + 1),
+          |  i -> md5(array_to_string(t[i:i+2], ' '))) ELSE [] END AS h FROM g),
+          |cfp AS (SELECT id AS did, unnest(CASE WHEN len(h) = 0 THEN [] ELSE
+          |  list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+          |    s -> list_min(h[s:s+3]))) END) AS fp FROM hh),
+          |qt AS (SELECT doc_id AS qid, string_split(lower(text), ' ') AS t
+          |       FROM documents WHERE doc_id % 13 = 0),
+          |qg AS (SELECT qid, len(t) - 2 AS m, t FROM qt),
+          |qh AS (SELECT qid, CASE WHEN m >= 1 THEN list_transform(range(1, m + 1),
+          |  i -> md5(array_to_string(t[i:i+2], ' '))) ELSE [] END AS h FROM qg),
+          |qfps AS (SELECT qid, CASE WHEN len(h) = 0 THEN [] ELSE
+          |  list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+          |    s -> list_min(h[s:s+3]))) END AS fps FROM qh),
+          |qfp AS (SELECT qid, unnest(fps) AS fp FROM qfps),
+          |qsz AS (SELECT qid, len(fps) AS qsz FROM qfps),
+          |freq AS (SELECT fp, count(*) AS c FROM cfp GROUP BY fp),
+          |rare AS (SELECT c2.did, c2.fp FROM cfp c2 JOIN freq f ON c2.fp = f.fp
+          |         WHERE f.c <= 1000),
+          |hits AS (SELECT qid, did, count(*) AS shared
+          |         FROM rare JOIN qfp USING (fp) GROUP BY 1, 2)
+          |SELECT qid, did, shared, shared * 1.0 / qsz AS containment
+          |FROM hits JOIN qsz USING (qid) WHERE shared >= 1""".stripMargin)),
+
     "text_vocab" -> Q(
       (s, d) => TextOps.vocabulary(Tables.load(s, d, "documents"), "doc_id", "text", k = 100),
       Some("""SELECT tok, count(DISTINCT doc_id) AS doc_freq, count(*) AS total

@@ -407,6 +407,43 @@ object Dedup {
         (col("shared") * lit(1.0) / least(col("sz1"), col("sz2"))).as("overlap"))
   }
 
+  /** Passage containment via winnowing fingerprints: for every document in
+    * `queries` (an eval benchmark, a licensed corpus, a takedown list),
+    * find the `corpus` documents sharing ≥ `minShared` selected gram
+    * hashes, with `containment` = shared / |query fingerprints|. The
+    * winnowing guarantee makes this the LOCAL form of benchmark
+    * decontamination ([[graft.ops.Curate.contamination]] is the n-gram
+    * variant): any verbatim overlap of ≥ `w + k − 1` tokens between a
+    * query doc and a corpus doc forces at least one shared fingerprint, so
+    * a contained passage cannot hide even when the surrounding document
+    * differs entirely.
+    *
+    * Scale shape: both fingerprint streams are map-only ([[TextOps.
+    * winnowFingerprints]]); the corpus stream is df-capped (`maxDf` drops
+    * web boilerplate before any hot fingerprint can skew the join) and
+    * then hash-joined against the query stream — which is benchmark-sized,
+    * so AQE broadcasts it and the corpus side never shuffles. Cost is one
+    * winnowed pass over the corpus, ~1/w of the gram stream.
+    */
+  def winnowContainment(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, w: Int = 4, maxDf: Int = 1000,
+      minShared: Int = 1): DataFrame = {
+    val cfp = graft.ops.TextOps.winnowFingerprints(corpus, idCol, textCol, k, w)
+      .select(col(idCol).as("did"), explode(col("fps")).as("fp"))
+    val qf = graft.ops.TextOps.winnowFingerprints(queries, idCol, textCol, k, w)
+    val qfp = qf.select(col(idCol).as("qid"), explode(col("fps")).as("fp"))
+    val qsizes = qf.select(col(idCol).as("qid"), size(col("fps")).as("qsz"))
+    val rare = cfp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    cfp.join(rare, Seq("fp"), "left_semi")
+      .join(qfp, Seq("fp"))
+      .groupBy("qid", "did").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(qsizes, Seq("qid"))
+      .select(col("qid"), col("did"), col("shared"),
+        (col("shared") * lit(1.0) / col("qsz")).as("containment"))
+  }
+
   /** 16-bit SimHash per document over distinct word tokens. Bit b of a
     * token's hash comes from the first 4 hex chars of its md5; the simhash
     * bit is the sign of the ±1 token votes — all integer arithmetic, so

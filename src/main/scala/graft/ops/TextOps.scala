@@ -113,9 +113,15 @@ object TextOps {
   def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
       k: Double = 1.0): DataFrame = {
     val t = df.select(col(idCol).as("id"), toks(col(textCol)).as("t"))
+    // token array lambda-bound (the rawShingles/winnow guard): an inlined
+    // `t` alias would re-split the text once per bigram element if the
+    // optimizer collapses this projection into the Generate
     val bigrams = t.filter(size(col("t")) >= 2)
       .select(col("id"),
-        explode(expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+        explode(flatten(transform(array(col("t")), tt =>
+          transform(sequence(lit(0), size(tt) - 2),
+            i => struct(element_at(tt, i + 1).as("w1"),
+              element_at(tt, i + 2).as("w2")))))).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val uni = t.select(explode(col("t")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cw"))

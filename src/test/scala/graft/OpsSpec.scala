@@ -947,6 +947,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow containment: an embedded passage is found, unrelated corpus docs are not") {
+    val passage = "the forgotten valley lay silent under a blanket of ash"
+    val corpus = docs(
+      1L -> s"chapter seven began slowly $passage and the march continued east",
+      2L -> "a completely unrelated treatise about distributed query planning")
+    val queries = docs(10L -> passage)
+    val out = Dedup.winnowContainment(corpus, queries, "id", "text",
+      k = 3, w = 4, maxDf = 1000, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set((10L, 1L)), s"got $out")
+    assert(out((10L, 1L)) > 0.0 && out((10L, 1L)) <= 1.0)
+  }
+
   test("random projection matches the sign-matrix arithmetic exactly and scales linearly") {
     val df = spark.createDataFrame(Seq(
       Row(1L, Seq(1.0, 2.0, 3.0)),
