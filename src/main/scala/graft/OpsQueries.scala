@@ -73,6 +73,17 @@ object OpsQueries {
   private def cos(a: String, b: String): String =
     cosSql.replace("%A", a).replace("%B", b)
 
+  /** DuckDB mirror of `Similarity.projectionColumn(64, 8, "rp")`: the same
+    * md5-seeded ±1 matrix unrolled as explicit left-associated arithmetic,
+    * so both engines run the identical double-op sequence bit-for-bit.
+    */
+  private def projSqlExpr(v: String): String =
+    Similarity.projectionSigns(64, 8, "rp").map { row =>
+      "(" + row.zipWithIndex.map { case (sgn, i) =>
+        s"$v[${i + 1}] * ${if (sgn > 0) "1.0" else "-1.0"}"
+      }.mkString(" + ") + ") / sqrt(CAST(8 AS DOUBLE))"
+    }.mkString("[", ", ", "]")
+
   /** Unrolled DuckDB CTE chain for a product-quantization codebook over
     * `base` (64-dim vectors): m=2 subspaces of 32 dims, `k` seeds (lowest
     * vec_ids, dense cid = seed rank), ONE joint-L2 Lloyd round with exact
@@ -788,18 +799,34 @@ object OpsQueries {
     // Johnson–Lindenstrauss random-sign projection 64→8 dims: the oracle
     // unrolls the SAME md5-seeded ±1 matrix (Similarity.projectionSigns)
     // as explicit left-associated arithmetic, so results are bit-identical
-    "sim_random_projection" -> {
-      val signs = Similarity.projectionSigns(64, 8, "rp")
-      val projSql = signs.map { row =>
-        "(" + row.zipWithIndex.map { case (sgn, i) =>
-          s"v[${i + 1}] * ${if (sgn > 0) "1.0" else "-1.0"}"
-        }.mkString(" + ") + ") / sqrt(CAST(8 AS DOUBLE))"
-      }.mkString("[", ", ", "]")
-      Q(
-        (s, d) => Similarity.randomProjection(embBase(s, d), "vec_id", "v",
-          dIn = 64, dOut = 8, salt = "rp"),
-        Some(embBaseSql + s"SELECT vec_id, $projSql AS proj FROM base"))
-    },
+    "sim_random_projection" -> Q(
+      (s, d) => Similarity.randomProjection(embBase(s, d), "vec_id", "v",
+        dIn = 64, dOut = 8, salt = "rp"),
+      Some(embBaseSql + s"SELECT vec_id, ${projSqlExpr("v")} AS proj FROM base")),
+
+    // two-stage ANN: top-`refine` in the 8-dim projected space (bounded
+    // aggregate), exact 64-dim cosine re-rank of just those candidates
+    "sim_projected_topk" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        Similarity.projectedTopK(base, base.filter(col("vec_id") < 5),
+          "vec_id", "v", dIn = 64, dProj = 8, k = 3, refine = 10)
+      },
+      Some(embBaseSql +
+        s""", cp AS (SELECT vec_id AS neighbor_id, v AS cv, ${projSqlExpr("v")} AS cpv FROM base),
+           |qp AS (SELECT vec_id AS query_id, v AS qv, ${projSqlExpr("v")} AS qpv
+           |       FROM base WHERE vec_id < 5),
+           |s1 AS (SELECT query_id, neighbor_id, qv, cv,
+           |         row_number() OVER (PARTITION BY query_id
+           |           ORDER BY ${cos("qpv", "cpv")} DESC, neighbor_id) AS prank
+           |       FROM qp JOIN cp ON neighbor_id <> query_id),
+           |ex AS (SELECT query_id, neighbor_id, ${cos("qv", "cv")} AS cos
+           |       FROM s1 WHERE prank <= 10)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ex)
+           |WHERE rank <= 3""".stripMargin)),
 
     "sim_quantize_int8" -> Q(
       (s, d) => Similarity.quantizeInt8(embBase(s, d), "vec_id", "v")

@@ -240,17 +240,63 @@ object Similarity {
     * are correctly-rounded IEEE ops — the output is bit-identical anywhere.
     */
   def randomProjection(df: DataFrame, idCol: String, vecCol: String,
-      dIn: Int, dOut: Int, salt: String = "rp"): DataFrame = {
+      dIn: Int, dOut: Int, salt: String = "rp"): DataFrame =
+    df.select(col(idCol),
+      projectionColumn(col(vecCol), dIn, dOut, salt).as("proj"))
+
+  /** The projection of [[randomProjection]] as a composable column — the
+    * input array rides a lambda binding so the dIn·dOut element lookups
+    * can never re-evaluate the source expression (the rawShingles/winnow
+    * guard), and callers can project corpus and query frames identically.
+    */
+  def projectionColumn(vec: Column, dIn: Int, dOut: Int,
+      salt: String = "rp"): Column = {
     require(dIn >= 1 && dOut >= 1,
-      s"randomProjection: dims must be >= 1, got dIn=$dIn dOut=$dOut")
+      s"projectionColumn: dims must be >= 1, got dIn=$dIn dOut=$dOut")
     val signs = projectionSigns(dIn, dOut, salt)
-    val v = transform(col(vecCol), x => x.cast("double"))
-    val outs = signs.map { row =>
-      (0 until dIn).map(i => element_at(col("_v"), i + 1) * lit(row(i)))
-        .reduceLeft(_ + _) / sqrt(lit(dOut.toDouble))
-    }
-    df.select(col(idCol), v.as("_v"))
-      .select(col(idCol), array(outs: _*).as("proj"))
+    flatten(transform(array(transform(vec, x => x.cast("double"))), vv =>
+      array(signs.map { row =>
+        (0 until dIn).map(i => element_at(vv, i + 1) * lit(row(i)))
+          .reduceLeft(_ + _) / sqrt(lit(dOut.toDouble))
+      }: _*)))
+  }
+
+  /** Two-stage ANN through the projection: stage 1 scores every
+    * (query, corpus) pair in the `dProj`-dim projected space and keeps the
+    * top `refine` per query (bounded two-phase aggregate, no window);
+    * stage 2 re-ranks ONLY those candidates with exact full-dimension
+    * cosine and returns the top `k`. The classic coarse-then-exact
+    * composition: the quadratic stage-1 scan touches `dProj` doubles per
+    * pair instead of `dIn` (8× less compute and IO at 64→8), while
+    * correctness-critical ordering comes from the exact stage, whose cost
+    * is `refine` candidates per query.
+    *
+    * Scale shape: stage 1 carries only (id, projected vector) — the wide
+    * embedding column is pruned from its scan; candidates (n_queries ×
+    * refine rows) broadcast into the stage-2 joins, so the corpus is never
+    * shuffled — one narrow scan, one wide candidate-pruned scan. Output:
+    * (query_id, rank, neighbor_id), rank 1..k by (exact cos desc, id asc).
+    */
+  def projectedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dIn: Int, dProj: Int, k: Int, refine: Int,
+      salt: String = "rp"): DataFrame = {
+    require(refine >= k, s"projectedTopK: refine ($refine) must be >= k ($k)")
+    val pc = projectionColumn(col(vecCol), dIn, dProj, salt)
+    val cProj = corpus.select(col(idCol).as("neighbor_id"), pc.as("cp"))
+    val qProj = queries.select(col(idCol).as("query_id"), pc.as("qp"))
+    val cand = qProj.join(cProj, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qp"), col("cp")))
+      .groupBy("query_id")
+      .agg(topKByScore(col("cos"), col("neighbor_id"), refine).as("_top"))
+      .select(col("query_id"), explode(col("_top")).as("_c"))
+      .select(col("query_id"), col("_c").getField("payload").as("neighbor_id"))
+    val exact = cand
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    rankTopK(exact, k)
   }
 
   /** Train K centroids with Lloyd's algorithm, entirely as DataFrame ops —

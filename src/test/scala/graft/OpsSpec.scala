@@ -979,6 +979,20 @@ class OpsSpec extends AnyFunSuite {
     assert(signs.flatten.toSet == Set(1.0, -1.0))
   }
 
+  test("projected top-k retrieves a planted near-duplicate first") {
+    val vecs = (1 to 40).map { i =>
+      Row(i.toLong, Seq.tabulate(16)(d => math.sin(i * 17.0 + d).abs + 0.1))
+    } :+ Row(100L, Seq.tabulate(16)(d => (math.sin(3 * 17.0 + d).abs + 0.1) * 1.01))
+    val df = spark.createDataFrame(vecs.asJava,
+      StructType.fromDDL("id bigint, v array<double>"))
+    val out = Similarity.projectedTopK(df, df.filter(col("id") === 3),
+      "id", "v", dIn = 16, dProj = 4, k = 3, refine = 8)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    // the scaled copy of vector 3 is cosine-identical: exact re-rank puts
+    // it at rank 1 regardless of where the coarse stage ranked it
+    assert(out(1) == 100L, s"got $out")
+  }
+
   test("length buckets: smallest boundary >= length, overflow to -1, pad waste exact") {
     val df = spark.createDataFrame(
       Seq(Row(1L, 10L), Row(2L, 64L), Row(3L, 65L), Row(4L, 500L)).asJava,

@@ -305,6 +305,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), s"winnowing must not explode grams:\n$plan")
   }
 
+  test("projected top-k: stage 2 joins ride broadcasts — the corpus is never shuffled for a join") {
+    import graft.ops.Similarity
+    val df = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+    val q = Similarity.projectedTopK(df, df.filter(col("vec_id") < 3),
+      "vec_id", "v", dIn = 64, dProj = 8, k = 3, refine = 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the bounded candidate list (queries × refine) must broadcast into the
+    // exact re-rank joins; a sort-merge join would shuffle the corpus
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast re-rank joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for stage 2:\n$plan")
+  }
+
   test("random projection is a zero-exchange codegen'd projection") {
     import graft.ops.Similarity
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
