@@ -1256,6 +1256,35 @@ object OpsQueries {
              |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped
              |FROM k""".stripMargin)),
 
+    // paragraph-level boilerplate cut (the CCNet unit): salted multi-line
+    // banner provably removed; plain list-function oracle idiom
+    "dedup_repeated_paragraphs" -> Q(
+      (s, d) => {
+        val salted = Tables.load(s, d, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 6 === 0,
+              lit("We use cookies on this site\nAccept all to continue\n\n"))
+              .otherwise(lit("")),
+            col("text")).as("text"))
+        Dedup.removeRepeatedParagraphs(salted, "doc_id", "text", minCount = 10)
+      },
+      Some("""WITH corpus AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 6 = 0 THEN 'We use cookies on this site' || chr(10) ||
+             |       'Accept all to continue' || chr(10) || chr(10)
+             |       ELSE '' END || text AS text FROM documents),
+             |w AS (SELECT doc_id, list_filter(list_transform(
+             |        string_split_regex(text, '\n[ \t]*\n+'), x -> trim(x)),
+             |        x -> x <> '') AS ps FROM corpus),
+             |c AS (SELECT p FROM (SELECT unnest(ps) AS p FROM w)
+             |      GROUP BY p HAVING count(*) >= 10),
+             |freq AS (SELECT CAST(coalesce(list(p), []) AS VARCHAR[]) AS fp FROM c),
+             |k AS (SELECT doc_id, ps, list_filter(ps, x -> NOT list_contains(fp, x)) AS kept
+             |      FROM w CROSS JOIN freq)
+             |SELECT doc_id, array_to_string(kept, chr(10) || chr(10)) AS text_clean,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CAST(len(ps) - len(kept) AS BIGINT) AS n_dropped
+             |FROM k""".stripMargin)),
+
     // Real BPE tokenization: learn 12 merges from the corpus (deterministic
     // — lexicographic tiebreaks), encode every doc by rank priority. The
     // learn loop is iterative and data-dependent, so there is no SQL oracle

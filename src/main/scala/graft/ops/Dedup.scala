@@ -809,6 +809,43 @@ object Dedup {
     * Output: (id, text_clean, n_kept, n_dropped) — every input doc appears,
     * even when all of its lines were boilerplate (empty text_clean).
     */
+  /** Paragraph-level boilerplate removal — [[removeRepeatedLines]] at the
+    * CCNet working unit: drop every paragraph (blank-line-run separated,
+    * trimmed, per [[TextOps.paragraphs]]) occurring ≥ `minCount` times
+    * corpus-wide and rebuild each document from its surviving paragraphs
+    * in order, joined by a blank line. Lines catch single-line template
+    * chrome; paragraphs catch multi-line blocks (cookie banners, footers,
+    * license headers) that line counting fragments.
+    *
+    * Same scale shape as the line form: one segmentation explode, one
+    * map-combinable paragraph count, a hash join back, one id-keyed
+    * ordered rebuild bounded by the doc's own paragraph count. Every input
+    * doc appears in the output (left join; all-boilerplate docs come back
+    * empty). Output: (idCol, text_clean, n_kept, n_dropped).
+    */
+  def removeRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int): DataFrame = {
+    val paras = graft.ops.TextOps.paragraphs(df, idCol, textCol)
+    val counts = paras.groupBy("paragraph").agg(count(lit(1)).as("_n"))
+    val rebuilt = paras.join(counts, Seq("paragraph"))
+      .withColumn("_keep", col("_n") < minCount)
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("par_idx"), col("paragraph"))))),
+            x => x.getField("paragraph")),
+          "\n\n").as("text_clean"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       minCount: Int, sep: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol).as("id"),

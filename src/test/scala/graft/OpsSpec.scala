@@ -898,6 +898,28 @@ class OpsSpec extends AnyFunSuite {
       s"expected a shared fingerprint, got ${fps(1L)} vs ${fps(2L)}")
   }
 
+  test("winnowing guarantee holds on 40 randomized shared-run cases (one Spark pass)") {
+    val rnd = new scala.util.Random(20260814L)
+    val k = 3; val w = 4
+    // per case: two docs sharing a unique >= w+k-1-token run, embedded in
+    // unrelated random prefixes/suffixes of random lengths
+    val rows = (0 until 40).flatMap { j =>
+      val run = Seq.tabulate(w + k - 1 + rnd.nextInt(4))(i => s"s${j}_$i")
+      def noise(tag: String) = Seq.fill(rnd.nextInt(8))(s"${tag}_${rnd.nextInt(50)}")
+      Seq(
+        Row(j * 2L, (noise(s"a$j") ++ run ++ noise(s"b$j")).mkString(" ")),
+        Row(j * 2L + 1, (noise(s"c$j") ++ run ++ noise(s"d$j")).mkString(" ")))
+    }
+    val df = spark.createDataFrame(rows.asJava,
+      StructType.fromDDL("id bigint, text string"))
+    val fps = TextOps.winnowFingerprints(df, "id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2).toSet).toMap
+    for (j <- 0 until 40) {
+      val shared = fps(j * 2L) & fps(j * 2L + 1)
+      assert(shared.nonEmpty, s"case $j: no shared fingerprint")
+    }
+  }
+
   test("winnow candidate pairs surface duplicates, not unrelated docs; boilerplate df-capped") {
     val boiler = "subscribe to our newsletter for more updates daily" // in every doc
     val body = "the quick brown fox jumps over the lazy dog again and again today"
@@ -977,6 +999,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).forall(_ == 0.0))
     // the matrix really mixes signs (not all +1 / all −1)
     assert(signs.flatten.toSet == Set(1.0, -1.0))
+  }
+
+  test("repeated-paragraph cut: banner dropped, order kept, all-boilerplate docs come back empty") {
+    val banner = "We use cookies\nAccept to continue"
+    val df = docs(
+      1L -> s"$banner\n\nfirst real paragraph\n\nsecond real paragraph",
+      2L -> s"opening thoughts\n\n$banner\n\nclosing thoughts",
+      3L -> banner, // all boilerplate
+      4L -> "entirely unrelated content")
+    val out = Dedup.removeRepeatedParagraphs(df, "id", "text", minCount = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ("first real paragraph\n\nsecond real paragraph", 2L, 1L))
+    assert(out(2L) == ("opening thoughts\n\nclosing thoughts", 2L, 1L))
+    assert(out(3L) == ("", 0L, 1L))
+    assert(out(4L) == ("entirely unrelated content", 1L, 0L))
   }
 
   test("projected top-k retrieves a planted near-duplicate first") {
