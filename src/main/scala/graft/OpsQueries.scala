@@ -1256,6 +1256,26 @@ object OpsQueries {
              |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped
              |FROM k""".stripMargin)),
 
+    // pairwise source-overlap matrix: per-shingle source sets -> bounded
+    // pair explode; output is #sources^2-bounded however large the corpus.
+    // Spark dedups shingles on 64-bit keys, the oracle on gram text —
+    // identical modulo 2^-64 collisions (the dedup_substring convention)
+    "dedup_source_overlap" -> Q(
+      (s, d) => Dedup.groupOverlap(
+        Tables.load(s, d, "documents").select(col("source"), col("text")),
+        "source", "text", n = 3)
+        .withColumnRenamed("g1", "s1").withColumnRenamed("g2", "s2"),
+      Some("""WITH t AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+             |g0 AS (SELECT source, unnest(list_transform(range(1, len(t) - 1),
+             |  i -> array_to_string(t[i:i+2], ' '))) AS gram FROM t WHERE len(t) >= 3),
+             |sh AS (SELECT DISTINCT source AS g, gram FROM g0),
+             |sizes AS (SELECT g, count(*) AS sz FROM sh GROUP BY g),
+             |inter AS (SELECT a.g AS s1, b.g AS s2, count(*) AS inter
+             |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.g < b.g GROUP BY 1, 2)
+             |SELECT s1, s2, inter,
+             |  inter * 1.0 / (z1.sz + z2.sz - inter) AS jaccard
+             |FROM inter JOIN sizes z1 ON s1 = z1.g JOIN sizes z2 ON s2 = z2.g""".stripMargin)),
+
     // paragraph-level boilerplate cut (the CCNet unit): salted multi-line
     // banner provably removed; plain list-function oracle idiom
     "dedup_repeated_paragraphs" -> Q(

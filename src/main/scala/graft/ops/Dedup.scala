@@ -809,6 +809,39 @@ object Dedup {
     * Output: (id, text_clean, n_kept, n_dropped) — every input doc appears,
     * even when all of its lines were boilerplate (empty text_clean).
     */
+  /** Pairwise shingle-Jaccard overlap between corpus strata (sources,
+    * crawls, snapshots): for every pair of `groupCol` values, the Jaccard
+    * similarity of their distinct word-n-gram sets — the corpus-analytics
+    * view behind mixing decisions ("is this new crawl mostly a re-crawl?")
+    * and cross-source dedup prioritization.
+    *
+    * Scale shape: one distinct over (group, shingle), then ONE aggregation
+    * per shingle collecting its (small, ≤ #groups) group set; pairs explode
+    * from each shingle's own group set — bounded by #groups² per shingle,
+    * never a corpus×corpus join. Sizes and intersections are map-side
+    * combinable counts; with G groups the output is G·(G−1)/2 rows however
+    * large the corpus. Output: (g1, g2, inter, jaccard), g1 < g2.
+    */
+  def groupOverlap(df: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = rawShingles(df, groupCol, textCol, n)
+      .select(col("id").as("g"), shKey(col("sh")).as("sh")).distinct()
+    val sizes = sh.groupBy("g").agg(count(lit(1)).as("sz"))
+    val pairs = sh.groupBy("sh")
+      .agg(array_sort(collect_set(col("g"))).as("gs"))
+      .select(explode(flatten(transform(col("gs"), a =>
+        transform(filter(col("gs"), b => b > a),
+          b => struct(a.as("g1"), b.as("g2")))))).as("p"))
+      .select(col("p.g1").as("g1"), col("p.g2").as("g2"))
+      .groupBy("g1", "g2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("g").as("g1"), col("sz").as("sz1")), Seq("g1"))
+      .join(sizes.select(col("g").as("g2"), col("sz").as("sz2")), Seq("g2"))
+      .select(col("g1"), col("g2"), col("inter"),
+        (col("inter") * lit(1.0) / (col("sz1") + col("sz2") - col("inter")))
+          .as("jaccard"))
+  }
+
   /** Paragraph-level boilerplate removal — [[removeRepeatedLines]] at the
     * CCNet working unit: drop every paragraph (blank-line-run separated,
     * trimmed, per [[TextOps.paragraphs]]) occurring ≥ `minCount` times

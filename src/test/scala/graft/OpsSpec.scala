@@ -1001,6 +1001,23 @@ class OpsSpec extends AnyFunSuite {
     assert(signs.flatten.toSet == Set(1.0, -1.0))
   }
 
+  test("group overlap: identical strata score 1.0, disjoint strata are absent") {
+    val rows = Seq(
+      Row("crawl_a", "one two three four five"),
+      Row("crawl_b", "one two three four five"),        // identical to a
+      Row("crawl_c", "six seven eight nine ten"),       // disjoint
+      Row("crawl_d", "one two three nine ten eleven"))  // partial overlap with a
+    val df = spark.createDataFrame(rows.asJava,
+      StructType.fromDDL("src string, text string"))
+    val out = Dedup.groupOverlap(df, "src", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("crawl_a", "crawl_b")) == 1.0)
+    assert(!out.contains(("crawl_a", "crawl_c")) && !out.contains(("crawl_b", "crawl_c")))
+    // a: {one two three, two three four, three four five}; d shares exactly
+    // "one two three" of its own 4 shingles -> 1 / (3 + 4 - 1)
+    assert(out(("crawl_a", "crawl_d")) == 1.0 / 6.0)
+  }
+
   test("repeated-paragraph cut: banner dropped, order kept, all-boilerplate docs come back empty") {
     val banner = "We use cookies\nAccept to continue"
     val df = docs(
