@@ -982,6 +982,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out((10L, 1L)) > 0.0 && out((10L, 1L)) <= 1.0)
   }
 
+  test("projection sign matrix is pinned: a refactor cannot silently reshuffle it") {
+    // frozen golden of the md5 sign derivation (dIn=8, dOut=2, salt "rp"):
+    // the matrix is part of the oracle contract — if this row drifts, every
+    // projection persisted in the field silently changes with it
+    val h = Similarity.projectionSigns(8, 2, "rp")
+      .flatten.map(s => if (s > 0) "+" else "-").mkString
+    assert(h == "---+--+-++-+----", s"sign matrix drifted: $h")
+  }
+
   test("random projection matches the sign-matrix arithmetic exactly and scales linearly") {
     val df = spark.createDataFrame(Seq(
       Row(1L, Seq(1.0, 2.0, 3.0)),

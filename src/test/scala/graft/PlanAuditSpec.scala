@@ -321,6 +321,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle for stage 2:\n$plan")
   }
 
+  test("frequent n-grams rank via bounded TakeOrdered, never a global sort or window") {
+    import graft.ops.TextOps
+    val plan = TextOps.frequentNgrams(corpus, "id", "text", n = 3, k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k:\n$plan")
+    assert(!plan.contains("Window"), s"no window allowed:\n$plan")
+  }
+
+  test("group overlap never forms a cartesian or corpus-side sort-merge self-join") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.{concat, lit}
+    val src = corpus.withColumn("src", concat(lit("s"), (col("id") % 4).cast("string")))
+    val q = Dedup.groupOverlap(src.select(col("src"), col("text")), "src", "text", n = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // pairs come from each shingle's own group set (explode), sizes join a
+    // #groups-sized frame — nothing here may multiply corpus rows
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("Generate"), s"expected the bounded pair explode:\n$plan")
+  }
+
   test("random projection is a zero-exchange codegen'd projection") {
     import graft.ops.Similarity
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
