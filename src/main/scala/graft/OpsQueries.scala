@@ -1133,13 +1133,14 @@ object OpsQueries {
 
     // passage containment (local decontamination): eval docs = doc_id%13
     // slice; the salted corpus provably contains their exact copies, so
-    // every query doc hits. Corpus-side df cap mirrors maxDf=1000
+    // every query doc hits. Default (uncapped) path: the guarantee holds
+    // however widespread the contamination
     "dedup_winnow_containment" -> Q(
       (s, d) => Dedup.winnowContainment(
         textCorpus(s, d),
         Tables.load(s, d, "documents").filter(col("doc_id") % 13 === 0)
           .select(col("doc_id").as("id"), col("text")),
-        "id", "text", k = 3, w = 4, maxDf = 1000, minShared = 1),
+        "id", "text", k = 3, w = 4, minShared = 1),
       Some(textCorpusSql +
         """, t AS (SELECT id, string_split(lower(text), ' ') AS t FROM corpus),
           |g AS (SELECT id, len(t) - 2 AS m, t FROM t),
@@ -1158,11 +1159,8 @@ object OpsQueries {
           |    s -> list_min(h[s:s+3]))) END AS fps FROM qh),
           |qfp AS (SELECT qid, unnest(fps) AS fp FROM qfps),
           |qsz AS (SELECT qid, len(fps) AS qsz FROM qfps),
-          |freq AS (SELECT fp, count(*) AS c FROM cfp GROUP BY fp),
-          |rare AS (SELECT c2.did, c2.fp FROM cfp c2 JOIN freq f ON c2.fp = f.fp
-          |         WHERE f.c <= 1000),
           |hits AS (SELECT qid, did, count(*) AS shared
-          |         FROM rare JOIN qfp USING (fp) GROUP BY 1, 2)
+          |         FROM cfp JOIN qfp USING (fp) GROUP BY 1, 2)
           |SELECT qid, did, shared, shared * 1.0 / qsz AS containment
           |FROM hits JOIN qsz USING (qid) WHERE shared >= 1""".stripMargin)),
 

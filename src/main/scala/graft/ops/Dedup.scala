@@ -419,23 +419,35 @@ object Dedup {
     * differs entirely.
     *
     * Scale shape: both fingerprint streams are map-only ([[TextOps.
-    * winnowFingerprints]]); the corpus stream is df-capped (`maxDf` drops
-    * web boilerplate before any hot fingerprint can skew the join) and
-    * then hash-joined against the query stream — which is benchmark-sized,
-    * so AQE broadcasts it and the corpus side never shuffles. Cost is one
-    * winnowed pass over the corpus, ~1/w of the gram stream.
+    * winnowFingerprints]]); the corpus stream hash-joins directly against
+    * the query stream — which is benchmark-sized, so AQE broadcasts it and
+    * the corpus side never shuffles (non-matching corpus fingerprints die
+    * map-side in the broadcast probe). Cost is one winnowed pass over the
+    * corpus, ~1/w of the gram stream; join output is exactly the true
+    * matches. A fingerprint contaminated into millions of corpus docs
+    * produces that many match rows — which IS the answer — and AQE's skew
+    * handling spreads the hot key. `maxDf` (default unlimited) is an
+    * explicit opt-out for query sets that themselves contain web
+    * boilerplate: capping drops corpus fingerprints above that document
+    * frequency and with them the hit guarantee for passages more
+    * widespread than the cap — leave it unlimited for decontamination,
+    * where the most-duplicated passage is precisely the one that matters.
     */
   def winnowContainment(corpus: DataFrame, queries: DataFrame, idCol: String,
-      textCol: String, k: Int = 3, w: Int = 4, maxDf: Int = 1000,
+      textCol: String, k: Int = 3, w: Int = 4, maxDf: Int = Int.MaxValue,
       minShared: Int = 1): DataFrame = {
     val cfp = graft.ops.TextOps.winnowFingerprints(corpus, idCol, textCol, k, w)
       .select(col(idCol).as("did"), explode(col("fps")).as("fp"))
     val qf = graft.ops.TextOps.winnowFingerprints(queries, idCol, textCol, k, w)
     val qfp = qf.select(col(idCol).as("qid"), explode(col("fps")).as("fp"))
     val qsizes = qf.select(col(idCol).as("qid"), size(col("fps")).as("qsz"))
-    val rare = cfp.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("fp")
-    cfp.join(rare, Seq("fp"), "left_semi")
+    val capped =
+      if (maxDf == Int.MaxValue) cfp
+      else cfp.join(
+        cfp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("fp"),
+        Seq("fp"), "left_semi")
+    capped
       .join(qfp, Seq("fp"))
       .groupBy("qid", "did").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
@@ -555,7 +567,10 @@ object Dedup {
           .select(col("id"),
             least(col("canonical"), coalesce(col("cc"), col("canonical"))).as("canonical"))
           .localCheckpoint(true)
-        prevRound.foreach(_.unpersist(blocking = false))
+        // Dataset.unpersist is a no-op on checkpointed frames (blocks live
+        // outside the CacheManager) — release the underlying RDD instead
+        prevRound.foreach(
+          org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint)
         prevRound = Some(next)
         labels = next
         round += 1
@@ -563,7 +578,7 @@ object Dedup {
     }
     // budget exhausted without an in-loop probe hit — one last probe decides
     if (!converged) converged = atFixpoint()
-    edges.unpersist()
+    org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(edges)
     if (!converged)
       throw new IllegalStateException(
         s"canonicalIds did not converge within $maxRounds rounds; " +
@@ -787,28 +802,9 @@ object Dedup {
       // keepCanonical materializes the components eagerly (per-round
       // count()s), so the candidate cache is fully consumed on return
       keepCanonical(df, idCol, verified, maxRounds)
-    } finally cand.unpersist(blocking = false)
+    } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cand)
   }
 
-  /** Line-level boilerplate removal (the CCNet/C4 move: "Subscribe to our
-    * newsletter", cookie banners, nav menus repeat verbatim across a crawl):
-    * drop every line that occurs at least `minCount` times corpus-wide and
-    * rebuild each document from its surviving lines in order. The line-level
-    * sibling of [[removeDuplicatedSpans]] — spans catch long shared
-    * passages, this catches short template lines whole documents share.
-    *
-    * Scale shape: one line explode, one line-keyed count (map-side
-    * combinable — the shuffle carries one row per distinct line per
-    * partition), a hash join back (hot boilerplate lines are one row on the
-    * counts side, so no skew amplification), and one id-keyed rebuild whose
-    * `collect_list` is bounded by the doc's own line count. No windows, no
-    * all-pairs. The join keys on the raw line text so results are exact;
-    * pre-hashing lines (md5/xxhash) is the exchange-volume knob at 100 TB,
-    * at the price of cross-line hash-collision conflation.
-    *
-    * Output: (id, text_clean, n_kept, n_dropped) — every input doc appears,
-    * even when all of its lines were boilerplate (empty text_clean).
-    */
   /** Pairwise shingle-Jaccard overlap between corpus strata (sources,
     * crawls, snapshots): for every pair of `groupCol` values, the Jaccard
     * similarity of their distinct word-n-gram sets — the corpus-analytics
@@ -819,8 +815,10 @@ object Dedup {
     * per shingle collecting its (small, ≤ #groups) group set; pairs explode
     * from each shingle's own group set — bounded by #groups² per shingle,
     * never a corpus×corpus join. Sizes and intersections are map-side
-    * combinable counts; with G groups the output is G·(G−1)/2 rows however
-    * large the corpus. Output: (g1, g2, inter, jaccard), g1 < g2.
+    * combinable counts; with G groups the output is AT MOST G·(G−1)/2 rows
+    * however large the corpus — pairs sharing no shingle are absent (treat
+    * a missing pair as jaccard 0 when pivoting to a full matrix).
+    * Output: (g1, g2, inter, jaccard), g1 < g2, inter ≥ 1.
     */
   def groupOverlap(df: DataFrame, groupCol: String, textCol: String,
       n: Int = 3): DataFrame = {
@@ -879,6 +877,25 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** Line-level boilerplate removal (the CCNet/C4 move: "Subscribe to our
+    * newsletter", cookie banners, nav menus repeat verbatim across a crawl):
+    * drop every line that occurs at least `minCount` times corpus-wide and
+    * rebuild each document from its surviving lines in order. The line-level
+    * sibling of [[removeDuplicatedSpans]] — spans catch long shared
+    * passages, this catches short template lines whole documents share.
+    *
+    * Scale shape: one line explode, one line-keyed count (map-side
+    * combinable — the shuffle carries one row per distinct line per
+    * partition), a hash join back (hot boilerplate lines are one row on the
+    * counts side, so no skew amplification), and one id-keyed rebuild whose
+    * `collect_list` is bounded by the doc's own line count. No windows, no
+    * all-pairs. The join keys on the raw line text so results are exact;
+    * pre-hashing lines (md5/xxhash) is the exchange-volume knob at 100 TB,
+    * at the price of cross-line hash-collision conflation.
+    *
+    * Output: (id, text_clean, n_kept, n_dropped) — every input doc appears,
+    * even when all of its lines were boilerplate (empty text_clean).
+    */
   def removeRepeatedLines(df: DataFrame, idCol: String, textCol: String,
       minCount: Int, sep: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol).as("id"),

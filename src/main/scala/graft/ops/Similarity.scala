@@ -362,8 +362,14 @@ object Similarity {
       roundDigits: Int = -1): DataFrame = {
     val pts = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
     var cents = kmeansSeeds(pts, k, seedByHash)
-    for (_ <- 1 to iters)
+    for (_ <- 1 to iters) {
+      val prev = cents
       cents = lloydRound(pts, cents, roundDigits)
+      // checkpointed rounds release through the RDD (Dataset.unpersist
+      // is a no-op on checkpoints); K-row frames, but loops should not
+      // rely on the ContextCleaner for bounded storage
+      org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(prev)
+    }
     cents.select(col("centroid_id"), col("cv").as(vecCol))
   }
 
@@ -391,6 +397,7 @@ object Similarity {
         .select(sqrt(aggregate(zip_with(col("_old"), col("cv"),
           (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)).as("d"))
         .agg(max(col("d"))).collect()(0)
+      org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
       cents = next
       rounds += 1
       converged = !shiftRow.isNullAt(0) && shiftRow.getDouble(0) <= tol

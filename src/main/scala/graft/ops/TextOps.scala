@@ -152,17 +152,23 @@ object TextOps {
     // inline split would re-run once per gram element (O(tokens²) per doc,
     // measured 100× on 500-token docs), and the `_g` alias would be inlined
     // into each of its reference sites by CollapseProject.
-    val grams = flatten(transform(array(split(col(textCol), " ")), w =>
-      when(size(w) >= n,
+    // Both output columns come from ONE evaluation: the (n_grams, ratio)
+    // pair is built as a 1-element struct array inside the bound lambdas
+    // and emitted through `inline` — projecting two scalar columns through
+    // a struct alias instead would let CollapseProject duplicate the whole
+    // gram build per extracted field
+    val stat = transform(array(split(col(textCol), " ")), w => {
+      val grams = when(size(w) >= n,
         transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))))
-    val nGrams = greatest(size(split(col(textCol), " ")) - (n - 1), lit(0))
-    val ratio = element_at(transform(array(grams), g =>
-      when(size(g) === 0, lit(0.0))
-        .otherwise((size(g) - size(array_distinct(g))) * lit(1.0) / size(g))), 1)
-    df.select(col(idCol), nGrams.cast("long").as("n_grams"),
-      ratio.as("rep_ratio"))
+        .otherwise(array().cast("array<string>"))
+      element_at(transform(array(grams), g => struct(
+        size(g).cast("long").as("n_grams"),
+        when(size(g) === 0, lit(0.0))
+          .otherwise((size(g) - size(array_distinct(g))) * lit(1.0) / size(g))
+          .as("rep_ratio"))), 1)
+    })
+    df.select(col(idCol), inline(stat))
   }
 
   /** The Gopher rule stopword list (Rae et al. 2021, appendix A1.1): a doc
@@ -556,15 +562,20 @@ object TextOps {
     heavyGrams(grams.filter(mightBeHeavy(col("gram"))), k, minCount)
   }
 
-  /** (_id, gram) word-n-gram stream: HOF construction, one explode. */
+  /** (_id, gram) word-n-gram stream: HOF construction, one explode. The
+    * token array is lambda-bound (the rawShingles/winnow guard) so the
+    * split can never be re-evaluated per gram element when the explode
+    * folds this projection into the Generate.
+    */
   private def gramStream(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"gramStream: n must be >= 1, got n=$n")
-    val t = toks(col(textCol))
-    val m = size(t) - n + 1
-    val grams = when(m >= 1, transform(sequence(lit(1), m),
-      i => array_join(slice(t, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = flatten(transform(array(toks(col(textCol))), t => {
+      val m = size(t) - n + 1
+      when(m >= 1, transform(sequence(lit(1), greatest(m, lit(1))),
+        i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    }))
     df.select(col(idCol).as("_id"), explode(grams).as("gram"))
   }
 

@@ -53,6 +53,9 @@ object HofScale {
       time(s"$round minhashEstimatePairs") {
         graft.ops.Dedup.minhashEstimatePairs(df, "id", "text").count()
       }
+      time(s"$round frequentNgrams n=3 top-100") {
+        graft.ops.TextOps.frequentNgrams(df, "id", "text", n = 3, k = 100).count()
+      }
     }
     spark.stop()
   }

@@ -19,6 +19,23 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, Byte
 object GraftColumnsBridge {
   def of(e: Expression): Column = ExpressionUtils.column(e)
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Deterministically release the storage blocks of a `localCheckpoint`ed
+    * frame. `Dataset.unpersist` is a silent no-op for checkpointed frames:
+    * the checkpoint persists the underlying RDD directly, outside the
+    * CacheManager's plan registry, so `uncacheQuery` finds nothing and the
+    * blocks survive until the ContextCleaner garbage-collects the RDD.
+    * Iterative loops that checkpoint per round (connected components,
+    * Lloyd rounds) call this on the superseded round instead, keeping
+    * executor storage one frame deep by construction. Safe on
+    * non-checkpointed frames (no LogicalRDD leaf → nothing to do).
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
 
 object ConfluentHeaderError {

@@ -976,7 +976,7 @@ class OpsSpec extends AnyFunSuite {
       2L -> "a completely unrelated treatise about distributed query planning")
     val queries = docs(10L -> passage)
     val out = Dedup.winnowContainment(corpus, queries, "id", "text",
-      k = 3, w = 4, maxDf = 1000, minShared = 1)
+      k = 3, w = 4, minShared = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(out.keySet == Set((10L, 1L)), s"got $out")
     assert(out((10L, 1L)) > 0.0 && out((10L, 1L)) <= 1.0)
@@ -1008,6 +1008,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).forall(_ == 0.0))
     // the matrix really mixes signs (not all +1 / all −1)
     assert(signs.flatten.toSet == Set(1.0, -1.0))
+  }
+
+  test("component rounds release superseded checkpoints: storage stays one frame deep") {
+    val sc = spark.sparkContext
+    val pairs = spark.createDataFrame(Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(3L, 4L), Row(10L, 11L)).asJava,
+      StructType.fromDDL("d1 bigint, d2 bigint"))
+    val members = pairs.select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+    val before = sc.getPersistentRDDs.keySet
+    val labels = Dedup.canonicalIds(members, "id", pairs, 20)
+    labels.count()
+    val added = sc.getPersistentRDDs.keySet -- before
+    // Dataset.unpersist is a no-op on checkpointed frames, so the loop must
+    // release superseded rounds through the RDD: only the RETURNED labels
+    // frame may remain pinned
+    assert(added.size <= 1, s"leaked ${added.size} checkpointed frames")
+    org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(labels)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "releaseCheckpoint must free the returned frame too")
   }
 
   test("group overlap: identical strata score 1.0, disjoint strata are absent") {
