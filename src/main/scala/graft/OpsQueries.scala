@@ -1934,6 +1934,31 @@ object OpsQueries {
              |     - len(string_split(text, ' '))) / 1000.0) AS BIGINT) AS pack_id
              |FROM documents""".stripMargin)),
 
+    // the composed loader shape: length-bucket first (padding bound), then
+    // pack WITHIN each bucket — packSequences' shard column is the bucket,
+    // so batches are both length-homogeneous and budget-bounded
+    "curate_bucketed_packing" -> Q(
+      (s, d) => Curate.packSequences(
+        Curate.assignLengthBuckets(
+          Tables.load(s, d, "documents")
+            .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+          col("n_tok"), Seq(32L, 64L, 128L)),
+        col("bucket"), col("doc_id"), col("n_tok"), budgetTokens = 1000)
+        .select("doc_id", "bucket", "n_tok", "pack_id"),
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |  CASE WHEN len(string_split(text, ' ')) <= 32 THEN 32
+             |       WHEN len(string_split(text, ' ')) <= 64 THEN 64
+             |       WHEN len(string_split(text, ' ')) <= 128 THEN 128
+             |       ELSE -1 END AS bucket
+             |  FROM documents)
+             |SELECT doc_id, bucket, n_tok,
+             |  CAST(floor(
+             |    (sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+             |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |     - n_tok) / 1000.0) AS BIGINT) AS pack_id
+             |FROM b""".stripMargin)),
+
     // packing emitted end-to-end: each pack's documents concatenated in
     // doc order into one training sequence (md5'd for the compare); one
     // groupBy per (source, pack) — packs are the parallelism unit
