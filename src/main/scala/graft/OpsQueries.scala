@@ -1254,6 +1254,20 @@ object OpsQueries {
              |  CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped
              |FROM k""".stripMargin)),
 
+    // the per-row (map-only, stream-safe) minhash signature — bit-identical
+    // to the aggregation form by spec; hash-checked directly here
+    "dedup_minhash_signature_row" -> Q(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          Dedup.minhashSignatureColumn(col("text"), n = 3, numPerms = 8).as("sig")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+             |  list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+             |  ELSE [] END AS grams FROM t)
+             |SELECT doc_id, list_transform(range(0, 8),
+             |  p -> list_min(list_transform(grams, s -> md5(p || '|' || s)))) AS sig
+             |FROM g""".stripMargin)),
+
     // pairwise source-overlap matrix: per-shingle source sets -> bounded
     // pair explode; output is #sources^2-bounded however large the corpus.
     // Spark dedups shingles on 64-bit keys, the oracle on gram text —

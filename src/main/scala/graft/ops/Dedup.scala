@@ -140,6 +140,31 @@ object Dedup {
       .groupBy("id", "p")
       .agg(min(md5(concat(col("p"), lit("|"), col("sh")))).as("mv"))
 
+  /** The whole minhash signature as ONE per-row column — bit-identical to
+    * [[minhashSignatures]] (same md5(p|shingle) permutation hashes, same
+    * lexicographic minima; `array_min` over within-doc duplicate shingles
+    * equals the min over distinct ones) but computed entirely inside a
+    * projection: no explode, no aggregation, no shuffle. This is the form
+    * STREAMING pipelines need (stateless projections compose with
+    * watermarked dedup, a groupBy would not) and a per-row alternative
+    * wherever the wide-form signature frame is overkill. Cost is
+    * O(perms · shingles) per row, the same work the aggregation form does.
+    * Arrays are lambda-bound (the rawShingles guard). Returns
+    * `array<string>` of length `numPerms`; empty-shingle docs get nulls.
+    */
+  def minhashSignatureColumn(textCol: Column, n: Int = 3,
+      numPerms: Int = 16): Column =
+    flatten(transform(array(split(textCol, " ")), w => {
+      val grams = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      flatten(transform(array(grams), g =>
+        transform(sequence(lit(0), lit(numPerms - 1)),
+          p => array_min(transform(g,
+            s => md5(concat(p.cast("string"), lit("|"), s)))))))
+    }))
+
   /** 64-bit shingle key for join/count purposes: xxhash64 of the shingle
     * string. Shuffling 8-byte longs instead of ~n·word-length strings
     * roughly halves-to-quarters the exchange volume of the inverted-index

@@ -33,4 +33,24 @@ object StreamDedup {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** Near-duplicate streaming dedup: the state key is the md5 of the full
+    * minhash signature ([[graft.ops.Dedup.minhashSignatureColumn]] — a
+    * stateless per-row projection, which is what lets it compose with the
+    * watermarked dedup; the batch form's groupBy could not). Two documents
+    * collide exactly when ALL `numPerms` permutation minima agree —
+    * probability J^numPerms at Jaccard J — so this drops exact dups and
+    * high-similarity near-dups (trailing whitespace, duplicated boilerplate
+    * tails) within the horizon while borderline pairs pass through to the
+    * batch LSH over the landed corpus, which remains the authority.
+    * Documents with fewer than `n` tokens all share the empty signature
+    * and dedup as one key, like empty content under [[dedupByContent]].
+    */
+  def dedupNearContent(df: DataFrame, tsCol: String, delay: String,
+      textCol: String, n: Int = 3, numPerms: Int = 16): DataFrame =
+    df.withColumn("_sig", md5(array_join(
+        graft.ops.Dedup.minhashSignatureColumn(col(textCol), n, numPerms), ",")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("_sig")
+      .drop("_sig")
 }

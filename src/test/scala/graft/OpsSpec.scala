@@ -898,6 +898,24 @@ class OpsSpec extends AnyFunSuite {
       s"expected a shared fingerprint, got ${fps(1L)} vs ${fps(2L)}")
   }
 
+  test("per-row minhash signature column is bit-identical to the aggregation form") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again today",
+      2L -> "completely different content about spark query engines",
+      3L -> "a b") // < n tokens: empty shingles
+    val perRow = df.select(col("id"),
+      Dedup.minhashSignatureColumn(col("text"), n = 3, numPerms = 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val agg = Dedup.minhashSignatures(
+      Dedup.rawShingles(df, "id", "text", 3), numPerms = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+    assert(perRow(1L) == agg(1L) && perRow(2L) == agg(2L))
+    assert(perRow(3L).forall(_ == null) && !agg.contains(3L)) // no shingles
+  }
+
   test("winnowing guarantee holds on 40 randomized shared-run cases (one Spark pass)") {
     val rnd = new scala.util.Random(20260814L)
     val k = 3; val w = 4

@@ -282,6 +282,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 4L)) // id 3 = duplicate of id 1's content, dropped
   }
 
+  test("streaming near-dup dedup keys on the per-row minhash signature") {
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("sndedup").toString
+    val schema = StructType.fromDDL("id bigint, text string, ts timestamp")
+    def write(rows: (Long, String, String)*): Unit =
+      spark.createDataFrame(
+        rows.map { case (i, t, s) => Row(i, t, java.sql.Timestamp.valueOf(s)) }.asJava,
+        schema).write.mode("append").parquet(dir)
+    val doc = "the quick brown fox jumps over the lazy dog again today"
+    write((1L, doc, "2024-01-01 00:00:00"),
+      (2L, "entirely different content about streaming state stores", "2024-01-01 00:00:10"))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamDedup.dedupNearContent(stream, "ts", "10 minutes", "text")
+      .writeStream.outputMode("append").format("memory").queryName("sndedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    // an exact re-arrival and a fresh doc, inside the horizon
+    write((3L, doc, "2024-01-01 00:01:00"),
+      (4L, "yet another unrelated page on pool commits", "2024-01-01 00:01:30"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sndedup_out").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L)) // signature-identical id 3 dropped
+  }
+
   test("Zed-program shaper applies per micro-batch (the README shape.zed flow, offline)") {
     // README.md:74-85: `zync from-kafka … -shaper shape.zed` with the
     // documented one-liner — here through the file twin end to end
