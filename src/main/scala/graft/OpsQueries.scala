@@ -1075,6 +1075,48 @@ object OpsQueries {
           |FROM g GROUP BY gram HAVING count(*) >= 2
           |ORDER BY total DESC, gram LIMIT 100""".stripMargin)),
 
+    // the full winnow composition (the dedup_lsh_jaccard analog): winnow
+    // candidates -> exact Jaccard verify, threshold 0.5 — candidate
+    // generation rides the ~1/w fingerprint stream, exactness comes from
+    // the verify pass, linear in the candidate list
+    "dedup_winnow_jaccard" -> Q(
+      (s, d) => {
+        val corpus = textCorpus(s, d)
+        val cand = Dedup.winnowCandidatePairs(corpus, "id", "text",
+          k = 3, w = 4, maxDf = 100, minShared = 2)
+          .select("d1", "d2").localCheckpoint(true)
+        Dedup.jaccardForPairs(corpus, cand, "id", "text")
+          .filter(col("jaccard") >= 0.5)
+      },
+      Some(textCorpusSql +
+        """, t AS (SELECT id, string_split(lower(text), ' ') AS t FROM corpus),
+          |g AS (SELECT id, len(t) - 2 AS m, t FROM t),
+          |hh AS (SELECT id, CASE WHEN m >= 1 THEN list_transform(range(1, m + 1),
+          |  i -> md5(array_to_string(t[i:i+2], ' '))) ELSE [] END AS h FROM g),
+          |fp0 AS (SELECT id, unnest(CASE WHEN len(h) = 0 THEN [] ELSE
+          |  list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
+          |    s -> list_min(h[s:s+3]))) END) AS fp FROM hh),
+          |freq AS (SELECT fp, count(*) AS c FROM fp0 GROUP BY fp),
+          |fps AS (SELECT f.id, f.fp FROM fp0 f JOIN freq q ON f.fp = q.fp WHERE q.c <= 100),
+          |cand AS (SELECT a.id AS d1, b.id AS d2
+          |         FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+          |         GROUP BY 1, 2 HAVING count(*) >= 2),
+          |words AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
+          |sh0 AS (SELECT DISTINCT id,
+          |          unnest(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+          |        FROM words),
+          |sizes AS (SELECT id, count(*) AS sz FROM sh0 GROUP BY id),
+          |inters AS (SELECT c.d1, c.d2, count(*) AS inter
+          |           FROM cand c JOIN sh0 a ON a.id = c.d1
+          |                       JOIN sh0 b ON b.id = c.d2 AND b.sh = a.sh
+          |           GROUP BY 1, 2)
+          |SELECT d1, d2, inter, jaccard FROM (
+          |  SELECT d1, d2, coalesce(inter, 0) AS inter,
+          |         coalesce(inter, 0) * 1.0 / (s1.sz + s2.sz - coalesce(inter, 0)) AS jaccard
+          |  FROM cand LEFT JOIN inters USING (d1, d2)
+          |  JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id)
+          |WHERE jaccard >= 0.5""".stripMargin)),
+
     // the sketch-pruned form: CMS pre-pass + broadcast probe + exact verify
     // — result is EXACTLY the exact version's (sketch prunes, never
     // decides), so it shares that oracle
