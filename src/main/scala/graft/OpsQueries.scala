@@ -1047,6 +1047,19 @@ object OpsQueries {
            |FROM documents""".stripMargin
       }),
 
+    // character-entropy noise/boilerplate signal; p·ln(p) terms rounded to
+    // 12 decimals then decimal-summed (the DSIR exact-sum discipline)
+    "text_entropy" -> Q(
+      (s, d) => TextOps.charEntropy(
+        Tables.load(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+             |cnt AS (SELECT doc_id, c, count(*) AS cnt FROM t GROUP BY 1, 2),
+             |lens AS (SELECT doc_id, sum(cnt) AS len FROM cnt GROUP BY 1)
+             |SELECT doc_id, CAST(max(len) AS BIGINT) AS n_chars,
+             |  round(CAST(-sum(CAST(round((cnt * 1.0 / len) * ln(cnt * 1.0 / len), 12)
+             |    AS DECIMAL(28,12))) AS DOUBLE), 4) AS entropy
+             |FROM cnt JOIN lens USING (doc_id) GROUP BY doc_id""".stripMargin)),
+
     "text_tokens" -> Q(
       (s, d) => TextOps.tokenCounts(Tables.load(s, d, "documents"), "doc_id", "text"),
       Some("""SELECT doc_id,

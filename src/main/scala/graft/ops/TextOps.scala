@@ -515,6 +515,35 @@ object TextOps {
         col("col").getField("payload").as("term"))
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the
+    * model-free noise/boilerplate signal the heuristic filter families
+    * (Gopher, RefinedWeb) approximate with compression ratio: low entropy
+    * = repetitive template content, implausibly high = binary junk or
+    * encoding damage. Output: (idCol, n_chars, entropy), entropy rounded
+    * to 1e-4.
+    *
+    * Scale shape: one character explode into a map-side-combinable
+    * (id, char) count, one id-keyed sum — the vocabulary-aggregation
+    * pattern, alphabet-bounded after partial aggregation.
+    * Reproducibility: each p·ln(p) term is rounded to 12 decimals and
+    * carried as DECIMAL so the per-doc sum is exact and associative —
+    * aggregation order, libm build, and engine cannot flip the 4-decimal
+    * rounding (the DSIR/kmeans exact-decimal discipline).
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), "")).as("c"))
+    val counts = chars.groupBy("id", "c").agg(count(lit(1)).as("cnt"))
+    val p = col("cnt") * lit(1.0) / col("len")
+    counts
+      .join(counts.groupBy("id").agg(sum("cnt").as("len")), Seq("id"))
+      .withColumn("term", round(p * log(p), 12).cast("decimal(28,12)"))
+      .groupBy("id")
+      .agg(max("len").as("n_chars"),
+        round((-sum(col("term"))).cast("double"), 4).as("entropy"))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Corpus-frequent word n-grams — the boilerplate-mining pass whose
     * output seeds template-removal filters (`Dedup.removeRepeatedLines` /
     * `removeDuplicatedSpans`): top-`k` n-grams by total occurrences (ties →

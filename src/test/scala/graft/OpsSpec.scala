@@ -898,6 +898,18 @@ class OpsSpec extends AnyFunSuite {
       s"expected a shared fingerprint, got ${fps(1L)} vs ${fps(2L)}")
   }
 
+  test("char entropy: uniform alphabet = ln(k), repetition scores near zero") {
+    val df = docs(
+      1L -> "abcd".toSeq.mkString(""), // 4 distinct chars, uniform
+      2L -> "aaaaaaaa",                // zero entropy
+      3L -> "aabb")                    // ln 2
+    val out = TextOps.charEntropy(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == (4L, BigDecimal(math.log(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(out(2L) == (8L, 0.0))
+    assert(out(3L) == (4L, BigDecimal(math.log(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("per-row minhash signature column is bit-identical to the aggregation form") {
     val df = docs(
       1L -> "the quick brown fox jumps over the lazy dog again today",
