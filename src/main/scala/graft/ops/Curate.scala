@@ -347,6 +347,96 @@ object Curate {
           .cast("double").as("log_weight"))
   }
 
+  /** Train a hashed bag-of-words text classifier ENTIRELY in the engine —
+    * the quality-classifier step (FineWeb-edu style "does this look like
+    * the seed set") as distributed aggregations, the same discipline as
+    * [[importanceWeights]]'s two fits but with an iterative optimizer:
+    * each epoch of gradient descent is ONE margin aggregation (docs ×
+    * their buckets, map-side combinable, weights ride a ≤4096-row
+    * broadcast) plus ONE gradient aggregation back over the bucket key.
+    * Nothing is collected; the corpus token stream is read once into a
+    * cached (id, y, bucket, count) frame that every epoch reuses.
+    *
+    * The link is the RATIONAL fast sigmoid p = ½ + m / (2·(1+|m|)) —
+    * chosen over exp() deliberately: the entire training loop is then
+    * +,−,×,÷,|·| on exact-decimal margins, so every weight is
+    * bit-identical on any engine, partitioning, or libm (exp's 1-ulp
+    * variance would otherwise compound across epochs). Same monotone
+    * S-curve family; swap in the exp form when cross-engine exactness
+    * doesn't matter. Margins stay exact DECIMAL (weights rounded to 12
+    * decimals each epoch, counts × weights summed associatively), the
+    * kmeans/DSIR reproducibility pattern.
+    *
+    * Epoch rounds are `localCheckpoint`ed and the superseded round
+    * released (the connected-components lesson: per-round plans reference
+    * the previous weights twice, and a persist would re-analyze an
+    * exponentially growing tree). Output: (bucket, w) — feed to
+    * [[scoreTextClassifier]].
+    */
+  def trainTextClassifier(df: DataFrame, idCol: String, labelCol: Column,
+      textCol: String, epochs: Int = 2, rate: Double = 1.0): DataFrame = {
+    require(epochs >= 1, s"trainTextClassifier: epochs must be >= 1, got $epochs")
+    val db = df.select(col(idCol).as("id"), labelCol.cast("double").as("y"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .withColumn("bucket", conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
+      .groupBy("id", "y", "bucket").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = broadcast(db.select(countDistinct("id").as("n")))
+      val zeroW = lit(0).cast("decimal(18,12)")
+      var w = db.select(col("bucket")).distinct()
+        .withColumn("w", zeroW).localCheckpoint(true)
+      for (_ <- 1 to epochs) {
+        val margins = db.join(broadcast(w), Seq("bucket"), "left")
+          .groupBy("id", "y")
+          .agg(sum(col("c").cast("decimal(10,0)") * coalesce(col("w"), zeroW))
+            .as("m"))
+          .withColumn("md", col("m").cast("double"))
+          // rational fast sigmoid: no libm anywhere in the loop
+          .withColumn("p", lit(0.5) + col("md") / (lit(2.0) * (lit(1.0) + abs(col("md")))))
+        val grad = db.join(margins.select("id", "p"), Seq("id"))
+          .groupBy("bucket")
+          // |p−y| < 1, so DECIMAL(13,12) holds it exactly and the product
+          // with the count stays inside 38 digits of precision (a wider
+          // operand would hit Spark's 38-digit cap and silently round)
+          .agg(sum(round(col("p") - col("y"), 12).cast("decimal(13,12)")
+            * col("c").cast("decimal(10,0)")).as("g"))
+        val next = w.join(grad, Seq("bucket"), "left")
+          .crossJoin(n)
+          .select(col("bucket"),
+            round(col("w").cast("double")
+              - lit(rate) * coalesce(col("g").cast("double"), lit(0.0)) / col("n"), 12)
+              .cast("decimal(18,12)").as("w"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(w)
+        w = next
+      }
+      w
+    } finally db.unpersist(blocking = false)
+  }
+
+  /** Score documents with [[trainTextClassifier]] weights: the fast-sigmoid
+    * of the exact-decimal margin, rounded to 1e-4. One token explode +
+    * one id-keyed margin aggregation, weights on a broadcast — the same
+    * map-combinable shape as scoring with DSIR log-ratios.
+    * Output: (idCol, score).
+    */
+  def scoreTextClassifier(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame): DataFrame = {
+    val zeroW = lit(0).cast("decimal(18,12)")
+    df.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .withColumn("bucket", conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(sum(col("c").cast("decimal(10,0)") * coalesce(col("w"), zeroW)).as("m"))
+      .withColumn("md", col("m").cast("double"))
+      .select(col("id").as(idCol),
+        round(lit(0.5) + col("md") / (lit(2.0) * (lit(1.0) + abs(col("md")))), 4)
+          .as("score"))
+  }
+
   /** Deterministic training-shard assignment + export — the hand-off step
     * after dedup/filter/mix/pack: every row lands in
     * `shard = md5(key‖salt) mod numShards` (the same portable-hash space as

@@ -898,6 +898,30 @@ class OpsSpec extends AnyFunSuite {
       s"expected a shared fingerprint, got ${fps(1L)} vs ${fps(2L)}")
   }
 
+  test("in-engine classifier separates classes and generalizes to held-out docs") {
+    val pos = Seq.tabulate(20)(i => s"theorem proof lemma corollary axiom derivation v$i")
+    val neg = Seq.tabulate(20)(i => s"click here subscribe buy now free offer w$i")
+    val rows = (pos.zipWithIndex.map { case (t, i) => Row(i.toLong, t, 1.0) } ++
+      neg.zipWithIndex.map { case (t, i) => Row(100L + i, t, 0.0) })
+    val df = spark.createDataFrame(rows.asJava,
+      StructType.fromDDL("id bigint, text string, y double"))
+    val w = Curate.trainTextClassifier(df, "id", col("y") === 1.0, "text",
+      epochs = 3, rate = 4.0)
+    val heldOut = docs(
+      500L -> "new theorem with a proof and a lemma",
+      501L -> "buy now and subscribe for a free offer")
+    val scores = Curate.scoreTextClassifier(heldOut, "id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(500L) > 0.6 && scores(501L) < 0.4,
+      s"classifier failed to separate held-out docs: $scores")
+    val train = Curate.scoreTextClassifier(
+      df.select(col("id"), col("text")), "id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val (pMean, nMean) = (train.filter(_._1 < 100).map(_._2).sum / 20,
+      train.filter(_._1 >= 100).map(_._2).sum / 20)
+    assert(pMean > nMean + 0.3, s"train separation too weak: $pMean vs $nMean")
+  }
+
   test("char entropy: uniform alphabet = ln(k), repetition scores near zero") {
     val df = docs(
       1L -> "abcd".toSeq.mkString(""), // 4 distinct chars, uniform
