@@ -84,6 +84,51 @@ object OpsQueries {
       }.mkString(" + ") + ") / sqrt(CAST(8 AS DOUBLE))"
     }.mkString("[", ", ", "]")
 
+  /** The in-engine classifier train+score chain mirrored in DuckDB SQL —
+    * shared by `curate_classifier_score` and the gated variant.
+    */
+  private lazy val classifierScoreSql: String = {
+        def bucket(h: String) = (0 until 3).map { i =>
+          val w = 1 << (4 * (2 - i))
+          s"(strpos('0123456789abcdef', substr(md5($h), ${i + 1}, 1)) - 1) * $w"
+        }.mkString(" + ")
+        val sig = (m: String) =>
+          s"0.5 + CAST($m AS DOUBLE) / (2.0 * (1.0 + abs(CAST($m AS DOUBLE))))"
+        s"""WITH ct0 AS (SELECT doc_id AS id,
+           |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+           |       THEN 1.0 ELSE 0.0 END AS y,
+           |  unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+           |db AS (SELECT id, y, ${bucket("tok")} AS bucket, count(*) AS c
+           |  FROM ct0 GROUP BY 1, 2, 3),
+           |nn AS (SELECT count(DISTINCT id) AS n FROM db),
+           |w0 AS (SELECT DISTINCT bucket, CAST(0 AS DECIMAL(18,12)) AS w FROM db),
+           |m1 AS (SELECT id, y, sum(CAST(c AS DECIMAL(10,0))
+           |         * coalesce(w, CAST(0 AS DECIMAL(18,12)))) AS m
+           |  FROM db LEFT JOIN w0 USING (bucket) GROUP BY 1, 2),
+           |p1 AS (SELECT id, ${sig("m")} AS p FROM m1),
+           |g1 AS (SELECT bucket, sum(CAST(round(p - y, 12) AS DECIMAL(13,12))
+           |         * CAST(c AS DECIMAL(10,0))) AS g
+           |  FROM db JOIN p1 USING (id) GROUP BY bucket),
+           |w1 AS (SELECT w0.bucket, CAST(round(CAST(w0.w AS DOUBLE)
+           |         - 1.0 * coalesce(CAST(g AS DOUBLE), 0.0) / n, 12) AS DECIMAL(18,12)) AS w
+           |  FROM w0 LEFT JOIN g1 USING (bucket) CROSS JOIN nn),
+           |m2 AS (SELECT id, y, sum(CAST(c AS DECIMAL(10,0))
+           |         * coalesce(w, CAST(0 AS DECIMAL(18,12)))) AS m
+           |  FROM db LEFT JOIN w1 USING (bucket) GROUP BY 1, 2),
+           |p2 AS (SELECT id, ${sig("m")} AS p FROM m2),
+           |g2 AS (SELECT bucket, sum(CAST(round(p - y, 12) AS DECIMAL(13,12))
+           |         * CAST(c AS DECIMAL(10,0))) AS g
+           |  FROM db JOIN p2 USING (id) GROUP BY bucket),
+           |w2 AS (SELECT w1.bucket, CAST(round(CAST(w1.w AS DOUBLE)
+           |         - 1.0 * coalesce(CAST(g AS DOUBLE), 0.0) / n, 12) AS DECIMAL(18,12)) AS w
+           |  FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN nn),
+           |sb AS (SELECT id, bucket, sum(c) AS c FROM db GROUP BY 1, 2),
+           |sm AS (SELECT id, sum(CAST(c AS DECIMAL(10,0))
+           |         * coalesce(w, CAST(0 AS DECIMAL(18,12)))) AS m
+           |  FROM sb LEFT JOIN w2 USING (bucket) GROUP BY 1)
+           |SELECT id AS doc_id, round(${sig("m")}, 4) AS score FROM sm""".stripMargin
+  }
+
   /** Unrolled DuckDB CTE chain for a product-quantization codebook over
     * `base` (64-dim vectors): m=2 subspaces of 32 dims, `k` seeds (lowest
     * vec_ids, dense cid = seed rank), ONE joint-L2 Lloyd round with exact
@@ -1822,47 +1867,24 @@ object OpsQueries {
           "text", epochs = 2, rate = 1.0)
         Curate.scoreTextClassifier(docs, "doc_id", "text", w)
       },
-      Some {
-        def bucket(h: String) = (0 until 3).map { i =>
-          val w = 1 << (4 * (2 - i))
-          s"(strpos('0123456789abcdef', substr(md5($h), ${i + 1}, 1)) - 1) * $w"
-        }.mkString(" + ")
-        val sig = (m: String) =>
-          s"0.5 + CAST($m AS DOUBLE) / (2.0 * (1.0 + abs(CAST($m AS DOUBLE))))"
-        s"""WITH ct0 AS (SELECT doc_id AS id,
-           |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
-           |       THEN 1.0 ELSE 0.0 END AS y,
-           |  unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-           |db AS (SELECT id, y, ${bucket("tok")} AS bucket, count(*) AS c
-           |  FROM ct0 GROUP BY 1, 2, 3),
-           |nn AS (SELECT count(DISTINCT id) AS n FROM db),
-           |w0 AS (SELECT DISTINCT bucket, CAST(0 AS DECIMAL(18,12)) AS w FROM db),
-           |m1 AS (SELECT id, y, sum(CAST(c AS DECIMAL(10,0))
-           |         * coalesce(w, CAST(0 AS DECIMAL(18,12)))) AS m
-           |  FROM db LEFT JOIN w0 USING (bucket) GROUP BY 1, 2),
-           |p1 AS (SELECT id, ${sig("m")} AS p FROM m1),
-           |g1 AS (SELECT bucket, sum(CAST(round(p - y, 12) AS DECIMAL(13,12))
-           |         * CAST(c AS DECIMAL(10,0))) AS g
-           |  FROM db JOIN p1 USING (id) GROUP BY bucket),
-           |w1 AS (SELECT w0.bucket, CAST(round(CAST(w0.w AS DOUBLE)
-           |         - 1.0 * coalesce(CAST(g AS DOUBLE), 0.0) / n, 12) AS DECIMAL(18,12)) AS w
-           |  FROM w0 LEFT JOIN g1 USING (bucket) CROSS JOIN nn),
-           |m2 AS (SELECT id, y, sum(CAST(c AS DECIMAL(10,0))
-           |         * coalesce(w, CAST(0 AS DECIMAL(18,12)))) AS m
-           |  FROM db LEFT JOIN w1 USING (bucket) GROUP BY 1, 2),
-           |p2 AS (SELECT id, ${sig("m")} AS p FROM m2),
-           |g2 AS (SELECT bucket, sum(CAST(round(p - y, 12) AS DECIMAL(13,12))
-           |         * CAST(c AS DECIMAL(10,0))) AS g
-           |  FROM db JOIN p2 USING (id) GROUP BY bucket),
-           |w2 AS (SELECT w1.bucket, CAST(round(CAST(w1.w AS DOUBLE)
-           |         - 1.0 * coalesce(CAST(g AS DOUBLE), 0.0) / n, 12) AS DECIMAL(18,12)) AS w
-           |  FROM w1 LEFT JOIN g2 USING (bucket) CROSS JOIN nn),
-           |sb AS (SELECT id, bucket, sum(c) AS c FROM db GROUP BY 1, 2),
-           |sm AS (SELECT id, sum(CAST(c AS DECIMAL(10,0))
-           |         * coalesce(w, CAST(0 AS DECIMAL(18,12)))) AS m
-           |  FROM sb LEFT JOIN w2 USING (bucket) GROUP BY 1)
-           |SELECT id AS doc_id, round(${sig("m")}, 4) AS score FROM sm""".stripMargin
-      }),
+      Some(classifierScoreSql)),
+
+    // the classifier made actionable: keep the top 25% of docs by trained
+    // score (exact-percentile gate over the scored corpus)
+    "curate_classifier_gate" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val w = Curate.trainTextClassifier(docs, "doc_id",
+          col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          "text", epochs = 2, rate = 1.0)
+        Curate.qualityGate(
+          Curate.scoreTextClassifier(docs, "doc_id", "text", w),
+          col("score"), keepFraction = 0.25)
+      },
+      Some(s"""WITH scored AS ($classifierScoreSql),
+              |thr AS (SELECT quantile_cont(score, 0.75) AS t FROM scored)
+              |SELECT doc_id, score FROM scored, thr WHERE score >= t""".stripMargin)),
+
 
     "curate_dsir_weights" -> Q(
       (s, d) => {
