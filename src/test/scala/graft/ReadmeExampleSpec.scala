@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Curate, Dedup, TextOps}
+import graft.ops.{Curate, Dedup}
 
 /** The README "pretraining curation pipeline" example, compiled and executed
-  * verbatim (modulo the input path) on sf0.001 — if the example bit-rots,
-  * this fails.
+  * verbatim (modulo the input path and the seed-source names, substituted
+  * for the test tables') on sf0.001 — if the example bit-rots, this fails.
   */
 class ReadmeExampleSpec extends AnyFunSuite {
   private def spark = TestSpark.spark
@@ -24,13 +24,17 @@ class ReadmeExampleSpec extends AnyFunSuite {
     val unique = docs.join(canon.filter($"id" === $"canonical").select($"id".as("doc_id")),
       Seq("doc_id"), "left_semi")
 
-    // 2. decontaminate vs eval benchmarks, gate on quality, cap per source
+    // 2. decontaminate vs eval benchmarks (winnow containment: any verbatim
+    //    overlap of >= w+k-1 tokens provably hits), gate on a classifier
+    //    TRAINED IN THE ENGINE, cap per source
     val clean = unique.join(
-      Curate.contamination(unique, evalDocs, "doc_id", "text", n = 13).select($"id".as("doc_id")),
+      Dedup.winnowContainment(unique, evalDocs, "doc_id", "text").select($"did".as("doc_id")),
       Seq("doc_id"), "left_anti")
+    val weights = Curate.trainTextClassifier(clean, "doc_id",
+      $"source".isin("src0", "src1", "src2", "src3", "src4"), "text", epochs = 3)
     val scored = clean.join(
-      TextOps.quality(clean, "doc_id", "text").select($"doc_id", $"quality_score"),
-      Seq("doc_id"))
+      Curate.scoreTextClassifier(clean, "doc_id", "text", weights)
+        .withColumnRenamed("score", "quality_score"), Seq("doc_id"))
     val capped = Curate.capPerGroupBounded(scored, $"source", $"quality_score", "doc_id", n = 1000000)
 
     // 3. mix by quality weight, chunk, pack, shuffle
