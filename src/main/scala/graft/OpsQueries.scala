@@ -1848,14 +1848,6 @@ object OpsQueries {
              |WHERE md5(CAST(doc_id AS VARCHAR)) <
              |  CASE WHEN lang = 'en' THEN '80000000' ELSE '20000000' END""".stripMargin)),
 
-    // data mixing: rebalance the skewed lang distribution to a target mix
-    // by downsampling only. T = min_g(n_g/f_g); the binding group (en at
-    // sf0.001/0.01) keeps ~everything, the rest downsample to match. The
-    // oracle recomputes the same rates with the same double arithmetic
-    // (n/f, min, (f*t)/n, trunc to 2^32 hex) so thresholds agree bit-exactly.
-    // DSIR importance weights: every-5th doc is the "target distribution";
-    // each doc scored by hashed-unigram log-likelihood ratio between the
-    // target fit and the raw-corpus fit (add-1 smoothing, 4096 buckets).
     // in-engine trained quality classifier: 2 GD epochs as aggregations,
     // rational fast-sigmoid link (no libm in the loop — bit-exact), exact
     // decimal margins/gradients; label = the src0-4 "seed" sources
@@ -1885,7 +1877,9 @@ object OpsQueries {
               |thr AS (SELECT quantile_cont(score, 0.75) AS t FROM scored)
               |SELECT doc_id, score FROM scored, thr WHERE score >= t""".stripMargin)),
 
-
+    // DSIR importance weights: every-5th doc is the "target distribution";
+    // each doc scored by hashed-unigram log-likelihood ratio between the
+    // target fit and the raw-corpus fit (add-1 smoothing, 4096 buckets).
     "curate_dsir_weights" -> Q(
       (s, d) => {
         val docs = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
@@ -1922,6 +1916,11 @@ object OpsQueries {
            |FROM db JOIN lr ON db.bucket = lr.bucket GROUP BY db.id""".stripMargin
       }),
 
+    // data mixing: rebalance the skewed lang distribution to a target mix
+    // by downsampling only. T = min_g(n_g/f_g); the binding group (en at
+    // sf0.001/0.01) keeps ~everything, the rest downsample to match. The
+    // oracle recomputes the same rates with the same double arithmetic
+    // (n/f, min, (f*t)/n, trunc to 2^32 hex) so thresholds agree bit-exactly.
     "curate_mix_rebalance" -> Q(
       (s, d) => Curate.rebalanceToMix(
         Tables.load(s, d, "documents"), col("lang"),

@@ -314,12 +314,22 @@ object Curate {
     * ReuseExchange collapses it — the corpus text is read once, nothing is
     * collected.
     */
+  /** The ONE feature-hash pipeline every token-bucket consumer shares
+    * (DSIR fits, classifier train/score): lowercase whitespace tokens →
+    * bucket = first 3 md5 hex chars as an int (0..4095). The DuckDB
+    * oracles mirror this exact formula (strpos-based hex decode) — keep
+    * them in lockstep.
+    */
+  private def bucketedTokens(df: DataFrame, keep: Seq[Column],
+      textCol: String): DataFrame =
+    df.select(keep :+ explode(split(lower(col(textCol)), " ")).as("tok"): _*)
+      .withColumn("bucket", conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
+      .drop("tok")
+
   def importanceWeights(corpus: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096, smoothing: Double = 1.0): DataFrame = {
     def toks(df: DataFrame, cols: Column*) =
-      df.select(cols :+ explode(split(lower(col(textCol)), " ")).as("tok"): _*)
-        .withColumn("bucket", conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
-        .drop("tok")
+      bucketedTokens(df, cols, textCol)
     val kB = lit(smoothing * buckets)
     val k = lit(smoothing)
     val docBuckets = toks(corpus, col(idCol).as("id"))
@@ -376,9 +386,13 @@ object Curate {
   def trainTextClassifier(df: DataFrame, idCol: String, labelCol: Column,
       textCol: String, epochs: Int = 2, rate: Double = 1.0): DataFrame = {
     require(epochs >= 1, s"trainTextClassifier: epochs must be >= 1, got $epochs")
-    val db = df.select(col(idCol).as("id"), labelCol.cast("double").as("y"),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
-      .withColumn("bucket", conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
+    // null labels coerce to 0.0 (the oracle's CASE WHEN ... ELSE 0.0
+    // semantics) — a null y would otherwise vanish from the gradient sum
+    // while still counting toward the learning-rate divisor
+    val db = bucketedTokens(
+        df.select(col(idCol).as("id"),
+          coalesce(labelCol.cast("double"), lit(0.0)).as("y"), col(textCol)),
+        Seq(col("id"), col("y")), textCol)
       .groupBy("id", "y", "bucket").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -424,9 +438,8 @@ object Curate {
   def scoreTextClassifier(df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame): DataFrame = {
     val zeroW = lit(0).cast("decimal(18,12)")
-    df.select(col(idCol).as("id"),
-        explode(split(lower(col(textCol)), " ")).as("tok"))
-      .withColumn("bucket", conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int"))
+    bucketedTokens(df.select(col(idCol).as("id"), col(textCol)),
+        Seq(col("id")), textCol)
       .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy("id")

@@ -123,12 +123,20 @@ object Dedup {
     // 500-token documents; the lambda binding evaluates the split once per
     // row regardless of what the optimizer collapses around it.
     val grams = flatten(transform(array(split(col(textCol), " ")), w =>
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))))
+      gramsExpr(w, n)))
     df.select(col(idCol).as("id"), explode(grams).as("sh"))
   }
+
+  /** Word n-grams of a LAMBDA-BOUND token array — the one shared gram
+    * construction (rawShingles and minhashSignatureColumn must stay
+    * byte-for-byte equivalent: the per-row/aggregation signature identity
+    * pinned by OpsSpec depends on it).
+    */
+  private def gramsExpr(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash signatures over md5-string permutations: (id, p, mv).
     * Permutation p's hash of shingle s is md5(p || '|' || s); the signature
@@ -154,16 +162,11 @@ object Dedup {
     */
   def minhashSignatureColumn(textCol: Column, n: Int = 3,
       numPerms: Int = 16): Column =
-    flatten(transform(array(split(textCol, " ")), w => {
-      val grams = when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", slice(w, i + 1, lit(n)))))
-        .otherwise(array().cast("array<string>"))
-      flatten(transform(array(grams), g =>
+    flatten(transform(array(split(textCol, " ")), w =>
+      flatten(transform(array(gramsExpr(w, n)), g =>
         transform(sequence(lit(0), lit(numPerms - 1)),
           p => array_min(transform(g,
-            s => md5(concat(p.cast("string"), lit("|"), s)))))))
-    }))
+            s => md5(concat(p.cast("string"), lit("|"), s)))))))))
 
   /** 64-bit shingle key for join/count purposes: xxhash64 of the shingle
     * string. Shuffling 8-byte longs instead of ~n·word-length strings

@@ -43,13 +43,18 @@ object StreamDedup {
     * high-similarity near-dups (trailing whitespace, duplicated boilerplate
     * tails) within the horizon while borderline pairs pass through to the
     * batch LSH over the landed corpus, which remains the authority.
-    * Documents with fewer than `n` tokens all share the empty signature
-    * and dedup as one key, like empty content under [[dedupByContent]].
+    * Documents with fewer than `n` tokens have no shingles and therefore
+    * no signature — they fall back to the EXACT content hash, so two
+    * distinct short docs never conflate (only identical ones dedup,
+    * [[dedupByContent]] semantics).
     */
   def dedupNearContent(df: DataFrame, tsCol: String, delay: String,
       textCol: String, n: Int = 3, numPerms: Int = 16): DataFrame =
-    df.withColumn("_sig", md5(array_join(
-        graft.ops.Dedup.minhashSignatureColumn(col(textCol), n, numPerms), ",")))
+    df.withColumn("_sig",
+        when(size(split(col(textCol), " ")) >= n,
+          md5(array_join(
+            graft.ops.Dedup.minhashSignatureColumn(col(textCol), n, numPerms), ",")))
+          .otherwise(md5(col(textCol))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_sig")
       .drop("_sig")

@@ -31,13 +31,15 @@ object ClassifierScale {
       val t0 = System.nanoTime(); val n = f
       println(f"[clfscale] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  out=$n")
     }
-    for (epochs <- Seq(1, 3)) {
-      time(s"train epochs=$epochs") {
-        Curate.trainTextClassifier(df, "id", col("y") === 1.0, "text",
-          epochs = epochs).count()
-      }
+    time("train epochs=1") {
+      Curate.trainTextClassifier(df, "id", col("y") === 1.0, "text",
+        epochs = 1).count()
     }
-    val w = Curate.trainTextClassifier(df, "id", col("y") === 1.0, "text", epochs = 3)
+    var w: org.apache.spark.sql.DataFrame = null
+    time("train epochs=3") {
+      w = Curate.trainTextClassifier(df, "id", col("y") === 1.0, "text", epochs = 3)
+      w.count()
+    }
     time("score 100k docs") {
       Curate.scoreTextClassifier(df, "id", "text", w).count()
     }

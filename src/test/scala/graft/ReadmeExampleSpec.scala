@@ -24,11 +24,13 @@ class ReadmeExampleSpec extends AnyFunSuite {
     val unique = docs.join(canon.filter($"id" === $"canonical").select($"id".as("doc_id")),
       Seq("doc_id"), "left_semi")
 
-    // 2. decontaminate vs eval benchmarks (winnow containment: any verbatim
-    //    overlap of >= w+k-1 tokens provably hits), gate on a classifier
-    //    TRAINED IN THE ENGINE, cap per source
+    // 2. decontaminate vs eval benchmarks (winnow containment at k=8, w=6:
+    //    any verbatim overlap of >= 13 tokens provably hits, and a false hit
+    //    needs a verbatim 8-token match), gate on a classifier TRAINED IN
+    //    THE ENGINE, cap per source
     val clean = unique.join(
-      Dedup.winnowContainment(unique, evalDocs, "doc_id", "text").select($"did".as("doc_id")),
+      Dedup.winnowContainment(unique, evalDocs, "doc_id", "text", k = 8, w = 6)
+        .select($"did".as("doc_id")),
       Seq("doc_id"), "left_anti")
     val weights = Curate.trainTextClassifier(clean, "doc_id",
       $"source".isin("src0", "src1", "src2", "src3", "src4"), "text", epochs = 3)

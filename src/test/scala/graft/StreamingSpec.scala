@@ -308,6 +308,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 4L)) // signature-identical id 3 dropped
   }
 
+  test("streaming near-dup dedup: distinct short docs never conflate (content-hash fallback)") {
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("sndshort").toString
+    val schema = StructType.fromDDL("id bigint, text string, ts timestamp")
+    // all four docs are < n tokens: no shingles, no signature — two
+    // distinct pairs must both survive, exact re-arrival must drop
+    spark.createDataFrame(Seq(
+      Row(1L, "hello world", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      Row(2L, "bye now", java.sql.Timestamp.valueOf("2024-01-01 00:00:05")),
+      Row(3L, "hello world", java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
+      Row(4L, "short", java.sql.Timestamp.valueOf("2024-01-01 00:00:15"))).asJava,
+      schema).write.mode("append").parquet(dir)
+    val q = StreamDedup.dedupNearContent(
+      spark.readStream.schema(schema).parquet(dir), "ts", "10 minutes", "text")
+      .writeStream.outputMode("append").format("memory").queryName("sndshort_out")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sndshort_out").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L), s"got $got") // only the exact dup (3) drops
+  }
+
   test("Zed-program shaper applies per micro-batch (the README shape.zed flow, offline)") {
     // README.md:74-85: `zync from-kafka … -shaper shape.zed` with the
     // documented one-liner — here through the file twin end to end
