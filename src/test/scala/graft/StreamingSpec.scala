@@ -312,19 +312,24 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.StreamDedup
     val dir = Files.createTempDirectory("sndshort").toString
     val schema = StructType.fromDDL("id bigint, text string, ts timestamp")
-    // all four docs are < n tokens: no shingles, no signature — two
-    // distinct pairs must both survive, exact re-arrival must drop
-    spark.createDataFrame(Seq(
-      Row(1L, "hello world", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
-      Row(2L, "bye now", java.sql.Timestamp.valueOf("2024-01-01 00:00:05")),
-      Row(3L, "hello world", java.sql.Timestamp.valueOf("2024-01-01 00:00:10")),
-      Row(4L, "short", java.sql.Timestamp.valueOf("2024-01-01 00:00:15"))).asJava,
-      schema).write.mode("append").parquet(dir)
+    // all docs are < n tokens: no shingles, no signature — two distinct
+    // docs must both survive, an exact re-arrival must drop. The duplicate
+    // arrives in a LATER micro-batch: within one batch dropDuplicates
+    // keeps an arbitrary member of each key
+    def write(rows: (Long, String, String)*): Unit =
+      spark.createDataFrame(
+        rows.map { case (i, t, s) => Row(i, t, java.sql.Timestamp.valueOf(s)) }.asJava,
+        schema).write.mode("append").parquet(dir)
+    write((1L, "hello world", "2024-01-01 00:00:00"),
+      (2L, "bye now", "2024-01-01 00:00:05"))
     val q = StreamDedup.dedupNearContent(
       spark.readStream.schema(schema).parquet(dir), "ts", "10 minutes", "text")
       .writeStream.outputMode("append").format("memory").queryName("sndshort_out")
       .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
       .start()
+    q.processAllAvailable()
+    write((3L, "hello world", "2024-01-01 00:00:10"),
+      (4L, "short", "2024-01-01 00:00:15"))
     q.processAllAvailable()
     q.stop()
     val got = spark.table("sndshort_out").collect().map(_.getLong(0)).toSet
