@@ -844,10 +844,21 @@ object OpsQueries {
     // Johnson–Lindenstrauss random-sign projection 64→8 dims: the oracle
     // unrolls the SAME md5-seeded ±1 matrix (Similarity.projectionSigns)
     // as explicit left-associated arithmetic, so results are bit-identical
+    // proj flattened to one %.9f comma-joined string (the sim_pq_train
+    // convention): raw array cells crash the driver's pandas sort; the
+    // underlying doubles are bit-identical (same left-associated ±1 sums),
+    // so fixed-precision rendering of the same bits matches exactly
     "sim_random_projection" -> Q(
       (s, d) => Similarity.randomProjection(embBase(s, d), "vec_id", "v",
-        dIn = 64, dOut = 8, salt = "rp"),
-      Some(embBaseSql + s"SELECT vec_id, ${projSqlExpr("v")} AS proj FROM base")),
+        dIn = 64, dOut = 8, salt = "rp")
+        .withColumn("proj",
+          array_join(transform(col("proj"),
+            x => format_string("%.9f", x + lit(0.0))), ",")),
+      Some(embBaseSql +
+        s"""SELECT vec_id,
+           |  array_to_string(list_transform(${projSqlExpr("v")},
+           |                                 x -> printf('%.9f', x + 0)), ',') AS proj
+           |FROM base""".stripMargin)),
 
     // two-stage ANN: top-`refine` in the 8-dim projected space (bounded
     // aggregate), exact 64-dim cosine re-rank of just those candidates
@@ -1192,19 +1203,22 @@ object OpsQueries {
     // winnowing fingerprint selection (MOSS, SIGMOD 2003): min-hash of each
     // w-window of k-gram md5s, map-only per document — any shared run of
     // >= w+k-1 tokens forces a shared fingerprint
+    // fps flattened to one comma-joined string (the sim_pq_encode
+    // convention): raw array cells crash the driver's pandas sort
     "text_winnow" -> Q(
       (s, d) => TextOps.winnowFingerprints(
         Tables.load(s, d, "documents"), "doc_id", "text", k = 3, w = 4)
-        .withColumn("n_grams", col("n_grams").cast("long")),
+        .withColumn("n_grams", col("n_grams").cast("long"))
+        .withColumn("fps", array_join(col("fps"), ",")),
       Some("""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
              |g AS (SELECT doc_id, len(t) - 2 AS m, t FROM t),
              |h AS (SELECT doc_id, greatest(m, 0) AS n_grams,
              |  CASE WHEN m >= 1 THEN list_transform(range(1, m + 1),
              |    i -> md5(array_to_string(t[i:i+2], ' '))) ELSE [] END AS h FROM g)
              |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-             |  CASE WHEN len(h) = 0 THEN [] ELSE
+             |  array_to_string(CASE WHEN len(h) = 0 THEN [] ELSE
              |    list_sort(list_distinct(list_transform(range(1, greatest(len(h) - 3, 1) + 1),
-             |      s -> list_min(h[s:s+3])))) END AS fps
+             |      s -> list_min(h[s:s+3])))) END, ',') AS fps
              |FROM h""".stripMargin)),
 
     // winnow-fingerprint near-dup candidates: inverted-index join over the
@@ -1355,17 +1369,40 @@ object OpsQueries {
              |FROM k""".stripMargin)),
 
     // the per-row (map-only, stream-safe) minhash signature — bit-identical
-    // to the aggregation form by spec; hash-checked directly here
+    // to the aggregation form by spec; hash-checked directly here. The
+    // signature is flattened to one comma-joined string (the sim_pq_encode
+    // convention): raw array cells crash the driver's pandas sort.
     "dedup_minhash_signature_row" -> Q(
       (s, d) => Tables.load(s, d, "documents")
         .select(col("doc_id"),
-          Dedup.minhashSignatureColumn(col("text"), n = 3, numPerms = 8).as("sig")),
+          array_join(Dedup.minhashSignatureColumn(col("text"), n = 3, numPerms = 8),
+            ",").as("sig")),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |g AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN
              |  list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
              |  ELSE [] END AS grams FROM t)
-             |SELECT doc_id, list_transform(range(0, 8),
-             |  p -> list_min(list_transform(grams, s -> md5(p || '|' || s)))) AS sig
+             |SELECT doc_id, array_to_string(list_transform(range(0, 8),
+             |  p -> list_min(list_transform(grams, s -> md5(p || '|' || s)))), ',') AS sig
+             |FROM g""".stripMargin)),
+
+    // the streaming near-dup dedup's state key (StreamDedup.dedupNearContent)
+    // over the landed corpus: exactly the production expression — minhash
+    // signature md5 for docs with >= n tokens, exact content hash (null
+    // coalesced to '') below that — so the watermarked state keying is
+    // driver-checked even though the streaming half itself is spec-only
+    "dedup_stream_key" -> Q(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          graft.streaming.StreamDedup.nearContentKey(col("text"), n = 3, numPerms = 16)
+            .as("stream_key")),
+      Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+             |g AS (SELECT doc_id, text, len(t) AS ntok, CASE WHEN len(t) >= 3 THEN
+             |  list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+             |  ELSE [] END AS grams FROM t)
+             |SELECT doc_id, CASE WHEN ntok >= 3 THEN
+             |  md5(array_to_string(list_transform(range(0, 16),
+             |    p -> list_min(list_transform(grams, s -> md5(p || '|' || s)))), ','))
+             |  ELSE md5(coalesce(text, '')) END AS stream_key
              |FROM g""".stripMargin)),
 
     // pairwise source-overlap matrix: per-shingle source sets -> bounded
@@ -1911,7 +1948,9 @@ object OpsQueries {
            |    ln((coalesce(tf.ct, 0) + 1.0) / (tott + 1.0 * 4096))
            |  - ln((rf.cr + 1.0) / (totr + 1.0 * 4096)), 12) AS DECIMAL(18,12)) AS lr
            |  FROM rf LEFT JOIN tf ON rf.bucket = tf.bucket CROSS JOIN tot)
-           |SELECT db.id AS doc_id, sum(db.c) AS n_tokens,
+           |-- CAST: DuckDB sum(INTEGER) yields HUGEINT, which the driver's
+           |-- pandas path renders as float64 ("137.0" vs Spark's "137")
+           |SELECT db.id AS doc_id, CAST(sum(db.c) AS BIGINT) AS n_tokens,
            |  CAST(round(sum(CAST(db.c AS DECIMAL(10,0)) * lr.lr), 4) AS DOUBLE) AS log_weight
            |FROM db JOIN lr ON db.bucket = lr.bucket GROUP BY db.id""".stripMargin
       }),
@@ -2057,9 +2096,12 @@ object OpsQueries {
              |       WHEN n_chars <= 1024 THEN 1024 WHEN n_chars <= 2048 THEN 2048
              |       WHEN n_chars <= 4096 THEN 4096 ELSE -1 END AS bucket
              |  FROM documents)
-             |SELECT bucket, count(*) AS n_rows, sum(n_chars) AS total_len,
+             |-- CASTs: DuckDB sum(BIGINT) yields HUGEINT -> pandas float64
+             |SELECT bucket, count(*) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_len,
              |  min(n_chars) AS min_len, max(n_chars) AS max_len,
-             |  sum(CASE WHEN bucket >= 0 THEN bucket - n_chars ELSE 0 END) AS pad_waste
+             |  CAST(sum(CASE WHEN bucket >= 0 THEN bucket - n_chars ELSE 0 END)
+             |       AS BIGINT) AS pad_waste
              |FROM b GROUP BY bucket""".stripMargin)),
 
     "curate_pack_sequences" -> Q(

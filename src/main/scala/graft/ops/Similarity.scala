@@ -255,10 +255,16 @@ object Similarity {
       s"projectionColumn: dims must be >= 1, got dIn=$dIn dOut=$dOut")
     val signs = projectionSigns(dIn, dOut, salt)
     flatten(transform(array(transform(vec, x => x.cast("double"))), vv =>
-      array(signs.map { row =>
-        (0 until dIn).map(i => element_at(vv, i + 1) * lit(row(i)))
-          .reduceLeft(_ + _) / sqrt(lit(dOut.toDouble))
-      }: _*)))
+      // fail fast on a length mismatch: element_at past the end is null
+      // (non-ANSI), which would silently null the whole projected dimension
+      // — the pqTopK/pqTrain per-row dimensionality contract. Null input
+      // still projects to nulls (propagation, not an error).
+      when(assert_true(vv.isNull || (size(vv) === dIn),
+          lit(s"projectionColumn: input vector length differs from dIn=$dIn")).isNull,
+        array(signs.map { row =>
+          (0 until dIn).map(i => element_at(vv, i + 1) * lit(row(i)))
+            .reduceLeft(_ + _) / sqrt(lit(dOut.toDouble))
+        }: _*))))
   }
 
   /** Two-stage ANN through the projection: stage 1 scores every

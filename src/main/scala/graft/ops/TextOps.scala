@@ -523,8 +523,13 @@ object TextOps {
     * to 1e-4.
     *
     * Scale shape: one character explode into a map-side-combinable
-    * (id, char) count, one id-keyed sum — the vocabulary-aggregation
-    * pattern, alphabet-bounded after partial aggregation.
+    * (id, char) count, then the doc length as a window sum over that
+    * ALREADY-AGGREGATED frame — the explode subtree appears exactly once
+    * in the plan BY CONSTRUCTION (a self-join formulation would carry it
+    * twice and lean on ReuseExchange to collapse them — the fragility
+    * minhashEstimatePairs/keepCanonical cache away), and the window's
+    * id-partitioning is reused by the final id-keyed aggregation.
+    * Alphabet-bounded after partial aggregation.
     * Reproducibility: each p·ln(p) term is rounded to 12 decimals and
     * carried as DECIMAL so the per-doc sum is exact and associative —
     * aggregation order, libm build, and engine cannot flip the 4-decimal
@@ -536,7 +541,8 @@ object TextOps {
     val counts = chars.groupBy("id", "c").agg(count(lit(1)).as("cnt"))
     val p = col("cnt") * lit(1.0) / col("len")
     counts
-      .join(counts.groupBy("id").agg(sum("cnt").as("len")), Seq("id"))
+      .withColumn("len", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
       .withColumn("term", round(p * log(p), 12).cast("decimal(28,12)"))
       .groupBy("id")
       .agg(max("len").as("n_chars"),

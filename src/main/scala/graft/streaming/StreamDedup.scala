@@ -46,16 +46,29 @@ object StreamDedup {
     * Documents with fewer than `n` tokens have no shingles and therefore
     * no signature — they fall back to the EXACT content hash, so two
     * distinct short docs never conflate (only identical ones dedup,
-    * [[dedupByContent]] semantics).
+    * [[dedupByContent]] semantics). Null text coalesces to '' BEFORE
+    * hashing: md5(null) is null, and `dropDuplicatesWithinWatermark`
+    * treats null keys as equal — without the coalesce every null-text row
+    * after the first inside the horizon would silently vanish. With it,
+    * null and empty text share one exact-hash key (both carry zero
+    * content), the same conflation class as [[dedupByContent]].
     */
   def dedupNearContent(df: DataFrame, tsCol: String, delay: String,
       textCol: String, n: Int = 3, numPerms: Int = 16): DataFrame =
-    df.withColumn("_sig",
-        when(size(split(col(textCol), " ")) >= n,
-          md5(array_join(
-            graft.ops.Dedup.minhashSignatureColumn(col(textCol), n, numPerms), ",")))
-          .otherwise(md5(col(textCol))))
+    df.withColumn("_sig", nearContentKey(col(textCol), n, numPerms))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("_sig")
       .drop("_sig")
+
+  /** The state-key derivation of [[dedupNearContent]] as a standalone
+    * column — a stateless projection, so the batch oracle can hash-check
+    * the exact expression the streaming state store keys on (the streaming
+    * half itself is spec-tested; this pins the key math driver-side).
+    */
+  def nearContentKey(textCol: org.apache.spark.sql.Column, n: Int = 3,
+      numPerms: Int = 16): org.apache.spark.sql.Column =
+    when(size(split(textCol, " ")) >= n,
+      md5(array_join(
+        graft.ops.Dedup.minhashSignatureColumn(textCol, n, numPerms), ",")))
+      .otherwise(md5(coalesce(textCol, lit(""))))
 }

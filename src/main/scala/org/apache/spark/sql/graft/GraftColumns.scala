@@ -27,11 +27,18 @@ object GraftColumnsBridge {
     * blocks survive until the ContextCleaner garbage-collects the RDD.
     * Iterative loops that checkpoint per round (connected components,
     * Lloyd rounds) call this on the superseded round instead, keeping
-    * executor storage one frame deep by construction. Safe on
-    * non-checkpointed frames (no LogicalRDD leaf → nothing to do).
+    * executor storage one frame deep by construction.
+    *
+    * Accepts ONLY the checkpointed frame itself — the analyzed plan's root
+    * must be the checkpoint's `LogicalRDD`. A frame merely DERIVED from a
+    * checkpoint (select/filter/join over it) is a no-op by design: its plan
+    * can reference other frames' still-live checkpoints, and since
+    * localCheckpoint truncates lineage, unpersisting those through a shared
+    * leaf would make the other frames unrecoverable. Safe on
+    * non-checkpointed frames (root isn't a LogicalRDD → nothing to do).
     */
   def releaseCheckpoint(df: org.apache.spark.sql.Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)
       case _ => ()

@@ -1083,6 +1083,24 @@ class OpsSpec extends AnyFunSuite {
       "releaseCheckpoint must free the returned frame too")
   }
 
+  test("releaseCheckpoint is root-only: a derived frame never releases a shared checkpoint") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val base = spark.range(100).toDF("id").localCheckpoint(true)
+    val derived = base.filter(col("id") % 2 === 0)
+      .join(base.select(col("id").as("id2")), col("id") === col("id2"))
+    org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(derived)
+    // the checkpoint is referenced by `base` (and twice by `derived`'s
+    // plan); releasing through a derived frame would truncate-lineage-orphan
+    // `base`, so it must be a no-op
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty,
+      "derived-frame release must be a no-op")
+    assert(derived.count() == 50 && base.count() == 100)
+    org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(base)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "pure checkpoint frame must release its blocks")
+  }
+
   test("group overlap: identical strata score 1.0, disjoint strata are absent") {
     val rows = Seq(
       Row("crawl_a", "one two three four five"),
