@@ -1150,6 +1150,11 @@ object OpsQueries {
     // the verify pass, linear in the candidate list
     "dedup_winnow_jaccard" -> Q(
       (s, d) => {
+        // corpus deliberately UNPERSISTED across the two stages: caching it
+        // (or the fingerprint stream inside candidate gen) measures SLOWER
+        // than recompute-from-parquet + ReuseExchange — SCALING.md r10
+        // winnow-reuse pin. The streams themselves cannot share: winnowing
+        // hashes lowercased k-grams, the verify shingles raw text.
         val corpus = textCorpus(s, d)
         val cand = Dedup.winnowCandidatePairs(corpus, "id", "text",
           k = 3, w = 4, maxDf = 100, minShared = 2)

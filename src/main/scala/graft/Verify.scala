@@ -28,6 +28,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Bench's dropLeaked, same rationale: checkpointed/persisted blocks a
+      // query leaks (components loops, classifier epochs, candidate
+      // materialization) must not accumulate across the 140-query dump —
+      // blocking RDD unpersist first, then cache bookkeeping (see Bench).
+      try spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      catch { case scala.util.control.NonFatal(_) => () }
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

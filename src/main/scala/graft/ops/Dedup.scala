@@ -418,6 +418,10 @@ object Dedup {
     */
   def winnowCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, maxDf: Int = 100, minShared: Int = 2): DataFrame = {
+    // the winnowed stream feeds four subtrees (df counts, sizes, both join
+    // sides) UNPERSISTED: AQE's ReuseExchange collapses them at runtime, and
+    // a persist here measures SLOWER (SCALING.md r10 winnow-reuse pin: the
+    // cache materialization costs more than the re-collapsed compute)
     val fps = graft.ops.TextOps.winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"), explode(col("fps")).as("fp"))
     val rareKeys = fps.groupBy("fp").agg(count(lit(1)).as("df"))

@@ -342,6 +342,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), s"expected the bounded pair explode:\n$plan")
   }
 
+  test("char entropy scans the explode exactly once — no self-join, single Generate") {
+    import graft.ops.TextOps
+    val q = TextOps.charEntropy(corpus, "id", "text")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // doc length comes from a window over the aggregated counts, so the
+    // per-character explode subtree must appear exactly once BY PLAN (the
+    // old self-join formulation carried it twice and leaned on
+    // ReuseExchange to collapse them)
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 1, s"expected exactly 1 explode, got $generates:\n$plan")
+    assert(!plan.contains("Join"), s"no self-join allowed:\n$plan")
+  }
+
   test("random projection is a zero-exchange codegen'd projection") {
     import graft.ops.Similarity
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
