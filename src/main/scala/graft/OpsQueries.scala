@@ -1991,6 +1991,57 @@ object OpsQueries {
              |  lpad(lower(to_hex(CAST(least(floor(r * 4294967296.0),
              |    CAST(4294967295.0 AS DOUBLE)) AS BIGINT))), 8, '0')""".stripMargin)),
 
+    // temperature-flattened mixing (mC4/XLM-R α-sampling, α=0.3): target
+    // shares q_g ∝ (n_g/N)^α derived from the corpus itself, downsample-only
+    // solve. The oracle recomputes the identical arithmetic: pow rounded to
+    // 12 decimals (libm-portable), normalizer as an EXACT decimal sum of
+    // the rounded values, then the shared (q·t)/n + md5-threshold path.
+    "curate_temperature_mix" -> Q(
+      (s, d) => Curate.temperatureMix(
+        Tables.load(s, d, "documents"), col("lang"), alpha = 0.3,
+        keyCol = col("doc_id"))
+        .select("doc_id", "lang"),
+      Some("""WITH cnt AS (SELECT lang AS g, count(*) AS n FROM documents
+             |             WHERE lang IS NOT NULL GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM cnt),
+             |pw AS (SELECT g, n, round(pow(n / tt, 0.3), 12) AS pw
+             |       FROM cnt CROSS JOIN tot),
+             |zz AS (SELECT CAST(sum(CAST(pw AS DECIMAL(14,12))) AS DOUBLE) AS z FROM pw),
+             |q AS (SELECT g, n, pw / z AS q FROM pw CROSS JOIN zz),
+             |tv AS (SELECT min(n / q) AS t FROM q),
+             |rates AS (SELECT g, least((q * t) / n, CAST(1.0 AS DOUBLE)) AS r
+             |          FROM q CROSS JOIN tv)
+             |SELECT d.doc_id, d.lang FROM documents d
+             |JOIN rates ON d.lang = rates.g
+             |WHERE r >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) <
+             |  lpad(lower(to_hex(CAST(least(floor(r * 4294967296.0),
+             |    CAST(4294967295.0 AS DOUBLE)) AS BIGINT))), 8, '0')""".stripMargin)),
+
+    // UniMax epoch-capped budget allocation: the planning table for a
+    // 150k-token budget at <= 2 epochs per language. The oracle replays the
+    // smallest-first water-filling fold as a linear recursive CTE with the
+    // same operation order, so every double matches bit-for-bit.
+    "curate_unimax" -> Q(
+      (s, d) => Curate.unimaxAllocation(
+        Tables.load(s, d, "documents"), col("lang"),
+        size(split(col("text"), " ")), budget = 150000.0, maxEpochs = 2.0),
+      Some("""WITH RECURSIVE cnt AS (
+             |  SELECT lang AS g, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+             |ord AS (SELECT g, n, row_number() OVER (ORDER BY n, g) AS rn,
+             |               (SELECT count(*) FROM cnt) AS ng FROM cnt),
+             |walk AS (
+             |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS g,
+             |         CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS alloc,
+             |         CAST(150000.0 AS DOUBLE) AS rem
+             |  UNION ALL
+             |  SELECT o.rn, o.g, o.n,
+             |         least(w.rem / (o.ng - w.rn), 2.0 * o.n),
+             |         w.rem - least(w.rem / (o.ng - w.rn), 2.0 * o.n)
+             |  FROM walk w JOIN ord o ON o.rn = w.rn + 1)
+             |SELECT g, n AS n_tokens, alloc AS alloc_tokens, alloc / n AS epochs
+             |FROM walk WHERE rn > 0""".stripMargin)),
+
     // decontamination gate: corpus docs sharing ≥5 distinct 3-gram shingles
     // with an "eval set" (docs with doc_id % 13 = 0 stand in for a held-out
     // benchmark — their corpus copies are guaranteed hits)

@@ -116,6 +116,87 @@ object Curate {
     weightedSample(df, keyCol, rateCol, salt)
   }
 
+  /** Temperature-flattened mixture sampling (the mC4/XLM-R α-sampling
+    * step): the target mix is derived FROM the corpus — group `g` with
+    * natural share `p_g = n_g/N` gets target share `q_g ∝ p_g^α` — then the
+    * same downsample-only solver as [[rebalanceToMix]] (largest output
+    * consistent with the mix, binding group kept whole). `α = 1` keeps the
+    * natural distribution; `α → 0` approaches uniform — the standard knob
+    * for keeping low-resource languages/sources visible without duplicating
+    * them. Rows with a null stratum drop (they have no place in the mix).
+    *
+    * Scale shape: identical to [[rebalanceToMix]] — one count-aggregate
+    * (G rows to the driver, metadata-scale by contract) plus one sampling
+    * scan; no shuffle of kept rows. Determinism: each `p^α` is rounded to
+    * 12 decimals (libm `pow` agrees across engines to ~1 ulp, far inside
+    * the round window — the DSIR discipline) and the normalizer is an
+    * EXACT decimal sum of those rounded values, so every downstream double
+    * (q, T, per-group rate) is bit-identical on any engine and the md5
+    * thresholds cannot flip a row.
+    */
+  def temperatureMix(df: DataFrame, strataCol: Column, alpha: Double,
+      keyCol: Column, salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureMix: alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(strataCol.as("g")).agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.get(0)).map(g => g.toString -> r.getLong(1)))
+      .toMap
+    require(counts.nonEmpty, "temperatureMix: no non-null strata")
+    val total = counts.values.sum.toDouble
+    val pw = counts.map { case (g, c) =>
+      g -> java.math.BigDecimal.valueOf(math.pow(c / total, alpha))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+    val z = pw.values.reduce(_.add(_)).doubleValue
+    val qn = counts.map { case (g, c) => g -> (pw(g).doubleValue / z, c) }
+    val t = qn.values.map { case (q, c) => c / q }.min
+    val rateCol = qn.foldLeft(lit(0.0)) { case (acc, (g, (q, c))) =>
+      when(strataCol === g, lit(math.min((q * t) / c, 1.0))).otherwise(acc)
+    }
+    weightedSample(df, keyCol, rateCol, salt)
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023): distribute a total token
+    * `budget` across strata as UNIFORMLY as possible subject to a per-group
+    * repeat cap — no group is allocated more than `maxEpochs` passes over
+    * its own tokens. The water-filling pass visits groups smallest-first:
+    * each takes `min(remaining/groups_left, maxEpochs · n_g)`, so small
+    * groups cap out at their epoch ceiling and the freed budget spreads
+    * over the rest — the principled successor to temperature sampling for
+    * highly skewed multilingual corpora (no α to tune, bounded repetition).
+    *
+    * Returns the PLANNING TABLE (one row per stratum): (g, n_tokens,
+    * alloc_tokens, epochs) — the loader consumes it; nothing is sampled
+    * here (allocations above 1 epoch mean repetition, which is the
+    * loader's business, not a filter's). Group token totals are exact
+    * integer sums; the fold runs driver-side over the G-row collect
+    * (metadata-scale by contract) in (n, g) order with plain double
+    * arithmetic — deterministic on any engine because the visit order and
+    * operation order are fixed.
+    */
+  def unimaxAllocation(df: DataFrame, strataCol: Column, tokenCol: Column,
+      budget: Double, maxEpochs: Double): DataFrame = {
+    require(budget > 0.0 && maxEpochs > 0.0,
+      s"unimaxAllocation: budget and maxEpochs must be positive, got $budget / $maxEpochs")
+    val spark = df.sparkSession
+    val counts = df.groupBy(strataCol.as("g"))
+      .agg(sum(tokenCol.cast("long")).as("n"))
+      .collect().flatMap(r => Option(r.get(0)).map(g => g.toString -> r.getLong(1)))
+      .toSeq.sortBy { case (g, n) => (n, g) }
+    require(counts.nonEmpty, "unimaxAllocation: no non-null strata")
+    var rem = budget
+    val rows = counts.zipWithIndex.map { case ((g, n), i) =>
+      val fair = rem / (counts.size - i)
+      val alloc = math.min(fair, maxEpochs * n)
+      rem -= alloc
+      org.apache.spark.sql.Row(g, n, alloc, alloc / n)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "g string, n_tokens bigint, alloc_tokens double, epochs double"))
+  }
+
   /** Deterministic train/val/test split assignment: one `split` column from
     * cumulative md5 thresholds — same row → same split on any engine, any
     * cluster size, any run; changing `salt` redraws. One scan, no shuffle.

@@ -588,6 +588,49 @@ class OpsSpec extends AnyFunSuite {
       Map("a" -> 0.5, "zz" -> 0.5), col("id")).count() == 0L)
   }
 
+  test("temperature mix flattens toward uniform as alpha drops; alpha=1 changes nothing") {
+    val s = spark
+    import s.implicits._
+    val df = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")) ++
+      Seq((1001L, null.asInstanceOf[String]))).toDF("id", "grp")
+    // alpha = 1: q = p, so T = N on the natural distribution — every
+    // non-null row survives (the >= 1.0 short-circuit keeps both groups whole)
+    assert(Curate.temperatureMix(df, col("grp"), 1.0, col("id")).count() == 1000L,
+      "alpha=1 must keep the natural distribution intact")
+    // alpha -> 0 flattens: the minority group binds (kept whole) and the
+    // majority downsamples toward parity
+    val out = Curate.temperatureMix(df, col("grp"), 0.01, col("id"))
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => Option(r.getString(0)).orNull -> r.getLong(1)).toMap
+    assert(!byGrp.contains(null), "null-stratum rows have no place in the mix")
+    assert(byGrp("small") == 100L, "minority group binds and keeps everything")
+    assert(byGrp("big") < 200L,
+      s"majority must flatten toward parity, kept ${byGrp("big")}")
+    // deterministic rerun
+    assert(out.collect().toSet ==
+      Curate.temperatureMix(df, col("grp"), 0.01, col("id")).collect().toSet)
+  }
+
+  test("unimax allocation: small groups cap at maxEpochs, freed budget spreads uniformly") {
+    val s = spark
+    import s.implicits._
+    // tokens per group: small=100, mid=10000, big=100000
+    val df = (Seq.fill(1)(("small", 100L)) ++ Seq.fill(2)(("mid", 5000L)) ++
+      Seq.fill(4)(("big", 25000L))).toDF("grp", "tok")
+    val out = Curate.unimaxAllocation(df, col("grp"), col("tok"),
+      budget = 60000.0, maxEpochs = 2.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // smallest-first: small takes min(60000/3, 200) = 200 (capped at 2 epochs);
+    // mid takes min(29900, 20000) = 20000 (capped); big takes the rest 39800
+    assert(out("small") == ((100L, 200.0, 2.0)))
+    assert(out("mid") == ((10000L, 20000.0, 2.0)))
+    assert(out("big")._2 == 39800.0 && out("big")._3 < 2.0)
+    // allocations exhaust the budget exactly when no group binds it
+    assert(out.values.map(_._2).sum == 60000.0)
+    // epoch cap is a hard ceiling everywhere
+    assert(out.values.forall(_._3 <= 2.0))
+  }
+
   test("stratified sample applies per-stratum rates") {
     val df = spark.range(0, 4000)
       .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
@@ -1062,6 +1105,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L).forall(_ == 0.0))
     // the matrix really mixes signs (not all +1 / all −1)
     assert(signs.flatten.toSet == Set(1.0, -1.0))
+  }
+
+  test("random projection fails fast on a length mismatch; null vectors still project to nulls") {
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Seq(1.0, 2.0)), // shorter than dIn=3
+      Row(2L, null)
+    ).asJava, StructType.fromDDL("id bigint, v array<double>"))
+    // short vector: element_at past the end would silently null the whole
+    // projected dimension — must raise instead
+    val e = intercept[Exception] {
+      Similarity.randomProjection(df.filter(col("id") === 1L), "id", "v",
+        dIn = 3, dOut = 2).collect()
+    }
+    assert(e.getMessage.contains("differs from dIn=3")
+      || e.getCause != null && e.getCause.getMessage.contains("differs from dIn=3"),
+      s"unexpected error: ${e.getMessage}")
+    // null vector: propagation, not an error
+    val out = Similarity.randomProjection(df.filter(col("id") === 2L), "id", "v",
+      dIn = 3, dOut = 2).collect()
+    assert(out.length == 1 && out(0).getSeq[Any](1).forall(_ == null))
   }
 
   test("component rounds release superseded checkpoints: storage stays one frame deep") {
