@@ -2017,6 +2017,58 @@ object OpsQueries {
              |  lpad(lower(to_hex(CAST(least(floor(r * 4294967296.0),
              |    CAST(4294967295.0 AS DOUBLE)) AS BIGINT))), 8, '0')""".stripMargin)),
 
+    // semantic cluster balancing — the unsupervised topic-rebalance
+    // composition: k-means cells over the embeddings (1 Lloyd round,
+    // 9-digit rounded centroids so membership is engine-identical), then
+    // temperature sampling (α=0.5) over CELL ids. The 100 TB shape is the
+    // sum of its parts: map-only assignment + G-row collect + one sampling
+    // scan — the corpus is never shuffled.
+    "curate_cluster_balance" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val cents = Similarity.kmeans(base, "vec_id", "v", k = 8, iters = 1)
+          .select(col("centroid_id").as("vec_id"),
+            transform(col("v"), x => round(x, 9)).as("v"))
+        val assigned = Similarity.ivfAssign(base.select("vec_id", "v"), cents,
+          "vec_id", "v")
+          .withColumn("cell", col("centroid_id").cast("string"))
+        Curate.temperatureMix(assigned, col("cell"), alpha = 0.5,
+          keyCol = col("vec_id"))
+          .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+      },
+      Some(embBaseSql +
+        s""", seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM base ORDER BY vec_id LIMIT 8),
+           |kscored AS (
+           |  SELECT b.vec_id, b.v, s.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "s.cv")} DESC, s.centroid_id) AS rn
+           |  FROM base b CROSS JOIN seeds s),
+           |kassigned AS (SELECT vec_id, v, centroid_id FROM kscored WHERE rn = 1),
+           |kex AS (SELECT centroid_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM kassigned),
+           |kdims AS (SELECT centroid_id, i,
+           |            round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS m
+           |          FROM kex GROUP BY 1, 2),
+           |cents AS (SELECT centroid_id, list(m ORDER BY i) AS centv FROM kdims GROUP BY centroid_id),
+           |ranked AS (
+           |  SELECT b.vec_id, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN cents c),
+           |cells AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+           |ccnt AS (SELECT centroid_id AS g, count(*) AS n FROM cells GROUP BY 1),
+           |ctot AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM ccnt),
+           |cpw AS (SELECT g, n, round(pow(n / tt, 0.5), 12) AS pw FROM ccnt CROSS JOIN ctot),
+           |czz AS (SELECT CAST(sum(CAST(pw AS DECIMAL(14,12))) AS DOUBLE) AS z FROM cpw),
+           |cq AS (SELECT g, n, pw / z AS q FROM cpw CROSS JOIN czz),
+           |ctv AS (SELECT min(n / q) AS t FROM cq),
+           |crates AS (SELECT g, least((q * t) / n, CAST(1.0 AS DOUBLE)) AS r
+           |           FROM cq CROSS JOIN ctv)
+           |SELECT c.vec_id, CAST(c.centroid_id AS BIGINT) AS centroid_id
+           |FROM cells c JOIN crates ON c.centroid_id = crates.g
+           |WHERE r >= 1.0 OR md5(CAST(c.vec_id AS VARCHAR)) <
+           |  lpad(lower(to_hex(CAST(least(floor(r * 4294967296.0),
+           |    CAST(4294967295.0 AS DOUBLE)) AS BIGINT))), 8, '0')""".stripMargin)),
+
     // UniMax epoch-capped budget allocation: the planning table for a
     // 150k-token budget at <= 2 epochs per language. The oracle replays the
     // smallest-first water-filling fold as a linear recursive CTE with the

@@ -356,6 +356,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"no self-join allowed:\n$plan")
   }
 
+  test("cluster balancing samples in a zero-exchange scan: assignment broadcasts, corpus never shuffles") {
+    import graft.ops.{Curate, Similarity}
+    import org.apache.spark.sql.functions.transform
+    val base = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = Similarity.kmeans(base, "vec_id", "v", k = 4, iters = 1)
+      .select(col("centroid_id").as("vec_id"), col("v"))
+    val assigned = Similarity.ivfAssign(base, cents, "vec_id", "v")
+      .withColumn("cell", col("centroid_id").cast("string"))
+    val q = Curate.temperatureMix(assigned, col("cell"), 0.5, col("vec_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    // centroid training + the G-row rate collect are eager and driver-side;
+    // the RESULT plan must be scan → 1-row broadcast assign → filter — the
+    // corpus is never exchanged for balancing
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"cluster balancing must not shuffle the corpus:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the 1-row centroid broadcast:\n$plan")
+  }
+
   test("random projection is a zero-exchange codegen'd projection") {
     import graft.ops.Similarity
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
