@@ -1289,6 +1289,23 @@ object OpsQueries {
              |FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
              |GROUP BY tok ORDER BY total DESC, tok LIMIT 100""".stripMargin)),
 
+    // tokenizer-coverage gate: per-doc OOV rate against the corpus's own
+    // top-100 vocabulary (bounded, broadcast into the token stream — the
+    // membership probe never shuffles the corpus)
+    "text_oov_rate" -> Q(
+      (s, d) => TextOps.oovRate(
+        Tables.load(s, d, "documents"), "doc_id", "text", vocabSize = 100),
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+             |          FROM documents),
+             |v AS (SELECT tok FROM (SELECT tok, count(*) AS total FROM t
+             |                       GROUP BY tok ORDER BY total DESC, tok LIMIT 100)),
+             |j AS (SELECT t.doc_id, t.tok, v.tok AS vt FROM t LEFT JOIN v USING (tok))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |  round(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             |    AS oov_rate
+             |FROM j GROUP BY doc_id""".stripMargin)),
+
     // one-aggregation corpus profile: per-language doc counts + exact
     // interpolated length percentiles (deterministic — no float summation)
     "text_profile" -> Q(

@@ -79,6 +79,32 @@ object TextOps {
       .orderBy(col("total").desc, col("tok"))
       .limit(k)
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top
+    * `vocabSize` tokens — the tokenizer-coverage signal run before
+    * committing to a vocabulary: docs whose tokens mostly fall outside the
+    * planned vocab (code, foreign scripts, encoding damage) will fragment
+    * into long byte-level token sequences and waste sequence budget.
+    * Output: (idCol, n_tok, n_oov, oov_rate), rate rounded to 1e-6.
+    *
+    * Scale shape: the vocabulary is bounded (`vocabSize` rows after the
+    * corpus-frequency aggregation) and BROADCASTS into the token stream —
+    * the corpus is never shuffled for the membership probe; the per-doc
+    * roll-up is one map-combinable aggregation keyed by id.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, s"oovRate: vocabSize must be >= 1, got $vocabSize")
+    val vocab = vocabulary(df, idCol, textCol, vocabSize)
+      .select(col("tok"), lit(1).as("_in"))
+    df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") * lit(1.0) / col("n_tok"), 6))
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Corpus profile per stratum (language/source/...): doc counts, exact
     * interpolated length percentiles, min/max. The percentile aggregate
     * shuffles one row per (stratum, partition) after partial aggregation —

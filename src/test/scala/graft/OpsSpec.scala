@@ -631,6 +631,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out.values.forall(_._3 <= 2.0))
   }
 
+  test("oov rate: full-coverage docs score 0, out-of-vocab tokens count exactly") {
+    val s = spark
+    import s.implicits._
+    // "common" appears in every doc so it always makes the top-2 vocab;
+    // "filler" pads doc 1. Doc 2's rare tokens are out of a 2-word vocab.
+    val df = Seq(
+      (1L, "common filler common filler common filler"),
+      (2L, "common rare1 rare2 rare3")).toDF("doc_id", "text")
+    val out = TextOps.oovRate(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((6L, 0L, 0.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 3L, 0.75)), s"got ${out(2L)}")
+  }
+
   test("stratified sample applies per-stratum rates") {
     val df = spark.range(0, 4000)
       .select(col("id"), when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))

@@ -376,6 +376,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected the 1-row centroid broadcast:\n$plan")
   }
 
+  test("oov rate probes membership via broadcast — the token stream never shuffles for the join") {
+    import graft.ops.TextOps
+    val q = TextOps.oovRate(corpus, "id", "text", vocabSize = 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the bounded vocab broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the membership probe:\n$plan")
+  }
+
   test("random projection is a zero-exchange codegen'd projection") {
     import graft.ops.Similarity
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
