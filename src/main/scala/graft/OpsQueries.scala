@@ -559,6 +559,41 @@ object OpsQueries {
           |SELECT c.id, c.text FROM corpus c JOIN canon ON c.id = canon.id
           |WHERE canon.canonical = c.id""".stripMargin)),
 
+    // keep-longest dedup policy: same Jaccard pairs + components as
+    // dedup_corpus_clean, but each cluster's LONGEST member survives
+    // (ties → lowest id) — the planted "+extra words appended" variants
+    // win over their shorter originals, so the policy is exercised, not
+    // just the tie path
+    "dedup_keep_longest" -> Q(
+      (s, d) => {
+        val corpus = textCorpus(s, d)
+        val pairs = Dedup.jaccardPairs(corpus, "id", "text",
+          n = 3, threshold = 0.5, maxDf = 100).select("d1", "d2")
+        Dedup.keepBestBy(corpus, "id", pairs, length(col("text")))
+      },
+      Some("WITH RECURSIVE " + textCorpusSql.stripPrefix("WITH ") + "," + shinglesSql +
+        """, freq AS (SELECT sh, count(*) AS c FROM sh0 GROUP BY sh),
+          |sh AS (SELECT s.id, s.sh FROM sh0 s JOIN freq f ON s.sh = f.sh WHERE f.c <= 100),
+          |sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          |inters AS (SELECT a.id AS d1, b.id AS d2, count(*) AS inter
+          |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+          |pairsj AS (SELECT d1, d2 FROM (
+          |  SELECT d1, d2, inter * 1.0 / (s1.sz + s2.sz - inter) AS jaccard
+          |  FROM inters JOIN sizes s1 ON d1 = s1.id JOIN sizes s2 ON d2 = s2.id)
+          |  WHERE jaccard >= 0.5),
+          |sym AS (SELECT d1 AS a, d2 AS b FROM pairsj
+          |        UNION ALL SELECT d2 AS a, d1 AS b FROM pairsj),
+          |reach AS (
+          |  SELECT id, id AS r FROM corpus
+          |  UNION
+          |  SELECT s.b AS id, reach.r AS r FROM reach JOIN sym s ON s.a = reach.id),
+          |canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+          |win AS (SELECT id FROM (
+          |  SELECT canon.id, row_number() OVER (PARTITION BY canon.canonical
+          |           ORDER BY length(c.text) DESC, canon.id) AS rn
+          |  FROM canon JOIN corpus c ON c.id = canon.id) WHERE rn = 1)
+          |SELECT c.id, c.text FROM corpus c JOIN win USING (id)""".stripMargin)),
+
     // the 100 TB corpus-dedup composition end-to-end (dedupCorpusLsh): LSH
     // candidate generation → exact-Jaccard verify on candidates only →
     // connected components (recursive closure) → keep min-id per cluster.

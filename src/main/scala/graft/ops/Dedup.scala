@@ -788,6 +788,39 @@ object Dedup {
     } finally p.unpersist(blocking = false)
   }
 
+  /** As [[keepCanonical]] but with a CHOSEN representative: per connected
+    * component, keep the member with the highest `scoreCol` (ties → lowest
+    * id; null scores sort last) — the keep-longest / keep-highest-quality
+    * dedup policy, where the cluster's best document survives instead of
+    * its arbitrary lowest id. Singletons pass through untouched.
+    *
+    * Scale: identical to [[keepCanonical]] — components over pair members
+    * only, plus ONE extra member-cardinality aggregation (the per-cluster
+    * arg-max via a struct-min, no window over the corpus) and the same
+    * id-keyed anti-join.
+    */
+  def keepBestBy(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: Column, maxRounds: Int = 20): DataFrame = {
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      p.count() // pin one evaluation of the pair-generator plan (see keepCanonical)
+      val members = p.select(explode(array(col("d1"), col("d2"))).as("id")).distinct()
+      val canon = canonicalIds(members, "id", p, maxRounds)
+      val scored = canon.join(
+        df.select(col(idCol).as("id"),
+          coalesce(scoreCol.cast("double"), lit(Double.MinValue)).as("_s")),
+        Seq("id"))
+      // arg-max by (score desc, id asc) as a struct-min over (−score, id):
+      // one map-combinable aggregation, never a window over the corpus
+      val winners = scored.groupBy("canonical")
+        .agg(min(struct((-col("_s")).as("ns"), col("id").as("id"))).as("w"))
+        .select(col("w.id").as(idCol))
+      val drops = canon.select(col("id").as(idCol))
+        .join(winners, Seq(idCol), "left_anti")
+      df.join(drops, Seq(idCol), "left_anti")
+    } finally p.unpersist(blocking = false)
+  }
+
   /** End-to-end exact-verified near-dup corpus dedup in one call:
     * inverted-index n-gram Jaccard pairs ([[jaccardPairs]], maxDf skew
     * guard) → connected components → minimum-id representative per cluster

@@ -1178,6 +1178,26 @@ class OpsSpec extends AnyFunSuite {
       "pure checkpoint frame must release its blocks")
   }
 
+  test("keepBestBy keeps each cluster's best scorer, breaks ties low, passes singletons") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "short", 5L), (2L, "longer text", 11L),   // cluster {1,2}: 2 wins on score
+      (3L, "tie a", 7L), (4L, "tie b", 7L),          // cluster {3,4}: tie -> 3 (lowest id)
+      (5L, "alone", 5L)                              // singleton: untouched
+    ).toDF("id", "text", "sc")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val kept = Dedup.keepBestBy(df, "id", pairs, col("sc"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L), s"got $kept")
+    // null scores sort last: 6 (null) loses to 7 (scored)
+    val df2 = Seq((6L, null.asInstanceOf[java.lang.Long]), (7L, java.lang.Long.valueOf(1L)))
+      .toDF("id", "sc")
+    val kept2 = Dedup.keepBestBy(df2, "id", Seq((6L, 7L)).toDF("d1", "d2"), col("sc"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(7L), s"got $kept2")
+  }
+
   test("group overlap: identical strata score 1.0, disjoint strata are absent") {
     val rows = Seq(
       Row("crawl_a", "one two three four five"),
