@@ -271,6 +271,47 @@ object OpsQueries {
              |SELECT md5(text) AS fp, count(*) AS cnt, min(id) AS canonical
              |FROM normed GROUP BY md5(text) HAVING count(*) > 1""".stripMargin)),
 
+    // the NEAR-dup incremental twin: new batch (doc_id % 3 = 0) LSH-probed
+    // against the landed rest — bipartite banded join, signature-estimate
+    // verify at est >= 0.5 (= >= 8 of 16 agreeing slots, an exact integer
+    // cut both sides), plus the within-batch lower-id pass. The oracle
+    // mirrors the md5-minhash/banded construction of dedup_corpus_clean_lsh
+    // so the candidate sets are structurally equal.
+    "dedup_incremental_near" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        Dedup.dedupIncrementalNear(
+          docs.filter(col("id") % 3 === 0), docs.filter(col("id") % 3 =!= 0),
+          "id", "text", n = 3, numPerms = 16, bands = 4, threshold = 0.5)
+          .select(col("id").as("doc_id"), md5(col("text")).as("fp"))
+      },
+      Some("""WITH t AS (SELECT doc_id AS id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS inc,
+             |                 string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT id, inc, unnest(list_transform(range(len(w)-2),
+             |        i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM t),
+             |perms AS (SELECT id, inc, sh, unnest(range(16)) AS p FROM g),
+             |mh AS (SELECT id, inc, p, min(md5(concat(p, '|', sh))) AS mv
+             |       FROM perms GROUP BY 1, 2, 3),
+             |bnd AS (SELECT id, inc, p // 4 AS band,
+             |               md5(string_agg(mv, ',' ORDER BY p)) AS bk
+             |        FROM mh GROUP BY 1, 2, 3),
+             |candL AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bnd a JOIN bnd b
+             |          ON a.band = b.band AND a.bk = b.bk AND a.inc = 1 AND b.inc = 0),
+             |candI AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bnd a JOIN bnd b
+             |          ON a.band = b.band AND a.bk = b.bk AND a.inc = 1 AND b.inc = 1
+             |          AND a.id < b.id),
+             |agL AS (SELECT c.d1, c.d2 FROM candL c
+             |        JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |          AND y.p = x.p AND y.mv = x.mv
+             |        GROUP BY 1, 2 HAVING count(*) >= 8),
+             |agI AS (SELECT c.d1, c.d2 FROM candI c
+             |        JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |          AND y.p = x.p AND y.mv = x.mv
+             |        GROUP BY 1, 2 HAVING count(*) >= 8)
+             |SELECT d.doc_id, md5(d.text) AS fp FROM documents d
+             |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN
+             |  (SELECT d1 FROM agL UNION SELECT d2 FROM agI)""".stripMargin)),
+
     // continuous-ingest dedup: which of the odd-id docs has the even-id
     // history never seen? Bloom-pruned, exactly verified — the sketch only
     // prunes, so the result hash-matches a plain anti-join oracle

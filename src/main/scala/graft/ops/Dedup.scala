@@ -220,6 +220,60 @@ object Dedup {
     candidatePairs(bandKeys(minhashSignatureFrame(df, idCol, textCol, n, numPerms),
       numPerms, bands))
 
+  /** Incremental NEAR-dup dedup: keep the incoming rows that are not
+    * near-duplicates of the landed corpus or of a lower-id row in their own
+    * batch — the daily-increment form of [[minhashEstimatePairs]], and the
+    * near-dup analog of the Bloom-guarded exact incremental dedup. A new
+    * doc drops when a BIPARTITE LSH candidate (new banded keys × landed
+    * banded keys — never landed × landed, which is the whole point: the
+    * history is probed, not re-paired) or a within-batch candidate against
+    * a lower id verifies at signature-estimated Jaccard ≥ `threshold`.
+    * Within-batch matching is against all lower-id rows (not only kept
+    * ones) — the deterministic one-pass contract shared with the exact
+    * incremental path, where transitivity makes it equivalent; for
+    * near-dups it is the standard superset-drop approximation.
+    *
+    * Scale shape: each side is read once into its signature frame (one
+    * partial-aggregating groupBy per side; at 100 TB the landed signatures
+    * are a stored table — [[minhashSignatureColumn]] is the map-only
+    * writer for that — and this function's landed scan is then just that
+    * narrow frame); candidates ride banded equi-joins keyed (band, bk);
+    * verification joins the tiny candidate list against the two narrow
+    * signature frames. The incoming corpus never all-pairs against
+    * anything.
+    */
+  def dedupIncrementalNear(incoming: DataFrame, landed: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    // both signature frames feed banding AND verification — persist (the
+    // minhashEstimatePairs pattern: lineage kept, caller/cleaner releases)
+    val sIn = minhashSignatureFrame(incoming, idCol, textCol, n, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sLd = minhashSignatureFrame(landed, idCol, textCol, n, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bIn = bandKeys(sIn, numPerms, bands)
+    val bLd = bandKeys(sLd, numPerms, bands)
+    val candLanded = bIn.select(col("id").as("d1"), col("band"), col("bk"))
+      .join(bLd.select(col("id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
+      .select("d1", "d2").distinct()
+    val candBatch = candidatePairs(bIn) // d1 < d2: d2 is the later arrival
+    def verified(cand: DataFrame, s2: DataFrame): DataFrame = {
+      val a = sIn.select(col("id").as("d1") +:
+        (0 until numPerms).map(p => col(s"m$p").as(s"a$p")): _*)
+      val b = s2.select(col("id").as("d2") +:
+        (0 until numPerms).map(p => col(s"m$p").as(s"b$p")): _*)
+      val agree = (0 until numPerms)
+        .map(p => when(col(s"a$p") === col(s"b$p"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(a, Seq("d1")).join(b, Seq("d2"))
+        .filter((agree / lit(numPerms.toDouble)) >= threshold)
+    }
+    val drops = verified(candLanded, sLd).select(col("d1").as(idCol))
+      .unionByName(verified(candBatch, sIn).select(col("d2").as(idCol)))
+      .distinct()
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end minhash near-dup WITHOUT touching the documents again:
     * LSH candidates are verified by the signature-estimated Jaccard — the
     * fraction of agreeing minhash slots, an unbiased estimator of the true

@@ -1178,6 +1178,29 @@ class OpsSpec extends AnyFunSuite {
       "pure checkpoint frame must release its blocks")
   }
 
+  test("incremental near-dup: landed matches and lower-id batch matches drop; novel and short docs keep") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old " +
+      "stone bridge at dawn every single morning"
+    val landed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, base)).toDF("id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of landed 1
+      // near-dup of landed 2: verified off-line to agree on 15/16 slots AND
+      // collide in 3 of 4 bands, so candidacy is deterministic, not lucky
+      (11L, "note " + base),
+      (12L, "completely different text about something else ok"),  // novel
+      (13L, "completely different text about something else ok"),  // in-batch dup of 12
+      (14L, "hi")                                                  // < n tokens: no signature
+    ).toDF("id", "text")
+    val kept = Dedup.dedupIncrementalNear(incoming, landed, "id", "text",
+      n = 3, numPerms = 16, bands = 4, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 14L), s"got $kept")
+  }
+
   test("keepBestBy keeps each cluster's best scorer, breaks ties low, passes singletons") {
     val s = spark
     import s.implicits._
