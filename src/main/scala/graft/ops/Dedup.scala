@@ -233,24 +233,45 @@ object Dedup {
     * incremental path, where transitivity makes it equivalent; for
     * near-dups it is the standard superset-drop approximation.
     *
-    * Scale shape: each side is read once into its signature frame (one
+    * Scale shape: each side collapses to its signature frame (one
     * partial-aggregating groupBy per side; at 100 TB the landed signatures
     * are a stored table — [[minhashSignatureColumn]] is the map-only
     * writer for that — and this function's landed scan is then just that
     * narrow frame); candidates ride banded equi-joins keyed (band, bk);
     * verification joins the tiny candidate list against the two narrow
     * signature frames. The incoming corpus never all-pairs against
-    * anything.
+    * anything. For ingest loops use [[dedupIncrementalNearManaged]],
+    * which caches the twice-referenced signature frames and hands back
+    * their release.
     */
   def dedupIncrementalNear(incoming: DataFrame, landed: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    // both signature frames feed banding AND verification — persist (the
-    // minhashEstimatePairs pattern: lineage kept, caller/cleaner releases)
-    val sIn = minhashSignatureFrame(incoming, idCol, textCol, n, numPerms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sLd = minhashSignatureFrame(landed, idCol, textCol, n, numPerms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    dedupIncrementalNearImpl(incoming, landed, idCol, textCol, n, numPerms,
+      bands, threshold, manage = false)._1
+
+  /** As [[dedupIncrementalNear]] with MANAGED signature caches: both
+    * signature frames (each feeds banding AND verification) are persisted,
+    * and the returned thunk releases them once the result is consumed —
+    * the [[incrementalNewDocsManaged]] contract, for ingest loops that
+    * must not leak executor storage batch over batch. The unmanaged form
+    * leaves the frames unpersisted (recompute + ReuseExchange — the
+    * measured winner for one-shot queries, SCALING.md winnow-reuse pin).
+    */
+  def dedupIncrementalNearManaged(incoming: DataFrame, landed: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): (DataFrame, () => Unit) =
+    dedupIncrementalNearImpl(incoming, landed, idCol, textCol, n, numPerms,
+      bands, threshold, manage = true)
+
+  private def dedupIncrementalNearImpl(incoming: DataFrame, landed: DataFrame,
+      idCol: String, textCol: String, n: Int, numPerms: Int,
+      bands: Int, threshold: Double, manage: Boolean): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    def cached(df: DataFrame): DataFrame =
+      if (manage) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val sIn = cached(minhashSignatureFrame(incoming, idCol, textCol, n, numPerms))
+    val sLd = cached(minhashSignatureFrame(landed, idCol, textCol, n, numPerms))
     val bIn = bandKeys(sIn, numPerms, bands)
     val bLd = bandKeys(sLd, numPerms, bands)
     val candLanded = bIn.select(col("id").as("d1"), col("band"), col("bk"))
@@ -271,7 +292,11 @@ object Dedup {
     val drops = verified(candLanded, sLd).select(col("d1").as(idCol))
       .unionByName(verified(candBatch, sIn).select(col("d2").as(idCol)))
       .distinct()
-    incoming.join(drops, Seq(idCol), "left_anti")
+    val out = incoming.join(drops, Seq(idCol), "left_anti")
+    (out, () => {
+      if (manage) { sIn.unpersist(false); sLd.unpersist(false) }
+      ()
+    })
   }
 
   /** End-to-end minhash near-dup WITHOUT touching the documents again:

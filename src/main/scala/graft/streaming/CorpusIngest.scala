@@ -57,7 +57,53 @@ object CorpusIngest {
       if (corpus.isEmpty) (uniq, () => ())
       else graft.ops.Dedup.incrementalNewDocsManaged(
         corpus.read().select(col("value.*")), uniq, textCol, expectedItems, fpp)
-    // 3. envelope in id order with offsets continuing from the pool
+    try appendSorted(fresh, corpus, idCol, topic, cols)
+    finally release()
+  }
+
+  /** As [[ingestBatch]] with a NEAR-dup gate stacked on the exact one: the
+    * exact Bloom-pruned pass first (it alone covers short docs, which have
+    * no signature, and it is what makes replay idempotent — a re-arriving
+    * batch is EXACTLY equal to its landed copy), then
+    * [[graft.ops.Dedup.dedupIncrementalNear]] probes the corpus bipartite
+    * for near-duplicate survivors at signature-estimated Jaccard ≥
+    * `threshold`. Near-dup state lives in the corpus itself, like
+    * everything else on this path — no checkpoint beyond the source's.
+    */
+  def ingestBatchNear(batch: DataFrame, corpus: Pool, idCol: String,
+      textCol: String, topic: String = "corpus",
+      n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): Long = {
+    val cols = batch.columns.toSeq
+    val usable = batch.filter(col(textCol).isNotNull)
+    val uniq = usable
+      .groupBy(md5(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select("_row.*")
+    if (corpus.isEmpty) {
+      // first commit: no landed side — the near pass still dedups the batch
+      // against itself (lower-id wins), the exact agg above caught literals
+      val (fresh, release) = graft.ops.Dedup.dedupIncrementalNearManaged(
+        uniq, uniq.limit(0), idCol, textCol, n, numPerms, bands, threshold)
+      try appendSorted(fresh, corpus, idCol, topic, cols)
+      finally release()
+    } else {
+      val landed = corpus.read().select(col("value.*"))
+      val (exactFresh, releaseExact) = graft.ops.Dedup.incrementalNewDocsManaged(
+        landed, uniq, textCol, expectedItems, fpp)
+      val (fresh, releaseNear) = graft.ops.Dedup.dedupIncrementalNearManaged(
+        exactFresh, landed, idCol, textCol, n, numPerms, bands, threshold)
+      try appendSorted(fresh, corpus, idCol, topic, cols)
+      finally { releaseNear(); releaseExact() }
+    }
+  }
+
+  /** Step 3 of the ingest paths: envelope the survivors in id order with
+    * offsets continuing from the pool, atomic append; returns the count.
+    */
+  private def appendSorted(fresh: DataFrame, corpus: Pool, idCol: String,
+      topic: String, cols: Seq[String]): Long = {
     val sorted = fresh
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
@@ -76,10 +122,7 @@ object CorpusIngest {
         corpus.append(env, knownRows = Some(appended))
       }
       appended
-    } finally {
-      sorted.unpersist()
-      release()
-    }
+    } finally sorted.unpersist()
   }
 
   /** Streaming entry point: each micro-batch of `docs` (a streaming
@@ -94,6 +137,23 @@ object CorpusIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, corpus, idCol, textCol, topic, expectedItems, fpp)
+        ()
+      }
+      .start()
+
+  /** Streaming entry for the near-dup ingest: [[ingestBatchNear]] per
+    * micro-batch.
+    */
+  def startNear(docs: DataFrame, corpus: Pool, idCol: String, textCol: String,
+      checkpoint: String, topic: String = "corpus",
+      interval: String = "5 seconds", n: Int = 3, numPerms: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .trigger(Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatchNear(batch, corpus, idCol, textCol, topic,
+          n, numPerms, bands, threshold)
         ()
       }
       .start()

@@ -65,6 +65,34 @@ class CorpusIngestSpec extends AnyFunSuite {
       "CorpusIngest leaked persisted RDDs")
   }
 
+  test("near-dup ingest: exact + near gates stack; near-dups of the corpus and the batch drop") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-n").toString)
+    val base = "the quick brown fox jumps over the lazy dog near the old " +
+      "stone bridge at dawn every single morning"
+
+    // first commit: in-batch NEAR dup ("note " + base vs base, band-colliding
+    // by construction — see OpsSpec's incremental fixture) drops the higher id
+    val b1 = docs(1L -> base, 5L -> ("note " + base), 2L -> "tiny")
+    assert(CorpusIngest.ingestBatchNear(b1, corpus, "doc_id", "text") == 2)
+    assert(corpus.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    // next batch: a near-dup of the LANDED base drops (bipartite probe),
+    // exact copies drop (exact gate — including the short "tiny", which has
+    // no signature and only the exact gate can catch), the novel doc keeps
+    val b2 = docs(10L -> (base + " ok"), 11L -> base, 12L -> "tiny",
+      13L -> "completely different words about some other topic entirely")
+    assert(CorpusIngest.ingestBatchNear(b2, corpus, "doc_id", "text") == 1)
+    assert(corpus.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
+
+    // replay of b2 is a no-op (exact gate catches the landed copy of 13)
+    assert(CorpusIngest.ingestBatchNear(b2, corpus, "doc_id", "text") == 0)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
+      "near ingest leaked persisted RDDs")
+  }
+
   test("streaming end-to-end: micro-batches of files dedup-ingest into the pool") {
     val inDir = Files.createTempDirectory("docs-stream").toString
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus-s").toString)
