@@ -387,6 +387,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"token stream must not shuffle for the membership probe:\n$plan")
   }
 
+  test("incremental near-dup: no cartesian, no corpus window — banded equi-joins only") {
+    import graft.ops.Dedup
+    val landed = corpus.select((col("id") + 1000).as("id"), col("text"))
+    val q = Dedup.dedupIncrementalNear(corpus, landed, "id", "text")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert(!plan.contains("Window"), s"no window over either side:\n$plan")
+  }
+
+  test("keepBestBy: the arg-max is an aggregation, never a window over the corpus") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions.length
+    val pairs = corpus.select(col("id").as("d1"), (col("id") + 1).as("d2"))
+      .filter(col("d1") % 2 === 0)
+    val q = Dedup.keepBestBy(corpus, "id", pairs, length(col("text")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), s"arg-max must be an aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
+
   test("random projection is a zero-exchange codegen'd projection") {
     import graft.ops.Similarity
     val df = Tables.load(spark, TestSpark.sf, "embeddings")
