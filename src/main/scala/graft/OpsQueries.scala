@@ -2207,6 +2207,74 @@ object OpsQueries {
           |SELECT c.id, count(*) AS n_overlap FROM sh0 c JOIN esh e ON c.sh = e.sh
           |GROUP BY c.id HAVING count(*) >= 5""".stripMargin)),
 
+    // the 100 TB curation recipe end-to-end, from this round's pieces:
+    // length gate → exact dedup (lowest id per hash) → minhash-LSH near-dup
+    // with keep-LONGEST representatives → temperature (α=0.5) language mix
+    // → token counts. Every stage is individually oracle-verified; this row
+    // pins their composition.
+    "curate_pipeline_near" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").filter(col("n_chars") >= 100)
+        val keepIds = docs.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val uniq = docs.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+        val pairs = Dedup.minhashEstimatePairs(
+          uniq.select(col("doc_id").as("id"), col("text")), "id", "text",
+          n = 3, numPerms = 16, bands = 4, threshold = 0.5)
+          .select("d1", "d2")
+        val deduped = Dedup.keepBestBy(uniq, "doc_id", pairs, length(col("text")))
+        Curate.temperatureMix(deduped, col("lang"), alpha = 0.5, keyCol = col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+      },
+      Some("""WITH RECURSIVE base AS (
+             |  SELECT doc_id, text, lang FROM documents WHERE n_chars >= 100),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+             |uniq AS (SELECT b.* FROM base b JOIN keep USING (doc_id)),
+             |words AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM uniq),
+             |sh0 AS (SELECT DISTINCT id, unnest(list_transform(range(len(w)-2),
+             |          i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM words),
+             |perms AS (SELECT id, sh, unnest(range(16)) AS p FROM sh0),
+             |mh AS (SELECT id, p, min(md5(concat(p, '|', sh))) AS mv
+             |       FROM perms GROUP BY 1, 2),
+             |bnd AS (SELECT id, p // 4 AS band,
+             |               md5(string_agg(mv, ',' ORDER BY p)) AS bk
+             |        FROM mh GROUP BY 1, 2),
+             |cand AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bnd a JOIN bnd b
+             |         ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+             |agree AS (SELECT c.d1, c.d2 FROM cand c
+             |          JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |            AND y.p = x.p AND y.mv = x.mv
+             |          GROUP BY 1, 2 HAVING count(*) >= 8),
+             |sym AS (SELECT d1 AS a, d2 AS b FROM agree
+             |        UNION ALL SELECT d2 AS a, d1 AS b FROM agree),
+             |reach AS (
+             |  SELECT doc_id AS id, doc_id AS r FROM uniq
+             |  UNION
+             |  SELECT s.b AS id, reach.r AS r FROM reach JOIN sym s ON s.a = reach.id),
+             |canon AS (SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+             |win AS (SELECT id FROM (
+             |  SELECT canon.id, row_number() OVER (PARTITION BY canon.canonical
+             |           ORDER BY length(u.text) DESC, canon.id) AS rn
+             |  FROM canon JOIN uniq u ON u.doc_id = canon.id) WHERE rn = 1),
+             |ded AS (SELECT u.* FROM uniq u JOIN win ON win.id = u.doc_id),
+             |cnt AS (SELECT lang AS g, count(*) AS n FROM ded
+             |        WHERE lang IS NOT NULL GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM cnt),
+             |pw AS (SELECT g, n, round(pow(n / tt, 0.5), 12) AS pw
+             |       FROM cnt CROSS JOIN tot),
+             |zz AS (SELECT CAST(sum(CAST(pw AS DECIMAL(14,12))) AS DOUBLE) AS z FROM pw),
+             |q AS (SELECT g, n, pw / z AS q FROM pw CROSS JOIN zz),
+             |tv AS (SELECT min(n / q) AS t FROM q),
+             |rates AS (SELECT g, least((q * t) / n, CAST(1.0 AS DOUBLE)) AS r
+             |          FROM q CROSS JOIN tv)
+             |SELECT d.doc_id, d.lang,
+             |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+             |FROM ded d JOIN rates ON d.lang = rates.g
+             |WHERE r >= 1.0 OR md5(CAST(d.doc_id AS VARCHAR)) <
+             |  lpad(lower(to_hex(CAST(least(floor(r * 4294967296.0),
+             |    CAST(4294967295.0 AS DOUBLE)) AS BIGINT))), 8, '0')""".stripMargin)),
+
     // end-to-end curation pipeline — the composition story: language gate →
     // length gate → exact dedup (keep lowest doc_id per content hash) →
     // deterministic 50% sample → token counts. One DataFrame plan; Catalyst
