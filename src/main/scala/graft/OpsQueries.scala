@@ -921,9 +921,14 @@ object OpsQueries {
     // unrolls the SAME md5-seeded ±1 matrix (Similarity.projectionSigns)
     // as explicit left-associated arithmetic, so results are bit-identical
     // proj flattened to one %.9f comma-joined string (the sim_pq_train
-    // convention): raw array cells crash the driver's pandas sort; the
-    // underlying doubles are bit-identical (same left-associated ±1 sums),
-    // so fixed-precision rendering of the same bits matches exactly
+    // convention): raw array cells crash the driver's pandas sort. The
+    // oracle compare is therefore 9-decimal, NOT bit-exact — full-precision
+    // rendering is impossible here because Java's Formatter pads zeros past
+    // the shortest double representation instead of computing exact digits
+    // (measured: %.16e renders ...8600 where DuckDB's exact ...8596), so
+    // the renderings diverge on ~half the values even for identical bits.
+    // Bit-identity of the projection arithmetic is enforced by OpsSpec's
+    // exact-double comparison against an independent in-test computation.
     "sim_random_projection" -> Q(
       (s, d) => Similarity.randomProjection(embBase(s, d), "vec_id", "v",
         dIn = 64, dOut = 8, salt = "rp")
@@ -2169,7 +2174,11 @@ object OpsQueries {
     "curate_unimax" -> Q(
       (s, d) => Curate.unimaxAllocation(
         Tables.load(s, d, "documents"), col("lang"),
-        size(split(col("text"), " ")), budget = 150000.0, maxEpochs = 2.0),
+        // null text must contribute NULL (skipped by sum), not the -1 that
+        // size(split(null)) returns under non-ANSI — mirroring the oracle's
+        // len(string_split(NULL, ' ')) = NULL
+        when(col("text").isNotNull, size(split(col("text"), " "))),
+        budget = 150000.0, maxEpochs = 2.0),
       Some("""WITH RECURSIVE cnt AS (
              |  SELECT lang AS g, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
              |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),

@@ -179,11 +179,27 @@ object Curate {
     require(budget > 0.0 && maxEpochs > 0.0,
       s"unimaxAllocation: budget and maxEpochs must be positive, got $budget / $maxEpochs")
     val spark = df.sparkSession
+    // guard the collected totals: a null sum (all-null token column for a
+    // stratum) would NPE, and a zero or negative total (e.g. a caller's
+    // size(split(null)) = -1 under non-ANSI) would emit NaN epochs or
+    // NEGATIVE allocations that inflate the remaining budget for every
+    // later group — reject loudly instead of poisoning the plan
     val counts = df.groupBy(strataCol.as("g"))
       .agg(sum(tokenCol.cast("long")).as("n"))
-      .collect().flatMap(r => Option(r.get(0)).map(g => g.toString -> r.getLong(1)))
+      .collect().flatMap { r =>
+        Option(r.get(0)).map { g =>
+          require(!r.isNullAt(1),
+            s"unimaxAllocation: stratum '$g' has a null token total " +
+              "(every row's tokenCol is null)")
+          g.toString -> r.getLong(1)
+        }
+      }
       .toSeq.sortBy { case (g, n) => (n, g) }
     require(counts.nonEmpty, "unimaxAllocation: no non-null strata")
+    counts.foreach { case (g, n) =>
+      require(n > 0L, s"unimaxAllocation: stratum '$g' has non-positive " +
+        s"token total $n — filter empty strata (or null-text rows) first")
+    }
     var rem = budget
     val rows = counts.zipWithIndex.map { case ((g, n), i) =>
       val fair = rem / (counts.size - i)

@@ -278,19 +278,10 @@ object Dedup {
       .join(bLd.select(col("id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
       .select("d1", "d2").distinct()
     val candBatch = candidatePairs(bIn) // d1 < d2: d2 is the later arrival
-    def verified(cand: DataFrame, s2: DataFrame): DataFrame = {
-      val a = sIn.select(col("id").as("d1") +:
-        (0 until numPerms).map(p => col(s"m$p").as(s"a$p")): _*)
-      val b = s2.select(col("id").as("d2") +:
-        (0 until numPerms).map(p => col(s"m$p").as(s"b$p")): _*)
-      val agree = (0 until numPerms)
-        .map(p => when(col(s"a$p") === col(s"b$p"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(a, Seq("d1")).join(b, Seq("d2"))
-        .filter((agree / lit(numPerms.toDouble)) >= threshold)
-    }
-    val drops = verified(candLanded, sLd).select(col("d1").as(idCol))
-      .unionByName(verified(candBatch, sIn).select(col("d2").as(idCol)))
+    val drops = signatureEstimate(candLanded, sIn, sLd, numPerms, threshold)
+      .select(col("d1").as(idCol))
+      .unionByName(signatureEstimate(candBatch, sIn, sIn, numPerms, threshold)
+        .select(col("d2").as(idCol)))
       .distinct()
     val out = incoming.join(drops, Seq(idCol), "left_anti")
     (out, () => {
@@ -327,14 +318,26 @@ object Dedup {
     val sig = minhashSignatureFrame(df, idCol, textCol, n, numPerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(bandKeys(sig, numPerms, bands))
-    val s1 = sig.select(col("id").as("d1") +:
+    signatureEstimate(cand, sig, sig, numPerms, threshold)
+  }
+
+  /** Shared verification of candidate pairs by signature slot agreement —
+    * est = agreeing slots / numPerms, Broder's unbiased Jaccard estimator;
+    * keeps pairs with est >= threshold. One definition serves the batch
+    * ([[minhashEstimatePairs]]) and incremental ([[dedupIncrementalNear]])
+    * paths so the estimator and its inclusive cut cannot desynchronize.
+    * Output: (d1, d2, est).
+    */
+  private def signatureEstimate(cand: DataFrame, s1: DataFrame, s2: DataFrame,
+      numPerms: Int, threshold: Double): DataFrame = {
+    val a = s1.select(col("id").as("d1") +:
       (0 until numPerms).map(p => col(s"m$p").as(s"a$p")): _*)
-    val s2 = sig.select(col("id").as("d2") +:
+    val b = s2.select(col("id").as("d2") +:
       (0 until numPerms).map(p => col(s"m$p").as(s"b$p")): _*)
     val agree = (0 until numPerms)
       .map(p => when(col(s"a$p") === col(s"b$p"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+    cand.join(a, Seq("d1")).join(b, Seq("d2"))
       .select(col("d1"), col("d2"), (agree / lit(numPerms.toDouble)).as("est"))
       .filter(col("est") >= threshold)
   }

@@ -43,15 +43,7 @@ object CorpusIngest {
       textCol: String, topic: String = "corpus",
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): Long = {
     val cols = batch.columns.toSeq
-    // Null-text documents have no content identity: md5(null) is null, so
-    // they would bypass both the sketch and the exact verify and re-append
-    // on every replay, breaking idempotence — drop them up front.
-    val usable = batch.filter(col(textCol).isNotNull)
-    // 1. within-batch exact dedup, deterministic survivor (lowest id)
-    val uniq = usable
-      .groupBy(md5(col(textCol)).as("_fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
-      .select("_row.*")
+    val uniq = uniqPerContent(batch, idCol, textCol, cols)
     // 2. incremental dedup vs the corpus (skipped on first commit)
     val (fresh, release) =
       if (corpus.isEmpty) (uniq, () => ())
@@ -76,11 +68,7 @@ object CorpusIngest {
       threshold: Double = 0.5,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): Long = {
     val cols = batch.columns.toSeq
-    val usable = batch.filter(col(textCol).isNotNull)
-    val uniq = usable
-      .groupBy(md5(col(textCol)).as("_fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
-      .select("_row.*")
+    val uniq = uniqPerContent(batch, idCol, textCol, cols)
     if (corpus.isEmpty) {
       // first commit: no landed side — the near pass still dedups the batch
       // against itself (lower-id wins), the exact agg above caught literals
@@ -98,6 +86,19 @@ object CorpusIngest {
       finally { releaseNear(); releaseExact() }
     }
   }
+
+  /** Step 1 of both ingest paths: within-batch exact dedup, deterministic
+    * survivor (lowest id per content fingerprint). Null-text documents have
+    * no content identity: md5(null) is null, so they would bypass both the
+    * sketch and the exact verify and re-append on every replay, breaking
+    * idempotence — dropped up front.
+    */
+  private def uniqPerContent(batch: DataFrame, idCol: String, textCol: String,
+      cols: Seq[String]): DataFrame =
+    batch.filter(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select("_row.*")
 
   /** Step 3 of the ingest paths: envelope the survivors in id order with
     * offsets continuing from the pool, atomic append; returns the count.
@@ -147,13 +148,14 @@ object CorpusIngest {
   def startNear(docs: DataFrame, corpus: Pool, idCol: String, textCol: String,
       checkpoint: String, topic: String = "corpus",
       interval: String = "5 seconds", n: Int = 3, numPerms: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5): StreamingQuery =
+      bands: Int = 4, threshold: Double = 0.5,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatchNear(batch, corpus, idCol, textCol, topic,
-          n, numPerms, bands, threshold)
+          n, numPerms, bands, threshold, expectedItems, fpp)
         ()
       }
       .start()
