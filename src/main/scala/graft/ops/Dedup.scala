@@ -55,7 +55,8 @@ object Dedup {
   def incrementalNewDocs(history: DataFrame, incoming: DataFrame,
       textCol: String, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame =
-    incrementalImpl(history, incoming, textCol, expectedItems, fpp, manage = false)._1
+    incrementalImpl(history.select(md5(col(textCol)).as("_fp")), incoming,
+      textCol, expectedItems, fpp, manage = false)._1
 
   /** As [[incrementalNewDocs]], plus an explicit `release()` for
     * long-running ingest loops: each side is scanned ONCE (the history
@@ -74,17 +75,59 @@ object Dedup {
   def incrementalNewDocsManaged(history: DataFrame, incoming: DataFrame,
       textCol: String, expectedItems: Long = 1L << 20,
       fpp: Double = 0.01): (DataFrame, () => Unit) =
-    incrementalImpl(history, incoming, textCol, expectedItems, fpp, manage = true)
+    incrementalImpl(history.select(md5(col(textCol)).as("_fp")), incoming,
+      textCol, expectedItems, fpp, manage = true)
 
-  private def incrementalImpl(history: DataFrame, incoming: DataFrame,
+  /** As [[incrementalNewDocsManaged]] but against a STORED fingerprint
+    * column instead of the history documents themselves: `historyFps` is a
+    * one-column frame of md5 content fingerprints (e.g. the corpus pool's
+    * persisted `fp` column). The gate then scans one narrow ~32-byte
+    * column per batch instead of re-hashing the full landed TEXT — the
+    * 100 TB form of the continuous-ingest exact gate. Semantics are
+    * identical to the text-derived path whenever `historyFps` really is
+    * `md5(text)` of every history row (the writer's contract).
+    */
+  def incrementalNewDocsFromFpsManaged(historyFps: DataFrame, fpCol: String,
+      incoming: DataFrame, textCol: String, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): (DataFrame, () => Unit) =
+    incrementalImpl(historyFps.select(col(fpCol).as("_fp")), incoming,
+      textCol, expectedItems, fpp, manage = true)
+
+  /** As [[incrementalNewDocsFromFpsManaged]] with the Bloom filter supplied
+    * by the CALLER (retained across micro-batches and `mergeInPlace`-grown
+    * with each appended batch's fingerprints — the
+    * [[graft.streaming.CorpusIngestSession]] loop): no per-batch sketch
+    * build at all, so the only history work left is the exact verify's
+    * narrow fp-column anti-join — and when the batch has no might-contain
+    * rows, AQE's empty-relation propagation elides even that scan. A stale
+    * or saturated filter only admits more rows into the verify (the sketch
+    * prunes, the anti-join decides), so retention is a pure cost knob.
+    */
+  def incrementalNewDocsWithBloomManaged(historyFps: DataFrame, fpCol: String,
+      incoming: DataFrame, textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): (DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    val bfBc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
+    val flagged = incoming.withColumn("_fp", md5(col(textCol)))
+      .withColumn("_mc", mightContain(col("_fp")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val definitelyNew = flagged.filter(!col("_mc"))
+    val confirmedNew = flagged.filter(col("_mc"))
+      .join(historyFps.select(col(fpCol).as("_fp")), Seq("_fp"), "left_anti")
+    val out = definitelyNew.unionByName(confirmedNew).drop("_fp", "_mc")
+    (out, () => { flagged.unpersist(blocking = false); bfBc.destroy() })
+  }
+
+  private def incrementalImpl(historyFps: DataFrame, incoming: DataFrame,
       textCol: String, expectedItems: Long, fpp: Double,
       manage: Boolean): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     def cached(df: DataFrame): DataFrame =
       if (manage) df.persist(StorageLevel.MEMORY_AND_DISK) else df
-    val hFp = cached(history.select(md5(col(textCol)).as("_fp")))
+    val hFp = cached(historyFps)
     val bf = hFp.stat.bloomFilter("_fp", expectedItems, fpp) // action (caches hFp when managed)
-    val bfBc = history.sparkSession.sparkContext.broadcast(bf)
+    val bfBc = incoming.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((s: String) => s != null && bfBc.value.mightContainString(s))
     val flagged = cached(incoming.withColumn("_fp", md5(col(textCol)))
       .withColumn("_mc", mightContain(col("_fp"))))
@@ -196,6 +239,41 @@ object Dedup {
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** The signature as a STORABLE column — [[minhashSignatureColumn]] nulled
+    * out whole when the document has no shingles (fewer than `n` tokens),
+    * so a stored-signature table can filter `sig IS NOT NULL` and recover
+    * exactly the row set [[minhashSignatureFrame]] would produce (the frame
+    * form emits no row for shingle-less docs; the raw column form would
+    * emit an all-null array whose band keys spuriously collide). This is
+    * the map-only writer for persisting landed signatures at ingest — the
+    * 100 TB evolution where incremental near-dup probes a narrow stored
+    * (id, sig) table instead of re-shingling the landed text every batch.
+    */
+  def storedSignatureColumn(textCol: Column, n: Int = 3,
+      numPerms: Int = 16): Column =
+    when(size(split(textCol, " ")) >= n,
+      minhashSignatureColumn(textCol, n, numPerms))
+
+  /** Wide (id, m0..m{numPerms-1}) signature frame from a STORED array
+    * signature column (written by [[storedSignatureColumn]]): null
+    * signatures (shingle-less docs) drop — matching
+    * [[minhashSignatureFrame]]'s row set — and a stored array of the wrong
+    * length fails loudly (it means the probe's `numPerms` disagrees with
+    * the writer's, which would otherwise silently null every slot).
+    * Bit-identical to recomputing the frame from text (the column/frame
+    * signature identity OpsSpec pins), at the cost of one narrow scan.
+    */
+  def signatureFrameFromStored(df: DataFrame, idCol: String, sigCol: String,
+      numPerms: Int): DataFrame = {
+    val checked = when(size(col(sigCol)) === numPerms, col(sigCol))
+      .otherwise(raise_error(concat(
+        lit(s"stored signature length != numPerms=$numPerms: "),
+        size(col(sigCol)).cast("string"))))
+    df.filter(col(sigCol).isNotNull)
+      .select(col(idCol).as("id") +:
+        (0 until numPerms).map(p => element_at(checked, p + 1).as(s"m$p")): _*)
+  }
+
   /** Banded bucket keys of a signature frame: (id, band, bk). */
   private def bandKeys(sig: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     val rows = numPerms / bands
@@ -247,8 +325,9 @@ object Dedup {
   def dedupIncrementalNear(incoming: DataFrame, landed: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): DataFrame =
-    dedupIncrementalNearImpl(incoming, landed, idCol, textCol, n, numPerms,
-      bands, threshold, manage = false)._1
+    dedupIncrementalNearImpl(incoming,
+      minhashSignatureFrame(landed, idCol, textCol, n, numPerms),
+      idCol, textCol, n, numPerms, bands, threshold, manage = false)._1
 
   /** As [[dedupIncrementalNear]] with MANAGED signature caches: both
     * signature frames (each feeds banding AND verification) are persisted,
@@ -261,17 +340,62 @@ object Dedup {
   def dedupIncrementalNearManaged(incoming: DataFrame, landed: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): (DataFrame, () => Unit) =
-    dedupIncrementalNearImpl(incoming, landed, idCol, textCol, n, numPerms,
+    dedupIncrementalNearImpl(incoming,
+      minhashSignatureFrame(landed, idCol, textCol, n, numPerms),
+      idCol, textCol, n, numPerms, bands, threshold, manage = true)
+
+  /** As [[dedupIncrementalNear]] against a PRE-BUILT landed signature frame
+    * (id, m0..m{numPerms-1}) — typically [[signatureFrameFromStored]] over
+    * the corpus pool's persisted `sig` column. The landed-side cost then
+    * collapses from a full text re-shingling (O(landed tokens · perms)
+    * every batch) to one narrow column scan — the stored-signature
+    * evolution SCALING.md names as the 100 TB ingest form. Results are
+    * bit-identical to [[dedupIncrementalNear]] when the stored signatures
+    * were written with the same (n, numPerms) (the writer's contract;
+    * `numPerms` mismatches fail loudly in [[signatureFrameFromStored]],
+    * `n` is unrecoverable from data and must match by construction).
+    */
+  def dedupIncrementalNearPresigned(incoming: DataFrame, landedSig: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    dedupIncrementalNearImpl(incoming, landedSig, idCol, textCol, n, numPerms,
+      bands, threshold, manage = false)._1
+
+  /** [[dedupIncrementalNearPresigned]] with managed caches (the
+    * [[dedupIncrementalNearManaged]] contract, for ingest loops). */
+  def dedupIncrementalNearPresignedManaged(incoming: DataFrame,
+      landedSig: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      numPerms: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): (DataFrame, () => Unit) =
+    dedupIncrementalNearImpl(incoming, landedSig, idCol, textCol, n, numPerms,
       bands, threshold, manage = true)
 
-  private def dedupIncrementalNearImpl(incoming: DataFrame, landed: DataFrame,
+  /** Production near-dup preset: 128 permutations / 32 bands (4 rows per
+    * band). The 16-perm default's estimator granularity is 1/16 — unusable
+    * at the ~0.8 thresholds production dedup runs (0.8 sits between 12/16
+    * and 13/16); 128 perms give a ~±0.035 standard error at J = 0.8, and
+    * 32 bands of 4 rows center the candidate S-curve at (1/32)^(1/4) ≈ 0.42
+    * so true 0.8-pairs are caught with near-certainty and the estimator
+    * does the cutting. The same preset SCALING.md's recall experiment pins.
+    */
+  val ProdNumPerms = 128
+  val ProdBands = 32
+  val ProdThreshold = 0.8
+
+  /** [[dedupIncrementalNear]] at the production preset (128/32/0.8). */
+  def dedupIncrementalNearProd(incoming: DataFrame, landed: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame =
+    dedupIncrementalNear(incoming, landed, idCol, textCol, n,
+      ProdNumPerms, ProdBands, ProdThreshold)
+
+  private def dedupIncrementalNearImpl(incoming: DataFrame, landedSig: DataFrame,
       idCol: String, textCol: String, n: Int, numPerms: Int,
       bands: Int, threshold: Double, manage: Boolean): (DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     def cached(df: DataFrame): DataFrame =
       if (manage) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val sIn = cached(minhashSignatureFrame(incoming, idCol, textCol, n, numPerms))
-    val sLd = cached(minhashSignatureFrame(landed, idCol, textCol, n, numPerms))
+    val sLd = cached(landedSig)
     val bIn = bandKeys(sIn, numPerms, bands)
     val bLd = bandKeys(sLd, numPerms, bands)
     val candLanded = bIn.select(col("id").as("d1"), col("band"), col("bk"))
@@ -307,18 +431,36 @@ object Dedup {
     */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    // The signature frame is referenced three times below (band keys, s1,
-    // s2); cache it so the read-texts-ONCE guarantee holds by construction
-    // rather than relying on ReuseExchange canonicalizing the three
-    // subtrees identically (same pattern as dedup_lsh_jaccard's candidate
-    // materialization). persist — NOT localCheckpoint — keeps the lineage,
-    // so the query survives executor loss in library use and leaves no
-    // unrecomputable pinned RDD behind.
-    val sig = minhashSignatureFrame(df, idCol, textCol, n, numPerms)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      threshold: Double = 0.5): DataFrame =
+    minhashEstimateImpl(df, idCol, textCol, n, numPerms, bands, threshold,
+      manage = false)._1
+
+  /** As [[minhashEstimatePairs]] with a release thunk for loop callers —
+    * the signature frame is persisted (it feeds band keys AND both verify
+    * sides) and the thunk unpersists it once the result is consumed. The
+    * UNMANAGED form persists NOTHING (the [[incrementalNewDocs]] rule: a
+    * convenience API must not pin executor storage it gives the caller no
+    * way to release) — its three signature references collapse onto one
+    * shuffle via ReuseExchange, the same measured-at-floor shape as the
+    * winnow family (SCALING.md winnow-reuse pin: the recompute above a
+    * reused exchange is cheaper than a cache materialization pass).
+    */
+  def minhashEstimatePairsManaged(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): (DataFrame, () => Unit) =
+    minhashEstimateImpl(df, idCol, textCol, n, numPerms, bands, threshold,
+      manage = true)
+
+  private def minhashEstimateImpl(df: DataFrame, idCol: String,
+      textCol: String, n: Int, numPerms: Int, bands: Int, threshold: Double,
+      manage: Boolean): (DataFrame, () => Unit) = {
+    val sig0 = minhashSignatureFrame(df, idCol, textCol, n, numPerms)
+    val sig = if (manage)
+      sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sig0
     val cand = candidatePairs(bandKeys(sig, numPerms, bands))
-    signatureEstimate(cand, sig, sig, numPerms, threshold)
+    (signatureEstimate(cand, sig, sig, numPerms, threshold),
+      () => { if (manage) sig.unpersist(blocking = false); () })
   }
 
   /** Shared verification of candidate pairs by signature slot agreement —

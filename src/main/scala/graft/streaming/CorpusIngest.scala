@@ -3,7 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.util.sketch.BloomFilter
 import graft.etl.Offsets
+import graft.ops.Dedup
 import graft.pool.{Envelope, Pool}
 
 /** Continuous training-data dedup ingest — the streaming composition of the
@@ -26,18 +28,36 @@ import graft.pool.{Envelope, Pool}
   * anti-join drops every one and the append is empty. Idempotent with no
   * checkpoint state needed for exactness (T4's argument, content edition).
   *
-  * 100 TB shape: steps 1 and 3 touch only the micro-batch; step 2 scans
-  * the corpus fingerprint column once per batch to build the sketch. At
-  * real scale, hold the Bloom filter across batches and `mergeInPlace`
-  * each batch's fingerprints instead of rebuilding — the exact verify
-  * keeps the result exact either way, so the sketch's staleness policy is
-  * purely a cost knob. That evolution needs no change to this commit path.
+  * 100 TB shape — the landed side is NEVER re-derived from text:
+  *  - every appended row carries its content fingerprint as a top-level
+  *    `fp` column (md5 of the text), so the exact gate's sketch build and
+  *    verify anti-join scan one narrow ~32-byte column, not the corpus
+  *    text;
+  *  - the near path additionally stores the minhash signature as a
+  *    top-level `sig` column ([[graft.ops.Dedup.storedSignatureColumn]]),
+  *    so the bipartite LSH probe reads a narrow (id, sig) table instead of
+  *    re-shingling the landed corpus every micro-batch;
+  *  - [[CorpusIngestSession]] retains the exact-gate Bloom filter ACROSS
+  *    batches (`mergeInPlace` of each appended batch's fingerprints), so
+  *    steady-state batches build no corpus-sized sketch at all — and when
+  *    a batch has no might-contain rows, AQE's empty-relation propagation
+  *    elides even the verify's fp-column scan.
+  *
+  * Contract: a pool fed through these paths must be fed EXCLUSIVELY
+  * through them (the pool's existing single-writer rule) — a foreign
+  * `Pool.append` would land rows with null `fp`/`sig` that the stored-
+  * column gates cannot see. Pools created before fingerprint storage (no
+  * `fp` column in their schema) fall back transparently to deriving both
+  * columns from the landed text, the pre-storage behavior.
   */
 object CorpusIngest {
 
   /** Ingest one batch of documents; returns the number appended.
     * Batch-mode core — the streaming entry point below delegates here, and
-    * tests/oracle queries can drive it without a stream.
+    * tests/oracle queries can drive it without a stream. Stateless: the
+    * exact-gate Bloom filter is rebuilt from the landed `fp` column each
+    * call (one narrow scan); loop callers should prefer
+    * [[CorpusIngestSession]], which retains it across batches.
     */
   def ingestBatch(batch: DataFrame, corpus: Pool, idCol: String,
       textCol: String, topic: String = "corpus",
@@ -47,20 +67,26 @@ object CorpusIngest {
     // 2. incremental dedup vs the corpus (skipped on first commit)
     val (fresh, release) =
       if (corpus.isEmpty) (uniq, () => ())
-      else graft.ops.Dedup.incrementalNewDocsManaged(
-        corpus.read().select(col("value.*")), uniq, textCol, expectedItems, fpp)
-    try appendSorted(fresh, corpus, idCol, topic, cols)
+      else Dedup.incrementalNewDocsFromFpsManaged(
+        landedFps(corpus, textCol), "_fp", uniq, textCol, expectedItems, fpp)
+    try appendSorted(fresh, corpus, idCol, textCol, topic, cols, sigParams = None)
     finally release()
   }
 
   /** As [[ingestBatch]] with a NEAR-dup gate stacked on the exact one: the
     * exact Bloom-pruned pass first (it alone covers short docs, which have
     * no signature, and it is what makes replay idempotent — a re-arriving
-    * batch is EXACTLY equal to its landed copy), then
-    * [[graft.ops.Dedup.dedupIncrementalNear]] probes the corpus bipartite
-    * for near-duplicate survivors at signature-estimated Jaccard ≥
-    * `threshold`. Near-dup state lives in the corpus itself, like
-    * everything else on this path — no checkpoint beyond the source's.
+    * batch is EXACTLY equal to its landed copy), then the bipartite LSH
+    * probe ([[graft.ops.Dedup.dedupIncrementalNearPresigned]]) matches
+    * exact survivors against the corpus's STORED signature column at
+    * signature-estimated Jaccard ≥ `threshold`. Near-dup state lives in
+    * the corpus itself, like everything else on this path — no checkpoint
+    * beyond the source's.
+    *
+    * (n, numPerms) must match across every call that feeds one pool — the
+    * stored signatures are only comparable to probe signatures built with
+    * the same parameters (`numPerms` drift fails loudly at probe time;
+    * `n` drift is undetectable from data).
     */
   def ingestBatchNear(batch: DataFrame, corpus: Pool, idCol: String,
       textCol: String, topic: String = "corpus",
@@ -72,19 +98,47 @@ object CorpusIngest {
     if (corpus.isEmpty) {
       // first commit: no landed side — the near pass still dedups the batch
       // against itself (lower-id wins), the exact agg above caught literals
-      val (fresh, release) = graft.ops.Dedup.dedupIncrementalNearManaged(
+      val (fresh, release) = Dedup.dedupIncrementalNearManaged(
         uniq, uniq.limit(0), idCol, textCol, n, numPerms, bands, threshold)
-      try appendSorted(fresh, corpus, idCol, topic, cols)
+      try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
+        sigParams = Some((n, numPerms)))
       finally release()
     } else {
-      val landed = corpus.read().select(col("value.*"))
-      val (exactFresh, releaseExact) = graft.ops.Dedup.incrementalNewDocsManaged(
-        landed, uniq, textCol, expectedItems, fpp)
-      val (fresh, releaseNear) = graft.ops.Dedup.dedupIncrementalNearManaged(
-        exactFresh, landed, idCol, textCol, n, numPerms, bands, threshold)
-      try appendSorted(fresh, corpus, idCol, topic, cols)
+      val (exactFresh, releaseExact) = Dedup.incrementalNewDocsFromFpsManaged(
+        landedFps(corpus, textCol), "_fp", uniq, textCol, expectedItems, fpp)
+      val (fresh, releaseNear) = Dedup.dedupIncrementalNearPresignedManaged(
+        exactFresh, landedSigFrame(corpus, idCol, textCol, n, numPerms),
+        idCol, textCol, n, numPerms, bands, threshold)
+      try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
+        sigParams = Some((n, numPerms)))
       finally { releaseNear(); releaseExact() }
     }
+  }
+
+  /** The landed exact-gate fingerprints, one narrow `_fp` column: the
+    * stored `fp` column when the pool has one, else (pre-storage pools)
+    * md5 of the landed text.
+    */
+  private[streaming] def landedFps(corpus: Pool, textCol: String): DataFrame = {
+    val env = corpus.read()
+    if (env.columns.contains("fp")) env.select(col("fp").as("_fp"))
+    else env.select(md5(col(s"value.$textCol")).as("_fp"))
+  }
+
+  /** The landed signature frame (id, m0..m{numPerms-1}): the stored `sig`
+    * column when present (narrow scan; null-sig rows are shingle-less docs
+    * and correctly absent), else recomputed from the landed text.
+    */
+  private[streaming] def landedSigFrame(corpus: Pool, idCol: String,
+      textCol: String, n: Int, numPerms: Int): DataFrame = {
+    val env = corpus.read()
+    if (env.columns.contains("sig"))
+      Dedup.signatureFrameFromStored(
+        env.select(col(s"value.$idCol").as("id"), col("sig")),
+        "id", "sig", numPerms)
+    else
+      Dedup.minhashSignatureFrame(
+        env.select(col("value.*")), idCol, textCol, n, numPerms)
   }
 
   /** Step 1 of both ingest paths: within-batch exact dedup, deterministic
@@ -93,8 +147,8 @@ object CorpusIngest {
     * sketch and the exact verify and re-append on every replay, breaking
     * idempotence — dropped up front.
     */
-  private def uniqPerContent(batch: DataFrame, idCol: String, textCol: String,
-      cols: Seq[String]): DataFrame =
+  private[streaming] def uniqPerContent(batch: DataFrame, idCol: String,
+      textCol: String, cols: Seq[String]): DataFrame =
     batch.filter(col(textCol).isNotNull)
       .groupBy(md5(col(textCol)).as("_fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
@@ -102,9 +156,16 @@ object CorpusIngest {
 
   /** Step 3 of the ingest paths: envelope the survivors in id order with
     * offsets continuing from the pool, atomic append; returns the count.
+    * Every envelope carries the content fingerprint `fp`; near-path
+    * envelopes (`sigParams = Some((n, numPerms))`) also carry the stored
+    * minhash signature `sig` — both map-only projections over the batch.
+    * `onSurvivors` runs against the persisted survivor frame before the
+    * write (the [[CorpusIngestSession]] Bloom-merge hook).
     */
-  private def appendSorted(fresh: DataFrame, corpus: Pool, idCol: String,
-      topic: String, cols: Seq[String]): Long = {
+  private[streaming] def appendSorted(fresh: DataFrame, corpus: Pool,
+      idCol: String, textCol: String, topic: String, cols: Seq[String],
+      sigParams: Option[(Int, Int)],
+      onSurvivors: DataFrame => Unit = _ => ()): Long = {
     val sorted = fresh
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
@@ -112,14 +173,20 @@ object CorpusIngest {
     try {
       val appended = sorted.count()
       if (appended > 0) {
+        onSurvivors(sorted)
         val base = corpus.nextOffset(topic) max 0L
+        val envCols = Seq(
+          struct(lit(topic).as("topic"), lit(0L).as("partition"),
+            col("_off").as("offset")).as("kafka"),
+          lit(null).cast("string").as("key"),
+          struct(cols.map(col): _*).as("value"),
+          lit(Envelope.KindRecord).as(Envelope.KindCol),
+          md5(col(textCol)).as("fp")) ++
+          sigParams.map { case (n, p) =>
+            Dedup.storedSignatureColumn(col(textCol), n, p).as("sig")
+          }
         val env = Offsets.assignSequential(sorted, base, "_off")
-          .select(
-            struct(lit(topic).as("topic"), lit(0L).as("partition"),
-              col("_off").as("offset")).as("kafka"),
-            lit(null).cast("string").as("key"),
-            struct(cols.map(col): _*).as("value"),
-            lit(Envelope.KindRecord).as(Envelope.KindCol))
+          .select(envCols: _*)
         corpus.append(env, knownRows = Some(appended))
       }
       appended
@@ -127,36 +194,106 @@ object CorpusIngest {
   }
 
   /** Streaming entry point: each micro-batch of `docs` (a streaming
-    * DataFrame of documents) dedup-ingests into `corpus`.
+    * DataFrame of documents) dedup-ingests into `corpus` through one
+    * [[CorpusIngestSession]], so the exact-gate Bloom filter carries
+    * across micro-batches.
     */
   def start(docs: DataFrame, corpus: Pool, idCol: String, textCol: String,
       checkpoint: String, topic: String = "corpus",
       interval: String = "5 seconds",
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): StreamingQuery =
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): StreamingQuery = {
+    val session = new CorpusIngestSession(corpus, idCol, textCol, topic,
+      near = false, expectedItems = expectedItems, fpp = fpp)
     docs.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, corpus, idCol, textCol, topic, expectedItems, fpp)
+        session.ingest(batch)
         ()
       }
       .start()
+  }
 
-  /** Streaming entry for the near-dup ingest: [[ingestBatchNear]] per
-    * micro-batch.
+  /** Streaming entry for the near-dup ingest: one [[CorpusIngestSession]]
+    * with the near gate per micro-batch.
     */
   def startNear(docs: DataFrame, corpus: Pool, idCol: String, textCol: String,
       checkpoint: String, topic: String = "corpus",
       interval: String = "5 seconds", n: Int = 3, numPerms: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): StreamingQuery =
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): StreamingQuery = {
+    val session = new CorpusIngestSession(corpus, idCol, textCol, topic,
+      near = true, n, numPerms, bands, threshold, expectedItems, fpp)
     docs.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatchNear(batch, corpus, idCol, textCol, topic,
-          n, numPerms, bands, threshold, expectedItems, fpp)
+        session.ingest(batch)
         ()
       }
       .start()
+  }
+}
+
+/** A stateful ingest loop over one corpus pool: the exact-gate Bloom
+  * filter is held on the driver ACROSS batches — seeded once from the
+  * landed `fp` column (or empty for a new pool) and grown by
+  * `mergeInPlace` of each appended batch's fingerprints — so steady-state
+  * batches never rebuild a corpus-sized sketch (SCALING.md's prescription;
+  * the per-batch sketch cost drops from O(corpus) to O(batch)). The
+  * filter only PRUNES: the exact verify still decides against the landed
+  * fp column, so a stale filter (another writer, a restarted session)
+  * costs extra verify work, never correctness — provided every appended
+  * row carries its fingerprint, i.e. the pool is fed exclusively through
+  * CorpusIngest paths (one ingestor per pool, the single-writer rule).
+  *
+  * Not thread-safe: one session drives one pool from one loop.
+  */
+final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
+    topic: String = "corpus", near: Boolean = false, n: Int = 3,
+    numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+    expectedItems: Long = 1L << 20, fpp: Double = 0.01) {
+  import CorpusIngest._
+
+  private var bloom: Option[BloomFilter] = None
+
+  /** The retained filter — seeded lazily: empty for a new pool, else one
+    * narrow scan of the landed fp column (the ONLY corpus-sized sketch
+    * build in the session's lifetime).
+    */
+  private def retainedBloom(): BloomFilter = bloom.getOrElse {
+    val bf =
+      if (corpus.isEmpty) BloomFilter.create(expectedItems, fpp)
+      else landedFps(corpus, textCol).stat.bloomFilter("_fp", expectedItems, fpp)
+    bloom = Some(bf)
+    bf
+  }
+
+  /** Ingest one batch; returns the number appended. Same semantics as the
+    * stateless [[CorpusIngest.ingestBatch]]/[[CorpusIngest.ingestBatchNear]]
+    * (exact gate, then the near gate when configured), with the sketch
+    * retained instead of rebuilt.
+    */
+  def ingest(batch: DataFrame): Long = {
+    val cols = batch.columns.toSeq
+    val uniq = uniqPerContent(batch, idCol, textCol, cols)
+    val empty = corpus.isEmpty
+    val bf = retainedBloom()
+    val (exactFresh, releaseExact) =
+      if (empty) (uniq, () => ())
+      else Dedup.incrementalNewDocsWithBloomManaged(
+        landedFps(corpus, textCol), "_fp", uniq, textCol, bf)
+    val (fresh, releaseNear) =
+      if (!near) (exactFresh, () => ())
+      else if (empty) Dedup.dedupIncrementalNearManaged(
+        exactFresh, exactFresh.limit(0), idCol, textCol, n, numPerms, bands, threshold)
+      else Dedup.dedupIncrementalNearPresignedManaged(
+        exactFresh, landedSigFrame(corpus, idCol, textCol, n, numPerms),
+        idCol, textCol, n, numPerms, bands, threshold)
+    try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
+      sigParams = if (near) Some((n, numPerms)) else None,
+      onSurvivors = s => bf.mergeInPlace(
+        s.select(md5(col(textCol)).as("_fp")).stat.bloomFilter("_fp", expectedItems, fpp)))
+    finally { releaseNear(); releaseExact() }
+  }
 }

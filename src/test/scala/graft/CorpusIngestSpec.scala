@@ -93,6 +93,63 @@ class CorpusIngestSpec extends AnyFunSuite {
       "near ingest leaked persisted RDDs")
   }
 
+  test("appended envelopes carry stored fingerprints (and signatures on the near path)") {
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-fp").toString)
+    CorpusIngest.ingestBatch(docs(1L -> "one two three four"), corpus, "doc_id", "text")
+    val exact = corpus.read()
+    assert(exact.columns.contains("fp") && !exact.columns.contains("sig"))
+    assert(exact.filter(col("fp") === md5(col("value.text"))).count() == 1)
+
+    val near = Pool.create(spark, Files.createTempDirectory("corpus-fps").toString)
+    CorpusIngest.ingestBatchNear(
+      docs(1L -> "one two three four five six seven", 2L -> "hi"),
+      near, "doc_id", "text")
+    val rows = near.read().select(col("value.doc_id"), col("fp"), col("sig")).collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(rows(1L) == (false, false), "long doc stores fp + signature")
+    assert(rows(2L) == (false, true), "shingle-less doc stores fp, null signature")
+  }
+
+  test("session retains the Bloom across batches; results match the stateless path") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-sess").toString)
+    val session = new graft.streaming.CorpusIngestSession(corpus, "doc_id", "text")
+
+    assert(session.ingest(docs(1L -> "alpha", 7L -> "alpha", 2L -> "beta")) == 2)
+    assert(session.ingest(docs(10L -> "beta", 11L -> "gamma")) == 1)
+    // replay: the RETAINED filter flags every fp, the verify drops them all
+    assert(session.ingest(docs(10L -> "beta", 11L -> "gamma")) == 0)
+    assert(corpus.read().count() == 3)
+
+    // a FRESH session (seeded from the pool's stored fp column) agrees —
+    // the state genuinely lives in the sink, not in the session object
+    val session2 = new graft.streaming.CorpusIngestSession(corpus, "doc_id", "text")
+    assert(session2.ingest(docs(11L -> "gamma", 20L -> "delta")) == 1)
+    assert(corpus.read().count() == 4)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
+      "session ingest leaked persisted RDDs")
+  }
+
+  test("near session: stored signatures drive the probe; replay and near-dups drop") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-sn").toString)
+    val base = "the quick brown fox jumps over the lazy dog near the old " +
+      "stone bridge at dawn every single morning"
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", near = true)
+
+    assert(session.ingest(docs(1L -> base, 2L -> "tiny")) == 2)
+    // near-dup of the LANDED base drops via the STORED signature probe;
+    // exact copy of "tiny" drops via the retained-Bloom exact gate
+    assert(session.ingest(docs(
+      10L -> ("note " + base), 11L -> "tiny",
+      13L -> "completely different words about some other topic entirely")) == 1)
+    assert(corpus.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 13L))
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore).isEmpty,
+      "near session leaked persisted RDDs")
+  }
+
   test("streaming end-to-end: micro-batches of files dedup-ingest into the pool") {
     val inDir = Files.createTempDirectory("docs-stream").toString
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus-s").toString)

@@ -1199,6 +1199,42 @@ class OpsSpec extends AnyFunSuite {
       n = 3, numPerms = 16, bands = 4, threshold = 0.5)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(12L, 14L), s"got $kept")
+
+    // the PRESIGNED path over a stored signature column is bit-identical:
+    // same survivors from the narrow (id, sig) probe as from re-shingling
+    val stored = landed.select(col("id"),
+      Dedup.storedSignatureColumn(col("text"), n = 3, numPerms = 16).as("sig"))
+    val keptPre = Dedup.dedupIncrementalNearPresigned(incoming,
+      Dedup.signatureFrameFromStored(stored, "id", "sig", numPerms = 16),
+      "id", "text", n = 3, numPerms = 16, bands = 4, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptPre == kept, s"presigned diverged: $keptPre vs $kept")
+  }
+
+  test("stored signature column: null for shingle-less docs, frame round-trip, loud numPerms drift") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "one two three four five"), (2L, "hi"),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val stored = df.select(col("id"),
+      Dedup.storedSignatureColumn(col("text"), n = 3, numPerms = 16).as("sig"))
+    val sigs = stored.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!sigs(1L) && sigs(2L) && sigs(3L),
+      "short/null docs must store a null signature")
+
+    // stored frame == recomputed frame, slot for slot
+    val fromStored = Dedup.signatureFrameFromStored(stored, "id", "sig", 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val recomputed = Dedup.minhashSignatureFrame(df, "id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fromStored == recomputed,
+      "stored signature frame must be bit-identical to recomputation")
+
+    // probing with the wrong numPerms fails loudly, never silently nulls
+    val ex = intercept[Exception] {
+      Dedup.signatureFrameFromStored(stored, "id", "sig", 32).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("keepBestBy keeps each cluster's best scorer, breaks ties low, passes singletons") {
