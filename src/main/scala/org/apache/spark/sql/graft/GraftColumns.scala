@@ -43,6 +43,13 @@ object GraftColumnsBridge {
         r.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Block until the listener bus has delivered all queued events — lets
+    * measurement probes (tools/) read listener-accumulated task metrics
+    * deterministically after a job. Probe-only; never on a hot path.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
 
 object ConfluentHeaderError {
