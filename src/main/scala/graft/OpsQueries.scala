@@ -312,6 +312,62 @@ object OpsQueries {
              |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN
              |  (SELECT d1 FROM agL UNION SELECT d2 FROM agI)""".stripMargin)),
 
+    // the PRODUCTION preset of the incremental near-dup path: 128 perms /
+    // 32 bands / threshold 0.8 (the 16-perm default's 1/16 estimator
+    // granularity cannot express a 0.8 cut; 128 perms give ~±0.035 std
+    // error and 4-row bands center the candidate S-curve at ~0.42, so the
+    // estimator does the cutting). Planted near-copies (landed docs with
+    // ' extra words appended') drop for long docs (J≈0.9) and survive for
+    // short ones (J<0.8) — the oracle recomputes the full 128-slot
+    // construction, so the S-curve's verdicts match slot for slot.
+    // est = agree/128.0 is an exact double (power-of-two denominator) and
+    // the 0.8 literal compares identically in both engines.
+    "dedup_incremental_near_prod" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val landed = docs.filter(col("id") % 5 === 1 || col("id") % 5 === 2)
+        val incoming = docs.filter(col("id") % 5 === 0)
+          .unionByName(landed.filter(col("id") % 10 === 1)
+            .select((col("id") + 500000).as("id"),
+              concat(col("text"), lit(" extra words appended")).as("text")))
+        Dedup.dedupIncrementalNearProd(incoming, landed, "id", "text")
+          .select(col("id").as("doc_id"), md5(col("text")).as("fp"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id, 1 AS inc, text FROM documents WHERE doc_id % 5 = 0
+             |  UNION ALL SELECT doc_id + 500000, 1, text || ' extra words appended'
+             |    FROM documents WHERE doc_id % 10 = 1
+             |  UNION ALL SELECT doc_id, 0, text FROM documents WHERE doc_id % 5 IN (1, 2)),
+             |tw AS (SELECT id, inc, text, string_split(text, ' ') AS w FROM t),
+             |g AS (SELECT id, inc, unnest(list_transform(range(len(w)-2),
+             |        i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM tw),
+             |perms AS (SELECT id, inc, sh, unnest(range(128)) AS p FROM g),
+             |mh AS (SELECT id, inc, p, min(md5(concat(p, '|', sh))) AS mv
+             |       FROM perms GROUP BY 1, 2, 3),
+             |bnd AS (SELECT id, inc, p // 4 AS band,
+             |               md5(string_agg(mv, ',' ORDER BY p)) AS bk
+             |        FROM mh GROUP BY 1, 2, 3),
+             |candL AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bnd a JOIN bnd b
+             |          ON a.band = b.band AND a.bk = b.bk AND a.inc = 1 AND b.inc = 0),
+             |candI AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bnd a JOIN bnd b
+             |          ON a.band = b.band AND a.bk = b.bk AND a.inc = 1 AND b.inc = 1
+             |          AND a.id < b.id),
+             |agL AS (SELECT d1, d2 FROM (
+             |          SELECT c.d1, c.d2,
+             |                 sum(CASE WHEN y.mv = x.mv THEN 1 ELSE 0 END) / 128.0 AS est
+             |          FROM candL c JOIN mh x ON x.id = c.d1
+             |                       JOIN mh y ON y.id = c.d2 AND y.p = x.p
+             |          GROUP BY 1, 2) WHERE est >= 0.8),
+             |agI AS (SELECT d1, d2 FROM (
+             |          SELECT c.d1, c.d2,
+             |                 sum(CASE WHEN y.mv = x.mv THEN 1 ELSE 0 END) / 128.0 AS est
+             |          FROM candI c JOIN mh x ON x.id = c.d1
+             |                       JOIN mh y ON y.id = c.d2 AND y.p = x.p
+             |          GROUP BY 1, 2) WHERE est >= 0.8)
+             |SELECT id AS doc_id, md5(text) AS fp FROM t
+             |WHERE inc = 1 AND id NOT IN
+             |  (SELECT d1 FROM agL UNION SELECT d2 FROM agI)""".stripMargin)),
+
     // continuous-ingest dedup: which of the odd-id docs has the even-id
     // history never seen? Bloom-pruned, exactly verified — the sketch only
     // prunes, so the result hash-matches a plain anti-join oracle
@@ -355,6 +411,90 @@ object OpsQueries {
              |SELECT CAST(count(*) AS BIGINT) AS cnt,
              |       CAST(count(*) AS BIGINT) AS distinct_offsets,
              |       CAST(sum(id) AS BIGINT) AS sum_id FROM kept""".stripMargin)),
+
+    // the NEAR-dup ingest loop end-to-end, driven through a
+    // CorpusIngestSession (retained Bloom + stored fp/sig columns +
+    // bipartite presigned probe): batch 1 lands the evens (self near-dedup
+    // on first commit); batch 2 pushes the odds plus planted near-copies
+    // of landed docs (' extra words appended') and exact replays through
+    // the stacked exact→near gates. The oracle recomputes every gate from
+    // scratch — batch-internal uniq, exact text anti-join, the full
+    // 16-perm/4-band LSH candidate + >=8-slot agreement verify for both
+    // the first commit's self pass and the second batch's bipartite +
+    // within-batch passes — so the pool's final contents are pinned
+    // against an independent derivation, stored signatures included.
+    "dedup_ingest_pool_near" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val corpus = graft.pool.Pool.create(s, TempDirs.create("graft-ingest-near-"))
+        val sess = new graft.streaming.CorpusIngestSession(
+          corpus, "doc_id", "text", near = true)
+        sess.ingest(docs.filter(col("doc_id") % 2 === 0))
+        sess.ingest(docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"),
+              concat(col("text"), lit(" extra words appended")).as("text")))
+          .unionByName(docs.filter(col("doc_id") % 14 === 0)
+            .select((col("doc_id") + 600000).as("doc_id"), col("text"))))
+        corpus.read().groupBy()
+          .agg(count(lit(1)).as("cnt"),
+            countDistinct(col("kafka.offset")).as("distinct_offsets"),
+            sum(col("value.doc_id")).as("sum_id"))
+      },
+      Some("""WITH b1 AS (SELECT min(doc_id) AS id, text FROM documents
+             |            WHERE doc_id % 2 = 0 AND text IS NOT NULL GROUP BY text),
+             |b2raw AS (
+             |  SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL SELECT doc_id + 500000, text || ' extra words appended'
+             |    FROM documents WHERE doc_id % 10 = 0
+             |  UNION ALL SELECT doc_id + 600000, text FROM documents WHERE doc_id % 14 = 0),
+             |u2 AS (SELECT min(id) AS id, text FROM b2raw
+             |       WHERE text IS NOT NULL GROUP BY text),
+             |allr AS (SELECT id, text, 1 AS b FROM b1
+             |         UNION ALL SELECT id, text, 2 FROM u2),
+             |tw AS (SELECT id, b, string_split(text, ' ') AS w FROM allr),
+             |g AS (SELECT id, b, unnest(list_transform(range(len(w)-2),
+             |        i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM tw),
+             |perms AS (SELECT id, b, sh, unnest(range(16)) AS p FROM g),
+             |mh AS (SELECT id, b, p, min(md5(concat(p, '|', sh))) AS mv
+             |       FROM perms GROUP BY 1, 2, 3),
+             |bnd AS (SELECT id, b, p // 4 AS band,
+             |               md5(string_agg(mv, ',' ORDER BY p)) AS bk
+             |        FROM mh GROUP BY 1, 2, 3),
+             |cand1 AS (SELECT DISTINCT a.id AS d1, c.id AS d2 FROM bnd a JOIN bnd c
+             |          ON a.band = c.band AND a.bk = c.bk AND a.b = 1 AND c.b = 1
+             |          AND a.id < c.id),
+             |drop1 AS (SELECT c.d2 FROM cand1 c
+             |          JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |            AND y.p = x.p AND y.mv = x.mv
+             |          GROUP BY c.d1, c.d2 HAVING count(*) >= 8),
+             |landed1 AS (SELECT id, text FROM b1
+             |            WHERE id NOT IN (SELECT d2 FROM drop1)),
+             |e2 AS (SELECT id, text FROM u2
+             |       WHERE text NOT IN (SELECT text FROM landed1)),
+             |candL AS (SELECT DISTINCT a.id AS d1, c.id AS d2 FROM bnd a JOIN bnd c
+             |          ON a.band = c.band AND a.bk = c.bk AND a.b = 2 AND c.b = 1
+             |          WHERE a.id IN (SELECT id FROM e2)
+             |            AND c.id IN (SELECT id FROM landed1)),
+             |candB AS (SELECT DISTINCT a.id AS d1, c.id AS d2 FROM bnd a JOIN bnd c
+             |          ON a.band = c.band AND a.bk = c.bk AND a.b = 2 AND c.b = 2
+             |          AND a.id < c.id
+             |          WHERE a.id IN (SELECT id FROM e2)
+             |            AND c.id IN (SELECT id FROM e2)),
+             |agL AS (SELECT c.d1 FROM candL c
+             |        JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |          AND y.p = x.p AND y.mv = x.mv
+             |        GROUP BY c.d1, c.d2 HAVING count(*) >= 8),
+             |agB AS (SELECT c.d2 FROM candB c
+             |        JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |          AND y.p = x.p AND y.mv = x.mv
+             |        GROUP BY c.d1, c.d2 HAVING count(*) >= 8),
+             |kept2 AS (SELECT id FROM e2 WHERE id NOT IN
+             |          (SELECT d1 FROM agL UNION SELECT d2 FROM agB)),
+             |final AS (SELECT id FROM landed1 UNION ALL SELECT id FROM kept2)
+             |SELECT CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(count(*) AS BIGINT) AS distinct_offsets,
+             |       CAST(sum(id) AS BIGINT) AS sum_id FROM final""".stripMargin)),
 
     "dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.lshCandidatePairs(textCorpus(s, d), "id", "text",

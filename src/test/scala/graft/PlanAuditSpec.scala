@@ -397,6 +397,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window over either side:\n$plan")
   }
 
+  test("prod-preset 128-perm signature frame: ONE exchange, keyed on id") {
+    import graft.ops.Dedup
+    // the wide signature aggregate must stay one partial-aggregating
+    // groupBy however many permutation columns ride it — 128 parallel min
+    // expressions, not 128 passes and not a perms-explode shuffle
+    val q = Dedup.minhashSignatureFrame(corpus, "id", "text",
+      n = 3, numPerms = Dedup.ProdNumPerms)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(exchanges == 1, s"expected exactly one hash exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(id"),
+      s"the one shuffle must key on the doc id:\n$plan")
+  }
+
   test("keepBestBy: the arg-max is an aggregation, never a window over the corpus") {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions.length
