@@ -74,9 +74,14 @@ object Curate {
   def stratifiedSample(df: DataFrame, strataCol: Column,
       rates: Map[String, Double], defaultRate: Double,
       keyCol: Column, salt: String = ""): DataFrame = {
+    // compare on the CAST-to-string stratum: the rate map's keys are
+    // strings, and a string-to-string equality round-trips for non-string
+    // strata (timestamp/decimal/float) where an implicit-cast comparison
+    // against Spark's rendering may not
+    val sCol = strataCol.cast("string")
     val thr = rates.foldLeft(lit(sampleThreshold(defaultRate))) {
       case (acc, (stratum, rate)) =>
-        when(strataCol === stratum, lit(sampleThreshold(rate))).otherwise(acc)
+        when(sCol === stratum, lit(sampleThreshold(rate))).otherwise(acc)
     }
     df.filter(md5Key(keyCol, salt) < thr)
   }
@@ -103,15 +108,22 @@ object Curate {
       s"target fractions must be in (0,1]: $targetMix")
     val total = targetMix.values.sum
     require(math.abs(total - 1.0) < 1e-9, s"target fractions sum to $total, expected 1")
-    val counts = df.groupBy(strataCol.as("g")).agg(count(lit(1)).as("n"))
-      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+    // group AND compare on the CAST-to-string stratum, so the driver-side
+    // group keys and the executor-side rate lookup see the identical
+    // rendering by construction — a non-string stratum (timestamp,
+    // decimal, float) compared against its collected toString may not
+    // round-trip through an implicit-cast equality, silently zeroing a
+    // group's rate
+    val sCol = strataCol.cast("string")
+    val counts = df.groupBy(sCol.as("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)).orNull -> r.getLong(1)).toMap
     val t = targetMix.map { case (g, f) => counts.getOrElse(g, 0L) / f }.min
     val rates = targetMix.map { case (g, f) =>
       val n = counts.getOrElse(g, 0L)
       g -> (if (n == 0L) 0.0 else math.min(f * t / n, 1.0))
     }
     val rateCol = rates.foldLeft(lit(0.0)) { case (acc, (g, r)) =>
-      when(strataCol === g, lit(r)).otherwise(acc)
+      when(sCol === g, lit(r)).otherwise(acc)
     }
     weightedSample(df, keyCol, rateCol, salt)
   }
@@ -132,14 +144,23 @@ object Curate {
     * the round window — the DSIR discipline) and the normalizer is an
     * EXACT decimal sum of those rounded values, so every downstream double
     * (q, T, per-group rate) is bit-identical on any engine and the md5
-    * thresholds cannot flip a row.
+    * thresholds cannot flip a row. Known 1-ulp caveat: a libm `pow`
+    * divergence landing exactly on a 12-decimal rounding boundary could
+    * still flip the rounded value between engines (never observed; DSIR
+    * shares the discipline) — if such a flake ever appears, round both
+    * engines from the same decimal STRING rendering of `p^α` instead of
+    * the double.
     */
   def temperatureMix(df: DataFrame, strataCol: Column, alpha: Double,
       keyCol: Column, salt: String = ""): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0,
       s"temperatureMix: alpha must be in (0,1], got $alpha")
-    val counts = df.groupBy(strataCol.as("g")).agg(count(lit(1)).as("n"))
-      .collect().flatMap(r => Option(r.get(0)).map(g => g.toString -> r.getLong(1)))
+    // cast-to-string stratum on BOTH sides (the rebalanceToMix round-trip
+    // guarantee): numeric cell ids — this API's likeliest stratum — would
+    // otherwise compare their toString against an implicitly-cast column
+    val sCol = strataCol.cast("string")
+    val counts = df.groupBy(sCol.as("g")).agg(count(lit(1)).as("n"))
+      .collect().flatMap(r => Option(r.getString(0)).map(g => g -> r.getLong(1)))
       .toMap
     require(counts.nonEmpty, "temperatureMix: no non-null strata")
     val total = counts.values.sum.toDouble
@@ -151,7 +172,7 @@ object Curate {
     val qn = counts.map { case (g, c) => g -> (pw(g).doubleValue / z, c) }
     val t = qn.values.map { case (q, c) => c / q }.min
     val rateCol = qn.foldLeft(lit(0.0)) { case (acc, (g, (q, c))) =>
-      when(strataCol === g, lit(math.min((q * t) / c, 1.0))).otherwise(acc)
+      when(sCol === g, lit(math.min((q * t) / c, 1.0))).otherwise(acc)
     }
     weightedSample(df, keyCol, rateCol, salt)
   }

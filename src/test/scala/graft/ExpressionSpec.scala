@@ -223,4 +223,5 @@ class ExpressionSpec extends AnyFunSuite {
       prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(conf.set("spark.sql.codegen.factoryMode", _))
     }
   }
+
 }

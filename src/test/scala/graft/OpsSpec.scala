@@ -611,6 +611,29 @@ class OpsSpec extends AnyFunSuite {
       Curate.temperatureMix(df, col("grp"), 0.01, col("id")).collect().toSet)
   }
 
+  test("temperature/rebalance mix accept NON-STRING strata (numeric cell ids round-trip)") {
+    val s = spark
+    import s.implicits._
+    // integer strata — the likeliest input for cluster-balance callers; a
+    // toString-vs-implicit-cast comparison mismatch would zero every rate
+    val df = ((1L to 900L).map(i => (i, 7)) ++ (901L to 1000L).map(i => (i, 42)))
+      .toDF("id", "cell")
+    assert(Curate.temperatureMix(df, col("cell"), 1.0, col("id")).count() == 1000L,
+      "alpha=1 over an int stratum must keep everything — rates must not zero")
+    val flat = Curate.temperatureMix(df, col("cell"), 0.01, col("id"))
+      .groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(flat(42) == 100L && flat(7) < 200L,
+      s"int strata must flatten like string strata, got $flat")
+    // rebalance with DOUBLE strata: keys match Spark's string rendering
+    val dd = ((1L to 80L).map(i => (i, 1.5)) ++ (81L to 100L).map(i => (i, 2.5)))
+      .toDF("id", "cell")
+    val out = Curate.rebalanceToMix(dd, col("cell"),
+      Map("1.5" -> 0.5, "2.5" -> 0.5), col("id"))
+      .groupBy("cell").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out.getOrElse(2.5, 0L) == 20L && out.getOrElse(1.5, 0L) > 0L,
+      s"double strata must rebalance, got $out")
+  }
+
   test("unimax allocation: small groups cap at maxEpochs, freed budget spreads uniformly") {
     val s = spark
     import s.implicits._

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
@@ -17,6 +18,14 @@ import scala.jdk.CollectionConverters._
   */
 class WinnowPropertySpec extends AnyFunSuite {
   private def spark = TestSpark.spark
+
+  // PINNED seed: the properties are exact, so any failure is a real bug —
+  // and with a fixed seed it replays deterministically run after run
+  // (unseeded Gen.sample drew a fresh seed per run, so a red run could
+  // never be reproduced, and sample's Option could abort spuriously).
+  // Bump the seed deliberately to explore a different case set.
+  private def draw[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
 
   private val k = 3
   private val w = 4
@@ -42,8 +51,7 @@ class WinnowPropertySpec extends AnyFunSuite {
   private val caseGen: Gen[Planted] = caseGenFrom(w + k - 1)
 
   test("any shared run of >= w+k-1 tokens forces a shared fingerprint; per-doc invariants hold") {
-    val cases = Gen.listOfN(80, caseGen).sample.getOrElse(
-      fail("generator exhausted"))
+    val cases = draw(Gen.listOfN(80, caseGen), seed = 11L)
     val rows = cases.zipWithIndex.flatMap { case (c, i) =>
       Seq(
         Row(2L * i, (c.prefixA ++ c.run ++ c.suffixA).mkString(" ")),
@@ -83,8 +91,7 @@ class WinnowPropertySpec extends AnyFunSuite {
     // so the production default of 2 cannot be asserted for arbitrary runs
     // and is exercised by the oracle queries instead. maxDf high enough
     // that the small vocab's hot fingerprints are not dropped.
-    val cases = Gen.listOfN(30, caseGenFrom(w + k + 1))
-      .sample.getOrElse(fail("generator exhausted"))
+    val cases = draw(Gen.listOfN(30, caseGenFrom(w + k + 1)), seed = 12L)
     val rows = cases.zipWithIndex.flatMap { case (c, i) =>
       Seq(
         Row(2L * i, (c.prefixA ++ c.run ++ c.suffixA).mkString(" ")),
