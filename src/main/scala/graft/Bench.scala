@@ -131,15 +131,20 @@ object Bench {
         if (runs > 1 && times.last - times.head > 0.5 * medianOf(times))
           times = (times ++ (1 to 2).map(_ => once())).sorted
         reclaim(name)
-        (name, medianOf(times), times.head)
+        (name, medianOf(times), times.head, times)
       }
 
       // Locale.ROOT: the f"" interpolator uses the default JVM locale, which
       // can render decimal commas and break the driver's JSON parse.
       def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       def num2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      val qs = results.map { case (k, med, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
-      val qmins = results.map { case (k, _, min) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
+      val qs = results.map { case (k, med, _, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
+      val qmins = results.map { case (k, _, min, _) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
+      // full per-run arrays (sidecar only): the in-suite spread SHAPE is
+      // the diagnostic for contention-band adjudication — a median alone
+      // cannot distinguish "one cold outlier" from "bimodal repeats"
+      val qruns = results.map { case (k, _, _, ts) =>
+        jstr(k) + ":[" + ts.map(num2).mkString(",") + "]" }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val totalMin = results.map(_._3).sum
@@ -153,17 +158,17 @@ object Bench {
       // "adaptive": high-spread queries get 2 extra runs beyond the base N.
       val lineBudget = 1800
       val esShort = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
-      val bySlowest = results.sortBy { case (_, med, _) => -med }
+      val bySlowest = results.sortBy { case (_, med, _, _) => -med }
       def lineFor(keep: Int): String = {
         val kept = bySlowest.take(keep).sortBy(_._1)
-        val q = kept.map { case (k, med, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
+        val q = kept.map { case (k, med, _, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
         val omitted = if (keep < results.size) s""","q_omitted":${results.size - keep}""" else ""
         s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$q,"errors":$esShort$omitted,"sf":${jstr(sfDir)}}"""
       }
       val line = (results.size to 1 by -1).iterator.map(lineFor)
         .find(_.length <= lineBudget)
         .getOrElse(lineFor(0))
-      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"queries_runs":$qruns,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => toErr.println(s"bench_detail.json write failed: $e") }

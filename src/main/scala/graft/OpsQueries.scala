@@ -325,19 +325,19 @@ object OpsQueries {
     "dedup_incremental_near_prod" -> Q(
       (s, d) => {
         val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
-        val landed = docs.filter(col("id") % 5 === 1 || col("id") % 5 === 2)
-        val incoming = docs.filter(col("id") % 5 === 0)
-          .unionByName(landed.filter(col("id") % 10 === 1)
+        val landed = docs.filter(col("id") % 10 === 1 || col("id") % 10 === 2)
+        val incoming = docs.filter(col("id") % 10 === 0)
+          .unionByName(landed.filter(col("id") % 20 === 1)
             .select((col("id") + 500000).as("id"),
               concat(col("text"), lit(" extra words appended")).as("text")))
         Dedup.dedupIncrementalNearProd(incoming, landed, "id", "text")
           .select(col("id").as("doc_id"), md5(col("text")).as("fp"))
       },
       Some("""WITH t AS (
-             |  SELECT doc_id AS id, 1 AS inc, text FROM documents WHERE doc_id % 5 = 0
+             |  SELECT doc_id AS id, 1 AS inc, text FROM documents WHERE doc_id % 10 = 0
              |  UNION ALL SELECT doc_id + 500000, 1, text || ' extra words appended'
-             |    FROM documents WHERE doc_id % 10 = 1
-             |  UNION ALL SELECT doc_id, 0, text FROM documents WHERE doc_id % 5 IN (1, 2)),
+             |    FROM documents WHERE doc_id % 20 = 1
+             |  UNION ALL SELECT doc_id, 0, text FROM documents WHERE doc_id % 10 IN (1, 2)),
              |tw AS (SELECT id, inc, text, string_split(text, ' ') AS w FROM t),
              |g AS (SELECT id, inc, unnest(list_transform(range(len(w)-2),
              |        i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM tw),

@@ -181,12 +181,25 @@ object CorpusIngest {
           lit(null).cast("string").as("key"),
           struct(cols.map(col): _*).as("value"),
           lit(Envelope.KindRecord).as(Envelope.KindCol),
-          md5(col(textCol)).as("fp")) ++
-          sigParams.map { case (n, p) =>
-            Dedup.storedSignatureColumn(col(textCol), n, p).as("sig")
-          }
-        val env = Offsets.assignSequential(sorted, base, "_off")
-          .select(envCols: _*)
+          md5(col(textCol)).as("fp"))
+        val assigned = Offsets.assignSequential(sorted, base, "_off")
+        val env = sigParams match {
+          case None => assigned.select(envCols: _*)
+          case Some((n, p)) =>
+            // signature via the AGGREGATION form, joined on: the per-row
+            // HOF column ([[Dedup.minhashSignatureColumn]]) is interpreted
+            // (lambda dispatch + boxing per slot×shingle) and measured 5×
+            // slower than this codegen'd groupBy at append volume; values
+            // are bit-identical (OpsSpec column≡frame pin) and shingle-less
+            // docs come back null through the left join, matching the
+            // stored-column contract. `sorted` is persisted, so the
+            // signature pass reads the cache, not the gate plan.
+            val sigF = Dedup.minhashSignatureFrame(sorted, idCol, textCol, n, p)
+              .select(col("id").as("_sig_id"),
+                array((0 until p).map(i => col(s"m$i")): _*).as("_sig"))
+            assigned.join(sigF, col(idCol) === col("_sig_id"), "left")
+              .select(envCols :+ col("_sig").as("sig"): _*)
+        }
         corpus.append(env, knownRows = Some(appended))
       }
       appended
