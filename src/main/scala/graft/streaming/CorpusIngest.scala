@@ -165,7 +165,8 @@ object CorpusIngest {
   private[streaming] def appendSorted(fresh: DataFrame, corpus: Pool,
       idCol: String, textCol: String, topic: String, cols: Seq[String],
       sigParams: Option[(Int, Int)],
-      onSurvivors: DataFrame => Unit = _ => ()): Long = {
+      onSurvivors: DataFrame => Unit = _ => (),
+      knownBase: Option[Long] = None): Long = {
     val sorted = fresh
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
@@ -174,7 +175,7 @@ object CorpusIngest {
       val appended = sorted.count()
       if (appended > 0) {
         onSurvivors(sorted)
-        val base = corpus.nextOffset(topic) max 0L
+        val base = knownBase.getOrElse(corpus.nextOffset(topic) max 0L)
         val envCols = Seq(
           struct(lit(topic).as("topic"), lit(0L).as("partition"),
             col("_off").as("offset")).as("kafka"),
@@ -260,15 +261,28 @@ object CorpusIngest {
   * row carries its fingerprint, i.e. the pool is fed exclusively through
   * CorpusIngest paths (one ingestor per pool, the single-writer rule).
   *
+  * The session also caches the pool's NEXT OFFSET (seeded once via
+  * `nextOffset`, advanced locally per append) — exact under the same
+  * single-ingestor contract — which removes the remaining per-batch
+  * O(corpus) term, the full-pool kafka-column max scan. And it can
+  * amortize the small-segments accretion of a long loop:
+  * `compactEvery = N` compacts the pool after every N non-empty appends
+  * (an O(corpus) rewrite, amortized to O(corpus/N) per batch — the
+  * LSM-style trade; readers are never disturbed, the manifest swap is
+  * the commit point).
+  *
   * Not thread-safe: one session drives one pool from one loop.
   */
 final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
     topic: String = "corpus", near: Boolean = false, n: Int = 3,
     numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-    expectedItems: Long = 1L << 20, fpp: Double = 0.01) {
+    expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+    compactEvery: Int = 0) {
   import CorpusIngest._
 
   private var bloom: Option[BloomFilter] = None
+  private var nextOff: Option[Long] = None
+  private var appendsSinceCompact = 0
 
   /** The retained filter — seeded lazily: empty for a new pool, else one
     * narrow scan of the landed fp column (the ONLY corpus-sized sketch
@@ -303,10 +317,22 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
       else Dedup.dedupIncrementalNearPresignedManaged(
         exactFresh, landedSigFrame(corpus, idCol, textCol, n, numPerms),
         idCol, textCol, n, numPerms, bands, threshold)
-    try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
-      sigParams = if (near) Some((n, numPerms)) else None,
-      onSurvivors = s => bf.mergeInPlace(
-        s.select(md5(col(textCol)).as("_fp")).stat.bloomFilter("_fp", expectedItems, fpp)))
-    finally { releaseNear(); releaseExact() }
+    val base = nextOff.getOrElse(corpus.nextOffset(topic) max 0L)
+    val appended =
+      try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
+        sigParams = if (near) Some((n, numPerms)) else None,
+        onSurvivors = s => bf.mergeInPlace(
+          s.select(md5(col(textCol)).as("_fp")).stat.bloomFilter("_fp", expectedItems, fpp)),
+        knownBase = Some(base))
+      finally { releaseNear(); releaseExact() }
+    nextOff = Some(base + appended)
+    if (compactEvery > 0 && appended > 0) {
+      appendsSinceCompact += 1
+      if (appendsSinceCompact >= compactEvery) {
+        corpus.compact()
+        appendsSinceCompact = 0
+      }
+    }
+    appended
   }
 }

@@ -150,6 +150,26 @@ class CorpusIngestSpec extends AnyFunSuite {
       "near session leaked persisted RDDs")
   }
 
+  test("session offset cache and auto-compaction keep contents and offsets exact") {
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-oc").toString)
+    // compactEvery = 2: after batches 1+2 the pool compacts to ONE segment;
+    // batch 3 (all dups, no append) must not disturb it; batch 4 adds one
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", compactEvery = 2)
+    assert(session.ingest(docs(1L -> "a", 2L -> "b")) == 2)
+    assert(session.ingest(docs(3L -> "c")) == 1)
+    assert(corpus.committedSegments().size == 1, "two appends then compact -> 1 segment")
+    assert(session.ingest(docs(10L -> "a")) == 0) // pure dup: no segment, no compact tick
+    assert(corpus.committedSegments().size == 1)
+    assert(session.ingest(docs(4L -> "d")) == 1)
+    assert(corpus.committedSegments().size == 2)
+    // offsets stayed contiguous through the cache + compaction
+    val rows = corpus.read().select(col("kafka.offset"), col("value.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)),
+      s"got ${rows.toSeq}")
+  }
+
   test("streaming end-to-end: micro-batches of files dedup-ingest into the pool") {
     val inDir = Files.createTempDirectory("docs-stream").toString
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus-s").toString)
