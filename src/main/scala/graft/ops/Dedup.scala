@@ -388,9 +388,30 @@ object Dedup {
     dedupIncrementalNear(incoming, landed, idCol, textCol, n,
       ProdNumPerms, ProdBands, ProdThreshold)
 
+  /** The managed probe, additionally handing back the PERSISTED incoming
+    * signature frame (id, m0..m{numPerms-1}) so loop callers can reuse it —
+    * the ingest session joins it onto the append instead of re-shingling
+    * the batch a second time for the stored `sig` column. Valid until the
+    * release thunk runs.
+    */
+  private[graft] def dedupIncrementalNearWithSig(incoming: DataFrame,
+      landedSig: DataFrame, idCol: String, textCol: String, n: Int,
+      numPerms: Int, bands: Int,
+      threshold: Double): (DataFrame, DataFrame, () => Unit) =
+    dedupIncrementalNearFull(incoming, landedSig, idCol, textCol, n, numPerms,
+      bands, threshold, manage = true)
+
   private def dedupIncrementalNearImpl(incoming: DataFrame, landedSig: DataFrame,
       idCol: String, textCol: String, n: Int, numPerms: Int,
       bands: Int, threshold: Double, manage: Boolean): (DataFrame, () => Unit) = {
+    val (out, _, release) = dedupIncrementalNearFull(incoming, landedSig,
+      idCol, textCol, n, numPerms, bands, threshold, manage)
+    (out, release)
+  }
+
+  private def dedupIncrementalNearFull(incoming: DataFrame, landedSig: DataFrame,
+      idCol: String, textCol: String, n: Int, numPerms: Int,
+      bands: Int, threshold: Double, manage: Boolean): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     def cached(df: DataFrame): DataFrame =
       if (manage) df.persist(StorageLevel.MEMORY_AND_DISK) else df
@@ -408,7 +429,7 @@ object Dedup {
         .select(col("d2").as(idCol)))
       .distinct()
     val out = incoming.join(drops, Seq(idCol), "left_anti")
-    (out, () => {
+    (out, sIn, () => {
       if (manage) { sIn.unpersist(false); sLd.unpersist(false) }
       ()
     })

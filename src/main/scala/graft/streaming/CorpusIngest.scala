@@ -95,24 +95,23 @@ object CorpusIngest {
       expectedItems: Long = 1L << 20, fpp: Double = 0.01): Long = {
     val cols = batch.columns.toSeq
     val uniq = uniqPerContent(batch, idCol, textCol, cols)
-    if (corpus.isEmpty) {
-      // first commit: no landed side — the near pass still dedups the batch
-      // against itself (lower-id wins), the exact agg above caught literals
-      val (fresh, release) = Dedup.dedupIncrementalNearManaged(
-        uniq, uniq.limit(0), idCol, textCol, n, numPerms, bands, threshold)
-      try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
-        sigParams = Some((n, numPerms)))
-      finally release()
-    } else {
-      val (exactFresh, releaseExact) = Dedup.incrementalNewDocsFromFpsManaged(
+    val empty = corpus.isEmpty
+    // first commit: no landed side — the near pass still dedups the batch
+    // against itself (lower-id wins), the exact agg above caught literals
+    val (exactFresh, releaseExact) =
+      if (empty) (uniq, () => ())
+      else Dedup.incrementalNewDocsFromFpsManaged(
         landedFps(corpus, textCol), "_fp", uniq, textCol, expectedItems, fpp)
-      val (fresh, releaseNear) = Dedup.dedupIncrementalNearPresignedManaged(
-        exactFresh, landedSigFrame(corpus, idCol, textCol, n, numPerms),
-        idCol, textCol, n, numPerms, bands, threshold)
-      try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
-        sigParams = Some((n, numPerms)))
-      finally { releaseNear(); releaseExact() }
-    }
+    val lSig =
+      if (empty) Dedup.minhashSignatureFrame(uniq.limit(0), idCol, textCol, n, numPerms)
+      else landedSigFrame(corpus, idCol, textCol, n, numPerms)
+    // WithSig: the probe's persisted batch-signature frame is reused by the
+    // append's stored-sig join — the batch is shingled exactly ONCE
+    val (fresh, sIn, releaseNear) = Dedup.dedupIncrementalNearWithSig(
+      exactFresh, lSig, idCol, textCol, n, numPerms, bands, threshold)
+    try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
+      sigParams = Some((n, numPerms)), sigFrame = Some(sIn))
+    finally { releaseNear(); releaseExact() }
   }
 
   /** The landed exact-gate fingerprints, one narrow `_fp` column: the
@@ -166,7 +165,8 @@ object CorpusIngest {
       idCol: String, textCol: String, topic: String, cols: Seq[String],
       sigParams: Option[(Int, Int)],
       onSurvivors: DataFrame => Unit = _ => (),
-      knownBase: Option[Long] = None): Long = {
+      knownBase: Option[Long] = None,
+      sigFrame: Option[DataFrame] = None): Long = {
     val sorted = fresh
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
@@ -194,8 +194,12 @@ object CorpusIngest {
             // are bit-identical (OpsSpec column≡frame pin) and shingle-less
             // docs come back null through the left join, matching the
             // stored-column contract. `sorted` is persisted, so the
-            // signature pass reads the cache, not the gate plan.
-            val sigF = Dedup.minhashSignatureFrame(sorted, idCol, textCol, n, p)
+            // signature pass reads the cache, not the gate plan — and when
+            // the caller hands over the near gate's own persisted frame
+            // (`sigFrame`, a superset covering the pre-gate batch), the
+            // batch is not re-shingled at all.
+            val sigF = sigFrame
+              .getOrElse(Dedup.minhashSignatureFrame(sorted, idCol, textCol, n, p))
               .select(col("id").as("_sig_id"),
                 array((0 until p).map(i => col(s"m$i")): _*).as("_sig"))
             assigned.join(sigF, col(idCol) === col("_sig_id"), "left")
@@ -310,20 +314,24 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
       if (empty) (uniq, () => ())
       else Dedup.incrementalNewDocsWithBloomManaged(
         landedFps(corpus, textCol), "_fp", uniq, textCol, bf)
-    val (fresh, releaseNear) =
-      if (!near) (exactFresh, () => ())
-      else if (empty) Dedup.dedupIncrementalNearManaged(
-        exactFresh, exactFresh.limit(0), idCol, textCol, n, numPerms, bands, threshold)
-      else Dedup.dedupIncrementalNearPresignedManaged(
-        exactFresh, landedSigFrame(corpus, idCol, textCol, n, numPerms),
-        idCol, textCol, n, numPerms, bands, threshold)
+    val (fresh, sigReuse, releaseNear) =
+      if (!near) (exactFresh, None, () => ())
+      else {
+        val lSig =
+          if (empty) Dedup.minhashSignatureFrame(
+            exactFresh.limit(0), idCol, textCol, n, numPerms)
+          else landedSigFrame(corpus, idCol, textCol, n, numPerms)
+        val (f, sIn, r) = Dedup.dedupIncrementalNearWithSig(
+          exactFresh, lSig, idCol, textCol, n, numPerms, bands, threshold)
+        (f, Some(sIn), r)
+      }
     val base = nextOff.getOrElse(corpus.nextOffset(topic) max 0L)
     val appended =
       try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
         sigParams = if (near) Some((n, numPerms)) else None,
         onSurvivors = s => bf.mergeInPlace(
           s.select(md5(col(textCol)).as("_fp")).stat.bloomFilter("_fp", expectedItems, fpp)),
-        knownBase = Some(base))
+        knownBase = Some(base), sigFrame = sigReuse)
       finally { releaseNear(); releaseExact() }
     nextOff = Some(base + appended)
     if (compactEvery > 0 && appended > 0) {
