@@ -312,6 +312,48 @@ object OpsQueries {
              |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN
              |  (SELECT d1 FROM agL UNION SELECT d2 FROM agI)""".stripMargin)),
 
+    // near-dup SEARCH (the reporting twin of the incremental drop path):
+    // which landed docs does each query doc match at est >= 0.5? Queries
+    // are planted near-copies (' extra words appended') and verbatim
+    // replicas of corpus docs; the oracle rebuilds the bipartite banded
+    // candidates + slot-agreement estimate, est = agree/16.0 exact doubles
+    "dedup_near_query" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val queries = docs.filter(col("id") % 9 === 0)
+          .select((col("id") + 700000).as("id"),
+            concat(col("text"), lit(" extra words appended")).as("text"))
+          .unionByName(docs.filter(col("id") % 9 === 4)
+            .select((col("id") + 800000).as("id"), col("text")))
+        Dedup.nearDuplicatesOf(queries,
+          Dedup.minhashSignatureFrame(docs, "id", "text", 3, 16),
+          "id", "text", n = 3, numPerms = 16, bands = 4, threshold = 0.5)
+          .select(col("d1"), col("d2"), col("est"))
+      },
+      Some("""WITH allr AS (
+             |  SELECT doc_id + 700000 AS id, text || ' extra words appended' AS text, 1 AS inc
+             |    FROM documents WHERE doc_id % 9 = 0
+             |  UNION ALL SELECT doc_id + 800000, text, 1 FROM documents WHERE doc_id % 9 = 4
+             |  UNION ALL SELECT doc_id, text, 0 FROM documents),
+             |tw AS (SELECT id, inc, string_split(text, ' ') AS w FROM allr),
+             |g AS (SELECT id, inc, unnest(list_transform(range(len(w)-2),
+             |        i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM tw),
+             |perms AS (SELECT id, inc, sh, unnest(range(16)) AS p FROM g),
+             |mh AS (SELECT id, inc, p, min(md5(concat(p, '|', sh))) AS mv
+             |       FROM perms GROUP BY 1, 2, 3),
+             |bnd AS (SELECT id, inc, p // 4 AS band,
+             |               md5(string_agg(mv, ',' ORDER BY p)) AS bk
+             |        FROM mh GROUP BY 1, 2, 3),
+             |cand AS (SELECT DISTINCT a.id AS d1, c.id AS d2 FROM bnd a JOIN bnd c
+             |         ON a.band = c.band AND a.bk = c.bk AND a.inc = 1 AND c.inc = 0)
+             |SELECT d1, d2, est FROM (
+             |  SELECT c.d1, c.d2,
+             |         sum(CASE WHEN y.mv = x.mv THEN 1 ELSE 0 END) / 16.0 AS est
+             |  FROM cand c JOIN mh x ON x.id = c.d1
+             |              JOIN mh y ON y.id = c.d2 AND y.p = x.p
+             |  GROUP BY 1, 2)
+             |WHERE est >= 0.5""".stripMargin)),
+
     // the PRODUCTION preset of the incremental near-dup path: 128 perms /
     // 32 bands / threshold 0.8 (the 16-perm default's 1/16 estimator
     // granularity cannot express a 0.8 cut; 128 perms give ~±0.035 std

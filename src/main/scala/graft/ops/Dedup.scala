@@ -388,6 +388,35 @@ object Dedup {
     dedupIncrementalNear(incoming, landed, idCol, textCol, n,
       ProdNumPerms, ProdBands, ProdThreshold)
 
+  /** Bipartite near-dup SEARCH: for every query document, the landed
+    * documents whose signature-estimated Jaccard is ≥ `threshold` — the
+    * reporting twin of [[dedupIncrementalNearPresigned]] (which drops;
+    * this one answers "WHICH landed docs does each query match?" — the
+    * takedown / contamination / provenance primitive over a signed
+    * corpus). `landedSig` is a wide (id, m0..m{numPerms-1}) frame —
+    * [[signatureFrameFromStored]] over a corpus pool's `sig` column (a
+    * narrow scan; the landed text is never touched) or
+    * [[minhashSignatureFrame]] for ad-hoc frames.
+    *
+    * Scale shape: identical to the incremental probe — the query side
+    * collapses to its signature frame, candidates ride the banded
+    * equi-join (query bands × landed bands, never landed × landed), and
+    * the estimate joins the candidate list against the two narrow frames.
+    * A query with no over-threshold match is absent from the output.
+    * Output: (d1 = query id, d2 = landed id, est).
+    */
+  def nearDuplicatesOf(queries: DataFrame, landedSig: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sIn = minhashSignatureFrame(queries, idCol, textCol, n, numPerms)
+    val candLanded = bandKeys(sIn, numPerms, bands)
+      .select(col("id").as("d1"), col("band"), col("bk"))
+      .join(bandKeys(landedSig, numPerms, bands)
+        .select(col("id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
+      .select("d1", "d2").distinct()
+    signatureEstimate(candLanded, sIn, landedSig, numPerms, threshold)
+  }
+
   /** The managed probe, additionally handing back the PERSISTED incoming
     * signature frame (id, m0..m{numPerms-1}) so loop callers can reuse it —
     * the ingest session joins it onto the append instead of re-shingling

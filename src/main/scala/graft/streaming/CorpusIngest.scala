@@ -114,6 +114,20 @@ object CorpusIngest {
     finally { releaseNear(); releaseExact() }
   }
 
+  /** Near-dup SEARCH against the corpus pool's stored signatures: for each
+    * query document, the landed documents matching at signature-estimated
+    * Jaccard ≥ `threshold` ([[graft.ops.Dedup.nearDuplicatesOf]] over the
+    * pool's narrow `sig` column — the landed text is never read). The
+    * takedown / contamination / provenance query a signed corpus answers
+    * for free. Output: (d1 = query id, d2 = landed doc id, est).
+    */
+  def nearDuplicatesInPool(queries: DataFrame, corpus: Pool, idCol: String,
+      textCol: String, n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    Dedup.nearDuplicatesOf(queries,
+      landedSigFrame(corpus, idCol, textCol, n, numPerms),
+      idCol, textCol, n, numPerms, bands, threshold)
+
   /** The landed exact-gate fingerprints, one narrow `_fp` column: the
     * stored `fp` column when the pool has one, else (pre-storage pools)
     * md5 of the landed text.

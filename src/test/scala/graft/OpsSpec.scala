@@ -1234,6 +1234,36 @@ class OpsSpec extends AnyFunSuite {
     assert(keptPre == kept, s"presigned diverged: $keptPre vs $kept")
   }
 
+  test("near-dup search reports landed matches per query; stored-sig pool path agrees") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old " +
+      "stone bridge at dawn every single morning"
+    val landed = Seq((1L, base),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("id", "text")
+    val queries = Seq(
+      (10L, "note " + base),                                       // near-dup of 1
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),      // exact copy of 2
+      (12L, "completely different words about some other topic")   // no match
+    ).toDF("id", "text")
+    val out = Dedup.nearDuplicatesOf(queries,
+      Dedup.minhashSignatureFrame(landed, "id", "text", 3, 16), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(10L -> 1L, 11L -> 2L), s"got $out")
+    assert(out(11L -> 2L) == 1.0, "exact copy estimates 1.0")
+    assert(out(10L -> 1L) >= 0.5 && out(10L -> 1L) < 1.0)
+
+    // pool path: same matches through the STORED sig column
+    val pool = graft.pool.Pool.create(s,
+      java.nio.file.Files.createTempDirectory("ndq").toString)
+    graft.streaming.CorpusIngest.ingestBatchNear(
+      landed.withColumnRenamed("id", "doc_id"), pool, "doc_id", "text")
+    val viaPool = graft.streaming.CorpusIngest.nearDuplicatesInPool(
+      queries.withColumnRenamed("id", "doc_id"), pool, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaPool == out, s"pool path diverged: $viaPool vs $out")
+  }
+
   test("stored signature column: null for shingle-less docs, frame round-trip, loud numPerms drift") {
     val s = spark
     import s.implicits._
