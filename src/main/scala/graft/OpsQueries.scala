@@ -939,6 +939,41 @@ object OpsQueries {
            |  FROM pairs)
            |WHERE rank <= 3""".stripMargin)),
 
+    // the PERSISTED index path: same semantics as sim_ivf_topk, but the
+    // corpus is assigned once, written partitionBy(centroid_id), read back
+    // and probed via the static partition filter (build-once/probe-many —
+    // the production ANN shape; file skipping pinned by PlanAuditSpec).
+    // The oracle is sim_ivf_topk's, verbatim: persistence must not change
+    // a single neighbor.
+    "sim_ivf_index_topk" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val path = TempDirs.create("graft-ivf-index-")
+        graft.ops.SimilarityIndex.buildIvfFromCentroids(
+          base, base.filter(col("vec_id") < 8), "vec_id", "v", path)
+        graft.ops.SimilarityIndex.loadIvf(s, path, "vec_id", "v")
+          .topK(base.filter(col("vec_id") >= 100 && col("vec_id") < 110), k = 3)
+      },
+      Some(embBaseSql +
+        s""", cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT vec_id, v, centroid_id FROM (
+           |    SELECT b.vec_id, b.v, c.centroid_id,
+           |           row_number() OVER (PARTITION BY b.vec_id
+           |                              ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |         ${cos("q.v", "n.v")} AS cos
+           |  FROM assigned q JOIN assigned n
+           |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+           |  WHERE q.vec_id >= 100 AND q.vec_id < 110)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin)),
+
     // IVF search with label metadata riding the top-k payload struct
     "sim_ivf_topk_meta" -> Q(
       (s, d) => {

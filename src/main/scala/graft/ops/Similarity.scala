@@ -439,6 +439,44 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame =
     rankTopK(ivfCandidates(corpus, queries, centroids, idCol, vecCol, nprobe, Nil), k)
 
+  /** IVF search over an ALREADY-ASSIGNED corpus — `assigned` carries a
+    * `centroid_id` column (e.g. a [[SimilarityIndex]] read back from
+    * storage), so the corpus-side assignment pass is skipped entirely and,
+    * when the assigned table is PARTITIONED by `centroid_id`, the probe
+    * reads only the probed cells' FILES: the distinct probed cell ids
+    * (≤ K, metadata-scale like the centroids themselves) are collected and
+    * pushed as a static `isin` partition filter, so a 1-query probe over a
+    * K-cell corpus scans ~nprobe/K of it — file skipping, not row
+    * filtering (pinned by PlanAuditSpec). Results are identical to
+    * [[ivfTopK]] when `assigned` came from [[ivfAssign]] with the same
+    * centroids (assignment is deterministic).
+    */
+  def ivfTopKPreassigned(assigned: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // cast the QUERY side's cell ids to the stored column's type (partition
+    // discovery infers integer-like path values as int while assignment
+    // produces the centroid idCol's type): casting the small side keeps the
+    // assigned table's partition column untouched, so the isin filter stays
+    // a partition FILTER — a cast on the stored column would defeat pruning
+    val cidType = assigned.schema("centroid_id").dataType
+    val aq = assignCollected(queries, cents.collect().toSeq, cents.schema,
+        vecCol, nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("centroid_id").cast(cidType).as("centroid_id"))
+    // ≤ K distinct cells whatever the query count — a metadata-scale
+    // collect (an EAGER pass over the query side, which re-evaluates
+    // lazily in the result plan; query batches are small by the
+    // build-once/probe-many pattern, cache `queries` upstream otherwise)
+    val probed = aq.select("centroid_id").distinct().collect().map(_.get(0))
+    val ac = assigned.filter(col("centroid_id").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    rankTopK(aq.join(ac, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"))), k)
+  }
+
   /** As [[ivfTopK]] with neighbor metadata (see [[rankTopKMeta]]): the
     * probed-cell search returns `metaCols` per hit without re-joining the
     * corpus.

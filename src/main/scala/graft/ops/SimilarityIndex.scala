@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A PERSISTED IVF index — the production build-once / probe-many split of
+  * [[Similarity.ivfTopK]] (which trains/assigns per call):
+  *
+  * {{{
+  *   <path>/centroids/   k rows (idCol, vecCol) parquet
+  *   <path>/assigned/    the corpus + centroid_id, PARTITIONED BY centroid_id
+  * }}}
+  *
+  * The partitioned layout is the scale point: a probe collects its ≤ K
+  * probed cell ids and pushes them as a static partition filter, so the
+  * scan reads ~nprobe/K of the corpus FILES — file skipping, not row
+  * filtering ([[Similarity.ivfTopKPreassigned]]; pinned by PlanAuditSpec).
+  * At 100 TB of embeddings with K = 4096 cells, a 16-probe query batch
+  * touches ~0.4% of the files; everything else is never opened. Index
+  * build is one k-means (distributed Lloyd rounds, metadata-scale
+  * centroids) + one map-only assignment + one partitioned write; rebuilds
+  * are full-replace (`overwrite`), matching the static nature of IVF
+  * indexes — append/merge belongs to a re-cluster cycle, not this layout.
+  */
+object SimilarityIndex {
+
+  /** Train k-means centroids on the corpus, assign, persist. seedByHash +
+    * roundDigits default to the engine's deterministic discipline so the
+    * same corpus builds the identical index on any engine/cluster.
+    */
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, path: String, seedByHash: Boolean = true,
+      roundDigits: Int = 9): Unit = {
+    val cents = Similarity.kmeans(corpus, idCol, vecCol, k, iters,
+        seedByHash, roundDigits)
+      .select(col("centroid_id").as(idCol), col(vecCol))
+    buildIvfFromCentroids(corpus, cents, idCol, vecCol, path)
+  }
+
+  /** Persist an index under GIVEN centroids (k rows, (idCol, vecCol)) —
+    * pre-trained, sampled, or external. */
+  def buildIvfFromCentroids(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, path: String): Unit = {
+    val cents = centroids.select(col(idCol), col(vecCol))
+      .localCheckpoint(true) // K rows; consumed twice (write + assignment)
+    try {
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      Similarity.ivfAssign(corpus, cents, idCol, vecCol)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$path/assigned")
+    } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
+  }
+
+  /** Open a persisted index for probing. */
+  def loadIvf(spark: SparkSession, path: String, idCol: String,
+      vecCol: String): IvfIndex = new IvfIndex(spark, path, idCol, vecCol)
+
+  final class IvfIndex private[SimilarityIndex] (spark: SparkSession,
+      path: String, idCol: String, vecCol: String) {
+    /** K rows — read once per index handle (metadata-scale). */
+    val centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+
+    /** The cell-partitioned corpus scan (lazy; probes prune partitions). */
+    def assigned: DataFrame = spark.read.parquet(s"$path/assigned")
+
+    /** Top-k cosine neighbors per query over the probed cells only.
+      * Output: (query_id, rank, neighbor_id) — [[Similarity.ivfTopK]]
+      * semantics against the stored assignment.
+      */
+    def topK(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame =
+      Similarity.ivfTopKPreassigned(assigned, queries, centroids,
+        idCol, vecCol, k, nprobe)
+  }
+}

@@ -413,6 +413,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the one shuffle must key on the doc id:\n$plan")
   }
 
+  test("persisted IVF index probe prunes PARTITIONS — file skipping, not row filtering") {
+    import graft.ops.SimilarityIndex
+    val base = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+    val path = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    SimilarityIndex.buildIvfFromCentroids(base,
+      base.filter(col("vec_id") < 8), "vec_id", "v", path)
+    val q = SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+      .topK(base.filter(col("vec_id") === 100), k = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the probed-cell isin must reach the scan as a PartitionFilter on the
+    // untouched partition column — a cast on the stored side would demote
+    // it to a post-scan row filter and the probe would read every cell
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("centroid_id")).getOrElse("")
+    assert(scanLine.contains("centroid_id") &&
+      !scanLine.contains("PartitionFilters: []"),
+      s"expected a non-empty centroid_id partition filter:\n$plan")
+  }
+
   test("keepBestBy: the arg-max is an aggregation, never a window over the corpus") {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions.length
