@@ -233,6 +233,55 @@ object OpsQueries {
     s"CASE $whens ELSE 'und' END"
   }
 
+  /** sim_ivf_pq_e2e's full oracle - shared verbatim with the persisted
+    * index row (persistence must not change a single neighbor). */
+  private lazy val ivfPqE2eOracle: Option[String] = Some(embBaseSql +
+        s""", seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM base ORDER BY vec_id LIMIT 8),
+           |kscored AS (
+           |  SELECT b.vec_id, b.v, s.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "s.cv")} DESC, s.centroid_id) AS rn
+           |  FROM base b CROSS JOIN seeds s),
+           |kassigned AS (SELECT vec_id, v, centroid_id FROM kscored WHERE rn = 1),
+           |kex AS (SELECT centroid_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM kassigned),
+           |kdims AS (SELECT centroid_id, i,
+           |            round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS m
+           |          FROM kex GROUP BY 1, 2),
+           |cents AS (SELECT centroid_id, list(m ORDER BY i) AS centv FROM kdims GROUP BY centroid_id),
+           |cellranked AS (
+           |  SELECT b.vec_id, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN cents c),
+           |cells AS (SELECT vec_id, centroid_id FROM cellranked WHERE rn = 1),
+           |""".stripMargin + pqTrainSql(k = 4) + ", " + pqEncodeSql +
+        s""", recon AS (
+           |  SELECT e.vec_id, flatten(list(c.cv ORDER BY c.sub)) AS vhat
+           |  FROM ecodes e JOIN pcents c ON c.sub = e.sub AND c.cid = e.cid
+           |  GROUP BY e.vec_id),
+           |q AS (SELECT b.vec_id AS query_id, b.v AS qv, g.centroid_id
+           |      FROM base b JOIN cells g USING (vec_id)
+           |      WHERE b.vec_id >= 100 AND b.vec_id < 110),
+           |ppairs AS (
+           |  SELECT q.query_id, r.vec_id AS neighbor_id,
+           |    list_sum(list_transform(range(2), s ->
+           |      list_sum(list_transform(list_zip(list_slice(q.qv, s*32+1, (s+1)*32),
+           |                                       list_slice(r.vhat, s*32+1, (s+1)*32)),
+           |               p -> p[1]*p[2]))))
+           |    / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+           |       * sqrt(list_sum(list_transform(range(2), s ->
+           |           list_sum(list_transform(list_slice(r.vhat, s*32+1, (s+1)*32),
+           |                    x -> x*x))))))
+           |    AS cos
+           |  FROM q JOIN cells n ON n.centroid_id = q.centroid_id
+           |  JOIN recon r ON r.vec_id = n.vec_id
+           |  WHERE n.vec_id <> q.query_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ppairs)
+           |WHERE rank <= 3""".stripMargin)
+
   val all: Map[String, Q] = Map(
 
     // ---------------- dedup ----------------
@@ -1328,52 +1377,28 @@ object OpsQueries {
           base.filter(col("vec_id") >= 100 && col("vec_id") < 110),
           cents, book, "vec_id", "v", k = 3)
       },
-      Some(embBaseSql +
-        s""", seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM base ORDER BY vec_id LIMIT 8),
-           |kscored AS (
-           |  SELECT b.vec_id, b.v, s.centroid_id,
-           |         row_number() OVER (PARTITION BY b.vec_id
-           |                            ORDER BY ${cos("b.v", "s.cv")} DESC, s.centroid_id) AS rn
-           |  FROM base b CROSS JOIN seeds s),
-           |kassigned AS (SELECT vec_id, v, centroid_id FROM kscored WHERE rn = 1),
-           |kex AS (SELECT centroid_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM kassigned),
-           |kdims AS (SELECT centroid_id, i,
-           |            round(CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) / count(*), 9) AS m
-           |          FROM kex GROUP BY 1, 2),
-           |cents AS (SELECT centroid_id, list(m ORDER BY i) AS centv FROM kdims GROUP BY centroid_id),
-           |cellranked AS (
-           |  SELECT b.vec_id, c.centroid_id,
-           |         row_number() OVER (PARTITION BY b.vec_id
-           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
-           |  FROM base b CROSS JOIN cents c),
-           |cells AS (SELECT vec_id, centroid_id FROM cellranked WHERE rn = 1),
-           |""".stripMargin + pqTrainSql(k = 4) + ", " + pqEncodeSql +
-        s""", recon AS (
-           |  SELECT e.vec_id, flatten(list(c.cv ORDER BY c.sub)) AS vhat
-           |  FROM ecodes e JOIN pcents c ON c.sub = e.sub AND c.cid = e.cid
-           |  GROUP BY e.vec_id),
-           |q AS (SELECT b.vec_id AS query_id, b.v AS qv, g.centroid_id
-           |      FROM base b JOIN cells g USING (vec_id)
-           |      WHERE b.vec_id >= 100 AND b.vec_id < 110),
-           |ppairs AS (
-           |  SELECT q.query_id, r.vec_id AS neighbor_id,
-           |    list_sum(list_transform(range(2), s ->
-           |      list_sum(list_transform(list_zip(list_slice(q.qv, s*32+1, (s+1)*32),
-           |                                       list_slice(r.vhat, s*32+1, (s+1)*32)),
-           |               p -> p[1]*p[2]))))
-           |    / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
-           |       * sqrt(list_sum(list_transform(range(2), s ->
-           |           list_sum(list_transform(list_slice(r.vhat, s*32+1, (s+1)*32),
-           |                    x -> x*x))))))
-           |    AS cos
-           |  FROM q JOIN cells n ON n.centroid_id = q.centroid_id
-           |  JOIN recon r ON r.vec_id = n.vec_id
-           |  WHERE n.vec_id <> q.query_id)
-           |SELECT query_id, rank, neighbor_id FROM (
-           |  SELECT query_id, neighbor_id,
-           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           |  FROM ppairs)
-           |WHERE rank <= 3""".stripMargin)),
+      ivfPqE2eOracle),
+
+    // the PERSISTED IVF-PQ index: the same trained models and corpus, but
+    // assigned+encoded ONCE, written partitionBy(centroid_id) as (id,
+    // codes), read back and probed — cell file-skipping stacked on the
+    // 190x-narrower codes scan. The oracle is sim_ivf_pq_e2e's verbatim:
+    // persistence must not change a single neighbor.
+    "sim_ivf_pq_index_topk" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val cents = Similarity.kmeans(base, "vec_id", "v", k = 8, iters = 1)
+          .select(col("centroid_id").as("vec_id"),
+            transform(col("v"), x => round(x, 9)).as("v"))
+        val book = Similarity.pqTrain(base, "vec_id", "v",
+          m = 2, k = 4, iters = 1, roundDigits = 9)
+        val path = TempDirs.create("graft-ivfpq-index-")
+        graft.ops.SimilarityIndex.buildIvfPqFromModels(
+          base, cents, book, "vec_id", "v", path)
+        graft.ops.SimilarityIndex.loadIvfPq(s, path, "vec_id", "v")
+          .topK(base.filter(col("vec_id") >= 100 && col("vec_id") < 110), k = 3)
+      },
+      ivfPqE2eOracle),
 
     // ---------------- text analysis ----------------
 

@@ -750,6 +750,36 @@ object Similarity {
     rankTopKMeta(pqCandidates(encoded, queries, codebook, idCol, vecCol, metaCols),
       k, metaCols)
 
+  /** IVF-PQ search over a STORED encoded corpus — `encoded` carries
+    * (idCol, centroid_id, codes), e.g. a [[SimilarityIndex]] IVF-PQ table
+    * read back from storage. The [[ivfTopKPreassigned]] move composed with
+    * ADC: the probed cell ids push a static partition filter (file
+    * skipping when the table is partitioned by `centroid_id`), and what
+    * the surviving files yield per row is m int codes, never a float
+    * vector — the two 100 TB levers stacked. Results are identical to
+    * [[ivfPqTopK]] under the same centroids/codebook.
+    */
+  def ivfPqTopKPreassigned(encoded: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val cidType = encoded.schema("centroid_id").dataType
+    val aqAssigned = assignCollected(queries, cents.collect().toSeq,
+        cents.schema, vecCol, nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("centroid_id").cast(cidType).as("centroid_id"))
+    val probed = aqAssigned.select("centroid_id").distinct().collect().map(_.get(0))
+    val (aq0, norms) = withQueryLuts(aqAssigned,
+      codebook.withColumnRenamed(vecCol, "_bv"), "_bv")
+    val aq = aq0.select(col("query_id"), col("centroid_id"), col("_dots"), col("_qnorm"))
+    val ac = encoded.filter(col("centroid_id").isin(probed.toSeq: _*))
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"), col("codes"))
+    rankTopK(ac.join(aq, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        pqAdcScoreCol(col("codes"), col("_dots"), norms, col("_qnorm"))), k)
+  }
+
   /** IVF-PQ: the coarse inverted file prunes cells, PQ codes shrink what a
     * probed cell scans — composed exactly from [[ivfAssignN]] (map-only
     * cell assignment both sides) + [[pqEncode]] (map-only codes) +

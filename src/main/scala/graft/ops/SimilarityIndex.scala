@@ -55,6 +55,67 @@ object SimilarityIndex {
   def loadIvf(spark: SparkSession, path: String, idCol: String,
       vecCol: String): IvfIndex = new IvfIndex(spark, path, idCol, vecCol)
 
+  /** Persist the IVF-PQ layout under GIVEN centroids + codebook: the two
+    * models as small parquet tables, and the corpus as (idCol, codes)
+    * partitioned by `centroid_id` — probes skip files by cell AND read
+    * m int codes per surviving row, never a float vector (the two 100 TB
+    * levers stacked; see [[Similarity.ivfPqTopKPreassigned]]). At m = 16
+    * bytes per code over 768-dim float32 embeddings this table is ~190×
+    * narrower than the raw vectors.
+    */
+  def buildIvfPqFromModels(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val cents = centroids.select(col(idCol), col(vecCol))
+      .localCheckpoint(true) // K rows; consumed twice (write + assignment)
+    try {
+      cents.write.mode("overwrite").parquet(s"$path/centroids")
+      codebook.write.mode("overwrite").parquet(s"$path/codebook")
+      Similarity.pqEncode(
+          Similarity.ivfAssign(corpus, cents, idCol, vecCol),
+          codebook, idCol, vecCol)
+        .select(col(idCol), col("centroid_id"), col("codes"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$path/encoded")
+    } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
+  }
+
+  /** Train both models in-engine ([[Similarity.kmeans]] cells +
+    * [[Similarity.pqTrain]] codebook, the deterministic discipline), then
+    * persist via [[buildIvfPqFromModels]].
+    */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, m: Int, codebookK: Int, path: String,
+      seedByHash: Boolean = true, roundDigits: Int = 9): Unit = {
+    val cents = Similarity.kmeans(corpus, idCol, vecCol, k, iters,
+        seedByHash, roundDigits)
+      .select(col("centroid_id").as(idCol), col(vecCol))
+    val book = Similarity.pqTrain(corpus, idCol, vecCol, m, codebookK,
+      iters, seedByHash, roundDigits)
+    buildIvfPqFromModels(corpus, cents, book, idCol, vecCol, path)
+  }
+
+  /** Open a persisted IVF-PQ index for probing. */
+  def loadIvfPq(spark: SparkSession, path: String, idCol: String,
+      vecCol: String): IvfPqIndex = new IvfPqIndex(spark, path, idCol, vecCol)
+
+  final class IvfPqIndex private[SimilarityIndex] (spark: SparkSession,
+      path: String, idCol: String, vecCol: String) {
+    val centroids: DataFrame = spark.read.parquet(s"$path/centroids")
+    val codebook: DataFrame = spark.read.parquet(s"$path/codebook")
+
+    /** The cell-partitioned codes scan (lazy; probes prune partitions). */
+    def encoded: DataFrame = spark.read.parquet(s"$path/encoded")
+
+    /** ADC top-k per query over the probed cells' codes only. Output:
+      * (query_id, rank, neighbor_id) — [[Similarity.ivfPqTopK]] semantics
+      * against the stored assignment + codes.
+      */
+    def topK(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame =
+      Similarity.ivfPqTopKPreassigned(encoded, queries, centroids, codebook,
+        idCol, vecCol, k, nprobe)
+  }
+
   final class IvfIndex private[SimilarityIndex] (spark: SparkSession,
       path: String, idCol: String, vecCol: String) {
     /** K rows — read once per index handle (metadata-scale). */

@@ -436,6 +436,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a non-empty centroid_id partition filter:\n$plan")
   }
 
+  test("persisted IVF-PQ probe: partition-pruned AND the scan reads codes, never vectors") {
+    import graft.ops.SimilarityIndex
+    val base = Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    SimilarityIndex.buildIvfPq(base, "vec_id", "v", k = 8, iters = 1,
+      m = 2, codebookK = 4, path = path)
+    val q = SimilarityIndex.loadIvfPq(spark, path, "vec_id", "v")
+      .topK(base.filter(col("vec_id") === 100), k = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val encScan = plan.linesIterator.find(l =>
+      l.contains("ivfpq-idx") && l.contains("encoded")).getOrElse("")
+    assert(encScan.contains("PartitionFilters") &&
+      !encScan.contains("PartitionFilters: []"),
+      s"expected a non-empty partition filter on the encoded scan:\n$plan")
+    assert(encScan.contains("codes") && !encScan.replaceAll("vec_id", "").contains("v:"),
+      s"the encoded scan must read codes, never a float vector column:\n$plan")
+  }
+
   test("keepBestBy: the arg-max is an aggregation, never a window over the corpus") {
     import graft.ops.Dedup
     import org.apache.spark.sql.functions.length
