@@ -131,5 +131,19 @@ object SimilarityIndex {
     def topK(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame =
       Similarity.ivfTopKPreassigned(assigned, queries, centroids,
         idCol, vecCol, k, nprobe)
+
+    /** Incrementally index new vectors: assign against the STORED
+      * centroids (map-only) and append into the cell partitions — the
+      * continuous-ingest move for ANN, O(batch) per call. The coarse
+      * quantizer stays frozen (the standard IVF ingest contract: cell
+      * balance drifts as the distribution does; a re-cluster cycle
+      * rebuilds via [[buildIvf]] when it matters). Caller owns id
+      * uniqueness, like the pool ingest paths.
+      */
+    def append(vectors: DataFrame): Unit =
+      Similarity.ivfAssign(vectors, centroids.select(col(idCol), col(vecCol)),
+          idCol, vecCol)
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$path/assigned")
   }
 }

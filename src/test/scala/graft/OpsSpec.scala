@@ -485,6 +485,21 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(2)).toSeq
     assert(top1(1) == Seq(1L)) // only its own cell → misses the true nearest
     assert(top1(2) == Seq(2L)) // probing the 2nd cell finds it
+
+    // persisted index: identical answers, and append indexes new vectors
+    // against the FROZEN stored centroids (O(batch), no rebuild)
+    val path = java.nio.file.Files.createTempDirectory("ivf-ix").toString
+    graft.ops.SimilarityIndex.buildIvfFromCentroids(corpus, cents, "vec_id", "v", path)
+    val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+    def idxTop1(nprobe: Int) =
+      idx.topK(q, k = 1, nprobe = nprobe).collect().map(_.getLong(2)).toSeq
+    assert(idxTop1(1) == Seq(1L) && idxTop1(2) == Seq(2L),
+      "the persisted index must answer exactly like the direct path")
+    val extra = spark.createDataFrame(
+      Seq(Row(3L, Seq(0.81, 0.59))).asJava, // near the query, lands in cell A
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    idx.append(extra)
+    assert(idxTop1(1) == Seq(3L), "appended vector must be probed")
   }
 
   test("asof join picks the latest right row at-or-before each left ts") {
