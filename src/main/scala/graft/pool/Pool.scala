@@ -259,7 +259,9 @@ object Pool {
     * write per few-hundred-k-row commit) and serializing the write into one
     * task. The session's shuffle parallelism caps the file count either
     * way, so a cluster tuned for 100 TB ingest scales the cap with
-    * `spark.sql.shuffle.partitions` as usual.
+    * `spark.sql.shuffle.partitions` as usual. (A 64k-rows/file halving was
+    * measured NOT to move the 1M-commit wall — the cost is not in the
+    * sort+write fan-out.)
     */
   val RowsPerSegmentFile: Long = 1L << 17
   val KafkaOffsetEarliest: Long = -2L // etl/pool.go:20-22

@@ -23,8 +23,17 @@ object Throughput {
       struct(col("id").as("n"), (col("id") * 2).cast("double").as("v"),
         md5(col("id").cast("string")).as("payload")).as("value"),
       lit("record").as("_kind"))
-    // warm-up pass so JIT/codegen costs don't pollute the measurement
+    // warm-up passes so JIT/codegen costs don't pollute the measurement:
+    // the noop save warms the projection, and a small throwaway append
+    // warms the commit path itself (persist, range sampler, sort, parquet
+    // write) — profiled at ~3.5 s of one-time codegen/JIT against a ~1.3 s
+    // warm 1M commit, i.e. the cold number measured JVM start-up, not the
+    // throughput of the continuous ingest loop the 1M/5s constant models
+    // (the reference's connector is one long-lived process, and so is a
+    // streaming ingest session here).
     env.write.mode("overwrite").format("noop").save()
+    Pool.create(spark, Files.createTempDirectory("graft-tpw-").toString)
+      .append(env.limit(65536))
     val pool = Pool.create(spark, Files.createTempDirectory("graft-tp-").toString)
     val t0 = System.nanoTime()
     pool.append(env)
