@@ -58,4 +58,31 @@ class ReadmeExampleSpec extends AnyFunSuite {
       assert(n < docs.count())
     } finally out.unpersist()
   }
+
+  test("README continuous-ingest + persisted-index example runs on sf0.001") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+
+    val corpus = graft.pool.Pool.create(spark,
+      java.nio.file.Files.createTempDirectory("readme-corpus").toString)
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", near = true, compactEvery = 64)
+    Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0))
+      .foreach(session.ingest)
+    val hits = graft.streaming.CorpusIngest.nearDuplicatesInPool(
+      docs.limit(20).select(($"doc_id" + 900000).as("doc_id"), $"text"),
+      corpus, "doc_id", "text")
+    assert(hits.count() > 0, "verbatim replicas must match the landed corpus")
+
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val path = java.nio.file.Files.createTempDirectory("readme-index").toString
+    graft.ops.SimilarityIndex.buildIvfPq(embs, "vec_id", "v", k = 8, iters = 2,
+      m = 2, codebookK = 4, path = path)
+    val top = graft.ops.SimilarityIndex.loadIvfPq(spark, path, "vec_id", "v")
+      .topK(embs.filter($"vec_id" < 5), k = 3, nprobe = 2)
+    assert(top.groupBy("query_id").count().collect().forall(_.getLong(1) == 3))
+  }
 }
