@@ -397,6 +397,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"no window over either side:\n$plan")
   }
 
+  test("near-dup search: banded equi-joins only — no cartesian, no window") {
+    import graft.ops.Dedup
+    val landed = corpus.select((col("id") + 1000).as("id"), col("text"))
+    val q = Dedup.nearDuplicatesOf(corpus,
+      Dedup.minhashSignatureFrame(landed, "id", "text", 3, 16), "id", "text")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+    assert(!plan.contains("Window"), s"no window over either side:\n$plan")
+  }
+
   test("prod-preset 128-perm signature frame: ONE exchange, keyed on id") {
     import graft.ops.Dedup
     // the wide signature aggregate must stay one partial-aggregating
