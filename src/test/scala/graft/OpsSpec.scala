@@ -188,6 +188,44 @@ class OpsSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L))
   }
 
+  test("canonical ids match a union-find oracle on seeded random graphs") {
+    // the pointer-jumped min-propagation must agree with a sequential
+    // union-find on ARBITRARY topology (random graphs mix cliques, chains,
+    // stars, and singletons — the shapes real pair generators emit at
+    // once). Seeded java.util.Random → failures replay deterministically.
+    val rnd = new java.util.Random(4711L)
+    (1 to 3).foreach { trial =>
+      val n = 120
+      val nodes = (0L until n.toLong)
+      val edges = (1 to 150).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      // driver-side union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = nodes.map(i => i -> {
+        // component minimum = the min node reachable via union-find root
+        var r = find(i.toInt)
+        r.toLong
+      }).toMap
+      // union-by-min keeps the root as the component min by construction
+      val df = spark.createDataFrame(
+        nodes.map(i => Row(i)).asJava, StructType.fromDDL("id bigint"))
+      val pairs = spark.createDataFrame(
+        edges.map { case (a, b) => Row(a, b) }.asJava,
+        StructType.fromDDL("d1 bigint, d2 bigint"))
+      val got = Dedup.canonicalIds(df, "id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect,
+        s"trial $trial: diverged at ${got.toSet.diff(expect.toSet).take(5)}")
+    }
+  }
+
   test("canonical ids pointer-jump: a 60-node chain converges in <= 8 rounds") {
     // One-hop-per-round propagation would need 59 rounds; pointer jumping
     // doubles covered distance each round, so 8 rounds reach 2^8 = 256.
