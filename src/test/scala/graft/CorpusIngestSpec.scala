@@ -150,6 +150,28 @@ class CorpusIngestSpec extends AnyFunSuite {
       "near session leaked persisted RDDs")
   }
 
+  test("production preset (128 perms / 32 bands / 0.8) through the near session") {
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-prod").toString)
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", near = true,
+      numPerms = graft.ops.Dedup.ProdNumPerms,
+      bands = graft.ops.Dedup.ProdBands,
+      threshold = graft.ops.Dedup.ProdThreshold)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    assert(session.ingest(docs(1L -> base)) == 1)
+    // stored signature length matches the preset
+    assert(corpus.read().select(org.apache.spark.sql.functions.size(col("sig")))
+      .collect()(0).getInt(0) == graft.ops.Dedup.ProdNumPerms)
+    // one appended word: J ≈ 38/41 ≈ 0.93 — drops at the 0.8 cut; a doc
+    // sharing only the first half: J ≈ 18/58 ≈ 0.31 — far below, keeps
+    val nearCopy = base + " tok41"
+    val halfNew = (1 to 20).map(i => s"tok$i").mkString(" ") + " " +
+      (1 to 20).map(i => s"new$i").mkString(" ")
+    assert(session.ingest(docs(10L -> nearCopy, 11L -> halfNew)) == 1)
+    assert(corpus.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 11L))
+  }
+
   test("session offset cache and auto-compaction keep contents and offsets exact") {
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus-oc").toString)
     // compactEvery = 2: after batches 1+2 the pool compacts to ONE segment;
