@@ -255,13 +255,16 @@ object Dedup {
       minhashSignatureColumn(textCol, n, numPerms))
 
   /** Wide (id, m0..m{numPerms-1}) signature frame from a STORED array
-    * signature column (written by [[storedSignatureColumn]]): null
-    * signatures (shingle-less docs) drop — matching
-    * [[minhashSignatureFrame]]'s row set — and a stored array of the wrong
-    * length fails loudly (it means the probe's `numPerms` disagrees with
-    * the writer's, which would otherwise silently null every slot).
-    * Bit-identical to recomputing the frame from text (the column/frame
-    * signature identity OpsSpec pins), at the cost of one narrow scan.
+    * signature column (written by [[storedSignatureColumn]]): null and
+    * EMPTY signatures drop — null is [[storedSignatureColumn]]'s
+    * shingle-less marker, and the ingest envelope additionally uses empty
+    * for shingle-less while reserving null for "no signature written";
+    * both mean "not in [[minhashSignatureFrame]]'s row set". A stored
+    * array of any OTHER length than `numPerms` fails loudly (it means the
+    * probe's `numPerms` disagrees with the writer's, which would
+    * otherwise silently null every slot). Bit-identical to recomputing
+    * the frame from text (the column/frame signature identity OpsSpec
+    * pins), at the cost of one narrow scan.
     */
   def signatureFrameFromStored(df: DataFrame, idCol: String, sigCol: String,
       numPerms: Int): DataFrame = {
@@ -269,7 +272,7 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit(s"stored signature length != numPerms=$numPerms: "),
         size(col(sigCol)).cast("string"))))
-    df.filter(col(sigCol).isNotNull)
+    df.filter(col(sigCol).isNotNull && size(col(sigCol)) =!= 0)
       .select(col(idCol).as("id") +:
         (0 until numPerms).map(p => element_at(checked, p + 1).as(s"m$p")): _*)
   }

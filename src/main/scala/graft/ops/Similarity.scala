@@ -454,27 +454,40 @@ object Similarity {
   def ivfTopKPreassigned(assigned: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 1): DataFrame = {
+    val (aq, prunedStore) = probeCells(assigned, queries, centroids, idCol,
+      vecCol, nprobe)
+    val ac = prunedStore
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    rankTopK(aq.select(col("query_id"), col("qv"), col("centroid_id"))
+      .join(ac, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"))), k)
+  }
+
+  /** The shared probe-side prologue of the preassigned searches: assign
+    * the queries to their `nprobe` cells, CAST the query side's cell ids
+    * to the stored column's type (partition discovery infers integer-like
+    * path values as int while assignment produces the centroid idCol's
+    * type — casting the small side keeps the stored partition column
+    * untouched, so the probed-cell `isin` stays a partition FILTER; a cast
+    * on the stored column would defeat pruning), and collect the ≤ K
+    * distinct probed cells (a metadata-scale EAGER pass over the query
+    * side, which re-evaluates lazily in the result plan; query batches are
+    * small by the build-once/probe-many pattern — cache `queries` upstream
+    * otherwise). Returns (assigned queries with query_id/qv/centroid_id,
+    * the store pruned to the probed cells).
+    */
+  private def probeCells(store: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int): (DataFrame, DataFrame) = {
     val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    // cast the QUERY side's cell ids to the stored column's type (partition
-    // discovery infers integer-like path values as int while assignment
-    // produces the centroid idCol's type): casting the small side keeps the
-    // assigned table's partition column untouched, so the isin filter stays
-    // a partition FILTER — a cast on the stored column would defeat pruning
-    val cidType = assigned.schema("centroid_id").dataType
+    val cidType = store.schema("centroid_id").dataType
     val aq = assignCollected(queries, cents.collect().toSeq, cents.schema,
         vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("centroid_id").cast(cidType).as("centroid_id"))
-    // ≤ K distinct cells whatever the query count — a metadata-scale
-    // collect (an EAGER pass over the query side, which re-evaluates
-    // lazily in the result plan; query batches are small by the
-    // build-once/probe-many pattern, cache `queries` upstream otherwise)
     val probed = aq.select("centroid_id").distinct().collect().map(_.get(0))
-    val ac = assigned.filter(col("centroid_id").isin(probed.toSeq: _*))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
-    rankTopK(aq.join(ac, Seq("centroid_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv"))), k)
+    (aq, store.filter(col("centroid_id").isin(probed.toSeq: _*)))
   }
 
   /** As [[ivfTopK]] with neighbor metadata (see [[rankTopKMeta]]): the
@@ -762,17 +775,12 @@ object Similarity {
   def ivfPqTopKPreassigned(encoded: DataFrame, queries: DataFrame,
       centroids: DataFrame, codebook: DataFrame, idCol: String,
       vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val cidType = encoded.schema("centroid_id").dataType
-    val aqAssigned = assignCollected(queries, cents.collect().toSeq,
-        cents.schema, vecCol, nprobe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        col("centroid_id").cast(cidType).as("centroid_id"))
-    val probed = aqAssigned.select("centroid_id").distinct().collect().map(_.get(0))
+    val (aqAssigned, prunedStore) = probeCells(encoded, queries, centroids,
+      idCol, vecCol, nprobe)
     val (aq0, norms) = withQueryLuts(aqAssigned,
       codebook.withColumnRenamed(vecCol, "_bv"), "_bv")
     val aq = aq0.select(col("query_id"), col("centroid_id"), col("_dots"), col("_qnorm"))
-    val ac = encoded.filter(col("centroid_id").isin(probed.toSeq: _*))
+    val ac = prunedStore
       .select(col(idCol).as("neighbor_id"), col("centroid_id"), col("codes"))
     rankTopK(ac.join(aq, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -43,12 +43,13 @@ import graft.pool.{Envelope, Pool}
   *    a batch has no might-contain rows, AQE's empty-relation propagation
   *    elides even the verify's fp-column scan.
   *
-  * Contract: a pool fed through these paths must be fed EXCLUSIVELY
-  * through them (the pool's existing single-writer rule) — a foreign
-  * `Pool.append` would land rows with null `fp`/`sig` that the stored-
-  * column gates cannot see. Pools created before fingerprint storage (no
-  * `fp` column in their schema) fall back transparently to deriving both
-  * columns from the landed text, the pre-storage behavior.
+  * Provenance tolerance: the gates are correct for ANY mix of writers.
+  * Rows missing a stored `fp`/`sig` (pre-storage segments, exact-path
+  * appends probed by the near path, a foreign `Pool.append`) fall back
+  * PER ROW to text-derived fingerprints/signatures — the fallback branch
+  * carries its own null filter, so parquet row-group stats confine the
+  * text read to the segments that actually need it. The single-writer
+  * rule remains the pool's (concurrency, not provenance).
   */
 object CorpusIngest {
 
@@ -128,30 +129,47 @@ object CorpusIngest {
       landedSigFrame(corpus, idCol, textCol, n, numPerms),
       idCol, textCol, n, numPerms, bands, threshold)
 
-  /** The landed exact-gate fingerprints, one narrow `_fp` column: the
-    * stored `fp` column when the pool has one, else (pre-storage pools)
-    * md5 of the landed text.
+  /** The landed exact-gate fingerprints, one `_fp` column — EVERY landed
+    * row is covered whatever wrote it: rows with a stored `fp` contribute
+    * it directly (narrow scan), rows without one (pre-storage segments, a
+    * foreign `Pool.append`) fall back to md5 of their text. The two
+    * branches are separate scans with complementary null filters, so
+    * parquet row-group stats prune each branch to ITS segments: a pool fed
+    * exclusively through CorpusIngest never reads text here, and a mixed
+    * pool degrades per-segment, not per-pool — correctness (the replay-
+    * idempotence contract) never depends on provenance.
     */
   private[streaming] def landedFps(corpus: Pool, textCol: String): DataFrame = {
     val env = corpus.read()
-    if (env.columns.contains("fp")) env.select(col("fp").as("_fp"))
-    else env.select(md5(col(s"value.$textCol")).as("_fp"))
+    if (!env.columns.contains("fp"))
+      env.select(md5(col(s"value.$textCol")).as("_fp"))
+    else env.filter(col("fp").isNotNull).select(col("fp").as("_fp"))
+      .unionByName(env.filter(col("fp").isNull)
+        .select(md5(col(s"value.$textCol")).as("_fp")))
   }
 
-  /** The landed signature frame (id, m0..m{numPerms-1}): the stored `sig`
-    * column when present (narrow scan; null-sig rows are shingle-less docs
-    * and correctly absent), else recomputed from the landed text.
+  /** The landed signature frame (id, m0..m{numPerms-1}), covering EVERY
+    * landed row with shingles whatever wrote it: stored signatures read
+    * narrow; rows stored WITHOUT one (exact-path appends, pre-storage
+    * segments, foreign writers — stored sig IS NULL) recompute from their
+    * text (same per-segment row-group pruning argument as [[landedFps]]).
+    * Genuinely shingle-less docs are stored as EMPTY arrays by the near
+    * writer — distinguishable from "no signature written" — and correctly
+    * excluded, matching [[Dedup.minhashSignatureFrame]]'s row set.
     */
   private[streaming] def landedSigFrame(corpus: Pool, idCol: String,
       textCol: String, n: Int, numPerms: Int): DataFrame = {
     val env = corpus.read()
-    if (env.columns.contains("sig"))
-      Dedup.signatureFrameFromStored(
-        env.select(col(s"value.$idCol").as("id"), col("sig")),
-        "id", "sig", numPerms)
-    else
+    if (!env.columns.contains("sig"))
       Dedup.minhashSignatureFrame(
         env.select(col("value.*")), idCol, textCol, n, numPerms)
+    else Dedup.signatureFrameFromStored(
+        env.filter(col("sig").isNotNull)
+          .select(col(s"value.$idCol").as("id"), col("sig")),
+        "id", "sig", numPerms)
+      .unionByName(Dedup.minhashSignatureFrame(
+        env.filter(col("sig").isNull).select(col("value.*")),
+        idCol, textCol, n, numPerms))
   }
 
   /** Step 1 of both ingest paths: within-batch exact dedup, deterministic
@@ -216,8 +234,13 @@ object CorpusIngest {
               .getOrElse(Dedup.minhashSignatureFrame(sorted, idCol, textCol, n, p))
               .select(col("id").as("_sig_id"),
                 array((0 until p).map(i => col(s"m$i")): _*).as("_sig"))
+            // shingle-less docs store an EMPTY array, not null: null on a
+            // near pool means "no signature was written" (exact-path or
+            // foreign append) and tells landedSigFrame to recompute — the
+            // two cases must stay distinguishable
             assigned.join(sigF, col(idCol) === col("_sig_id"), "left")
-              .select(envCols :+ col("_sig").as("sig"): _*)
+              .select(envCols :+
+                coalesce(col("_sig"), array().cast("array<string>")).as("sig"): _*)
         }
         corpus.append(env, knownRows = Some(appended))
       }
@@ -273,11 +296,14 @@ object CorpusIngest {
   * `mergeInPlace` of each appended batch's fingerprints — so steady-state
   * batches never rebuild a corpus-sized sketch (SCALING.md's prescription;
   * the per-batch sketch cost drops from O(corpus) to O(batch)). The
-  * filter only PRUNES: the exact verify still decides against the landed
-  * fp column, so a stale filter (another writer, a restarted session)
-  * costs extra verify work, never correctness — provided every appended
-  * row carries its fingerprint, i.e. the pool is fed exclusively through
-  * CorpusIngest paths (one ingestor per pool, the single-writer rule).
+  * filter decides ONE thing: rows it has never seen skip the verify.
+  * That shortcut is sound iff the filter is a SUPERSET of the landed
+  * fingerprints — guaranteed by the seed (which covers every landed row,
+  * stored fp or text-derived) plus the per-append merges. A concurrent
+  * writer appending MID-SESSION breaks the superset (its rows' dups
+  * would skip the verify) — the one-ingestor-per-pool rule is therefore
+  * load-bearing here, not just a concurrency convention; a fresh session
+  * re-seeds from the pool and is correct against anything already landed.
   *
   * The session also caches the pool's NEXT OFFSET (seeded once via
   * `nextOffset`, advanced locally per append) — exact under the same

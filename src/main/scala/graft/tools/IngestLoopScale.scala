@@ -64,7 +64,9 @@ object IngestLoopScale {
     println(s"""{"seeded":$nSeed}""")
 
     (1 to batches).foreach { i =>
-      val novel = i < batches // last batch replays the previous one (pure dups)
+      // last batch replays the previous one (pure dups) — unless it would
+      // be the ONLY batch, in which case there is nothing landed to replay
+      val novel = i < batches || batches == 1
       val b = (if (novel) slice(seedCopies + i) else slice(seedCopies + batches - 1)).persist()
       val nb = b.count()
       val (a0, bytes0, sec0) = measure(CorpusIngest.ingestBatch(b, statelessPool, "doc_id", "text"))

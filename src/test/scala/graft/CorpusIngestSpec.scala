@@ -105,9 +105,47 @@ class CorpusIngestSpec extends AnyFunSuite {
       docs(1L -> "one two three four five six seven", 2L -> "hi"),
       near, "doc_id", "text")
     val rows = near.read().select(col("value.doc_id"), col("fp"), col("sig")).collect()
-      .map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
-    assert(rows(1L) == (false, false), "long doc stores fp + signature")
-    assert(rows(2L) == (false, true), "shingle-less doc stores fp, null signature")
+      .map(r => r.getLong(0) ->
+        (r.isNullAt(1), if (r.isNullAt(2)) -1 else r.getSeq[String](2).size)).toMap
+    assert(rows(1L) == (false, 16), "long doc stores fp + full signature")
+    // EMPTY, not null: null means "no signature written" (exact-path /
+    // foreign append) and triggers the landed-side recompute fallback
+    assert(rows(2L) == (false, 0), "shingle-less doc stores fp + EMPTY signature")
+  }
+
+  test("mixed provenance: foreign and exact-path rows still gate exact and near dedup") {
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-mix").toString)
+    val base = "the quick brown fox jumps over the lazy dog near the old " +
+      "stone bridge at dawn every single morning"
+    // 1. FOREIGN append (no fp/sig columns at all — a pre-storage segment)
+    val foreign = docs(1L -> base, 2L -> "plain old row")
+      .select(
+        org.apache.spark.sql.functions.struct(
+          lit("corpus").as("topic"), lit(0L).as("partition"),
+          col("doc_id").as("offset")).as("kafka"),
+        lit(null).cast("string").as("key"),
+        org.apache.spark.sql.functions.struct(col("doc_id"), col("text")).as("value"),
+        lit("record").as("_kind"))
+    corpus.append(foreign)
+    // 2. EXACT-path append (fp, no sig)
+    assert(CorpusIngest.ingestBatch(docs(3L -> "exact era doc with many words here"),
+      corpus, "doc_id", "text") == 1)
+    // 3. replays of BOTH eras through the near path drop (exact gate must
+    //    see text-derived fps for rows that never stored one)
+    assert(CorpusIngest.ingestBatchNear(
+      docs(10L -> base, 11L -> "plain old row",
+        12L -> "exact era doc with many words here"), corpus, "doc_id", "text") == 0)
+    // 4. near-dups of foreign-era AND exact-era rows drop (near gate must
+    //    recompute signatures for rows that never stored one)
+    assert(CorpusIngest.ingestBatchNear(
+      docs(20L -> ("note " + base),
+        21L -> "exact era doc with many words here today"),
+      corpus, "doc_id", "text") == 0)
+    // 5. a fresh SESSION over the mixed pool is equally exact
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", near = true)
+    assert(session.ingest(docs(30L -> base, 31L -> "genuinely new content entirely")) == 1)
+    assert(corpus.read().filter(col("value.doc_id") === 31L).count() == 1)
   }
 
   test("session retains the Bloom across batches; results match the stateless path") {
