@@ -89,6 +89,37 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       .parquet(segs.map(s => root.resolve(s).toString): _*)
   }
 
+  // per-segment footer schemas (driver metadata reads), cached — segments
+  // are immutable once committed, so entries never invalidate
+  private val segSchemas =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+  private def segmentSchema(seg: String): org.apache.spark.sql.types.StructType =
+    segSchemas.getOrElseUpdate(seg,
+      spark.read.parquet(root.resolve(seg).toString).schema)
+
+  /** Split the committed segments by a FOOTER-schema predicate and read
+    * each group as its own scan (group-merged superset schema). A segment
+    * is one atomic append, so schema-level provenance (does this segment
+    * carry a stored `fp`/`sig` column?) is exact per segment — readers
+    * that derive a missing column differently per era route here instead
+    * of filtering a unioned scan, so neither group lists or schedules the
+    * other's files at all. `None` when a group is empty.
+    */
+  def readPartitionedBySchema(p: org.apache.spark.sql.types.StructType => Boolean)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val segs = committedSegments()
+    require(segs.nonEmpty, s"pool $root is empty")
+    val (yes, no) = segs.partition(s => p(segmentSchema(s)))
+    def rd(g: Seq[String]): Option[DataFrame] =
+      if (g.isEmpty) None
+      // group superset schema merged DRIVER-side from the cached footers —
+      // option("mergeSchema") would run a (small) distributed merge job on
+      // every call, a per-micro-batch tax in ingest loops
+      else Some(spark.read.schema(SchemaUnion.merge(g.map(segmentSchema)))
+        .parquet(g.map(s => root.resolve(s).toString): _*))
+    (rd(yes), rd(no))
+  }
+
   /** Read, or an empty DataFrame of `schema` when the pool has no commits. */
   def readOr(schema: org.apache.spark.sql.types.StructType): DataFrame =
     if (isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -130,46 +130,42 @@ object CorpusIngest {
       idCol, textCol, n, numPerms, bands, threshold)
 
   /** The landed exact-gate fingerprints, one `_fp` column — EVERY landed
-    * row is covered whatever wrote it: rows with a stored `fp` contribute
-    * it directly (narrow scan), rows without one (pre-storage segments, a
-    * foreign `Pool.append`) fall back to md5 of their text. The two
-    * branches are separate scans with complementary null filters, so
-    * parquet row-group stats prune each branch to ITS segments: a pool fed
-    * exclusively through CorpusIngest never reads text here, and a mixed
-    * pool degrades per-segment, not per-pool — correctness (the replay-
-    * idempotence contract) never depends on provenance.
+    * row is covered whatever wrote it: segments whose footer schema
+    * carries the stored `fp` contribute it directly (narrow scan);
+    * segments without one (pre-storage eras, a foreign `Pool.append`)
+    * fall back to md5 of their text. Routing is by PER-SEGMENT schema
+    * ([[Pool.readPartitionedBySchema]] — a segment is one atomic append,
+    * so provenance is exact at segment granularity and neither group
+    * lists the other's files): a pool fed exclusively through
+    * CorpusIngest never reads landed text here, a mixed pool pays the
+    * text derivation only for its legacy segments, and correctness (the
+    * replay-idempotence contract) never depends on provenance.
     */
   private[streaming] def landedFps(corpus: Pool, textCol: String): DataFrame = {
-    val env = corpus.read()
-    if (!env.columns.contains("fp"))
-      env.select(md5(col(s"value.$textCol")).as("_fp"))
-    else env.filter(col("fp").isNotNull).select(col("fp").as("_fp"))
-      .unionByName(env.filter(col("fp").isNull)
-        .select(md5(col(s"value.$textCol")).as("_fp")))
+    val (withFp, rest) = corpus.readPartitionedBySchema(_.fieldNames.contains("fp"))
+    val stored = withFp.map(_.select(col("fp").as("_fp")))
+    val derived = rest.map(_.select(md5(col(s"value.$textCol")).as("_fp")))
+    (stored ++ derived).reduce(_ unionByName _)
   }
 
   /** The landed signature frame (id, m0..m{numPerms-1}), covering EVERY
-    * landed row with shingles whatever wrote it: stored signatures read
-    * narrow; rows stored WITHOUT one (exact-path appends, pre-storage
-    * segments, foreign writers — stored sig IS NULL) recompute from their
-    * text (same per-segment row-group pruning argument as [[landedFps]]).
+    * landed row with shingles whatever wrote it: sig-bearing segments
+    * read narrow; segments written WITHOUT signatures (exact-path
+    * appends, pre-storage eras, foreign writers) recompute from their
+    * text — the same per-segment schema routing as [[landedFps]].
     * Genuinely shingle-less docs are stored as EMPTY arrays by the near
     * writer — distinguishable from "no signature written" — and correctly
     * excluded, matching [[Dedup.minhashSignatureFrame]]'s row set.
     */
   private[streaming] def landedSigFrame(corpus: Pool, idCol: String,
       textCol: String, n: Int, numPerms: Int): DataFrame = {
-    val env = corpus.read()
-    if (!env.columns.contains("sig"))
-      Dedup.minhashSignatureFrame(
-        env.select(col("value.*")), idCol, textCol, n, numPerms)
-    else Dedup.signatureFrameFromStored(
-        env.filter(col("sig").isNotNull)
-          .select(col(s"value.$idCol").as("id"), col("sig")),
-        "id", "sig", numPerms)
-      .unionByName(Dedup.minhashSignatureFrame(
-        env.filter(col("sig").isNull).select(col("value.*")),
-        idCol, textCol, n, numPerms))
+    val (withSig, rest) = corpus.readPartitionedBySchema(_.fieldNames.contains("sig"))
+    val stored = withSig.map(env => Dedup.signatureFrameFromStored(
+      env.select(col(s"value.$idCol").as("id"), col("sig")),
+      "id", "sig", numPerms))
+    val derived = rest.map(env => Dedup.minhashSignatureFrame(
+      env.select(col("value.*")), idCol, textCol, n, numPerms))
+    (stored ++ derived).reduce(_ unionByName _)
   }
 
   /** Step 1 of both ingest paths: within-batch exact dedup, deterministic
