@@ -211,10 +211,23 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     *
     * @return number of segments compacted away (0 = nothing to do).
     */
-  def compact(): Int = {
+  def compact(): Int =
+    if (committedSegments().length <= 1) 0 else compactWith(identity)
+
+  /** As [[compact]] with a row-preserving transform applied during the
+    * rewrite — the hook ingest layers use to BACKFILL derived columns
+    * (stored fingerprints/signatures) while the pool is being rewritten
+    * anyway, so a mixed-era pool comes out of compaction fully stored
+    * instead of carrying nulls in its stored columns. The transform must
+    * keep the kafka envelope intact (the pool-key invariant is
+    * re-validated). Unlike [[compact]], runs even for a single segment
+    * (the transform may be the point).
+    */
+  def compactWith(transform: DataFrame => DataFrame): Int = {
     val segs = committedSegments()
-    if (segs.length <= 1) return 0
-    val data = read()
+    if (segs.isEmpty) return 0
+    val data = transform(read())
+    require(hasKafkaOffset(data), ErrBadPoolKey)
     val seg = f"compact-${System.nanoTime()}%x"
     data
       .repartitionByRange(col("kafka.topic"), col("kafka.offset"))

@@ -143,7 +143,16 @@ object CorpusIngest {
     */
   private[streaming] def landedFps(corpus: Pool, textCol: String): DataFrame = {
     val (withFp, rest) = corpus.readPartitionedBySchema(_.fieldNames.contains("fp"))
-    val stored = withFp.map(_.select(col("fp").as("_fp")))
+    // a null fp INSIDE an fp-bearing segment means a mixed-era pool went
+    // through raw Pool.compact() (which merges eras into one superset-
+    // schema segment) — fail fast naming the repair; silently trusting it
+    // would let duplicates of the null-fp rows re-land
+    val stored = withFp.map(_.select(
+      when(col("fp").isNotNull, col("fp"))
+        .otherwise(raise_error(lit(
+          "null stored fingerprint in an fp-bearing segment — a mixed-era " +
+            "pool was compacted without backfill; run CorpusIngest.compactPool")))
+        .as("_fp")))
     val derived = rest.map(_.select(md5(col(s"value.$textCol")).as("_fp")))
     (stored ++ derived).reduce(_ unionByName _)
   }
@@ -160,13 +169,47 @@ object CorpusIngest {
   private[streaming] def landedSigFrame(corpus: Pool, idCol: String,
       textCol: String, n: Int, numPerms: Int): DataFrame = {
     val (withSig, rest) = corpus.readPartitionedBySchema(_.fieldNames.contains("sig"))
+    // null sig inside a sig-bearing segment = un-backfilled raw compaction
+    // of a mixed-era pool (the landedFps guard's argument) — fail fast
     val stored = withSig.map(env => Dedup.signatureFrameFromStored(
-      env.select(col(s"value.$idCol").as("id"), col("sig")),
+      env.select(col(s"value.$idCol").as("id"),
+        when(col("sig").isNotNull, col("sig"))
+          .otherwise(raise_error(lit(
+            "null stored signature in a sig-bearing segment — a mixed-era " +
+              "pool was compacted without backfill; run CorpusIngest.compactPool")))
+          .as("sig")),
       "id", "sig", numPerms))
     val derived = rest.map(env => Dedup.minhashSignatureFrame(
       env.select(col("value.*")), idCol, textCol, n, numPerms))
     (stored ++ derived).reduce(_ unionByName _)
   }
+
+  /** Compact the pool with STORED-COLUMN BACKFILL: every row of the single
+    * rewritten segment carries its content fingerprint, and (when
+    * `sigParams` is set) its minhash signature — so a pool of any mixed
+    * provenance (pre-storage eras, exact-path appends, foreign rows)
+    * comes out fully stored and the gates' narrow scans cover everything.
+    * This is what the session's `compactEvery` runs; raw [[Pool.compact]]
+    * on a MIXED pool instead produces nulls inside stored columns, which
+    * the gates reject loudly. Returns the number of segments compacted.
+    */
+  def compactPool(corpus: Pool, idCol: String, textCol: String,
+      sigParams: Option[(Int, Int)] = None): Int =
+    corpus.compactWith { env =>
+      val withFp = env.withColumn("fp",
+        if (env.columns.contains("fp"))
+          coalesce(col("fp"), md5(col(s"value.$textCol")))
+        else md5(col(s"value.$textCol")))
+      sigParams match {
+        case None => withFp
+        case Some((n, p)) =>
+          val sigExpr = Dedup.storedSignatureColumn(col(s"value.$textCol"), n, p)
+          val filled = coalesce(
+            if (env.columns.contains("sig")) coalesce(col("sig"), sigExpr) else sigExpr,
+            array().cast("array<string>"))
+          withFp.withColumn("sig", filled)
+      }
+    }
 
   /** Step 1 of both ingest paths: within-batch exact dedup, deterministic
     * survivor (lowest id per content fingerprint). Null-text documents have
@@ -373,7 +416,9 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
     if (compactEvery > 0 && appended > 0) {
       appendsSinceCompact += 1
       if (appendsSinceCompact >= compactEvery) {
-        corpus.compact()
+        // backfilling compaction: stored columns stay total across eras
+        CorpusIngest.compactPool(corpus, idCol, textCol,
+          if (near) Some((n, numPerms)) else None)
         appendsSinceCompact = 0
       }
     }

@@ -146,6 +146,26 @@ class CorpusIngestSpec extends AnyFunSuite {
       corpus, "doc_id", "text", near = true)
     assert(session.ingest(docs(30L -> base, 31L -> "genuinely new content entirely")) == 1)
     assert(corpus.read().filter(col("value.doc_id") === 31L).count() == 1)
+
+    // 6. RAW compaction of a mixed pool folds the eras into one segment
+    //    whose stored columns carry nulls — the gates must REJECT that
+    //    loudly instead of silently re-landing duplicates
+    assert(corpus.compact() > 0)
+    val ex = intercept[Exception] {
+      CorpusIngest.ingestBatchNear(docs(40L -> base), corpus, "doc_id", "text")
+    }
+    assert(ex.getMessage != null)
+
+    // 7. the BACKFILLING compaction repairs it: every row gains fp + sig
+    //    and the gates work again, still exactly
+    assert(CorpusIngest.compactPool(corpus, "doc_id", "text",
+      sigParams = Some((3, 16))) > 0)
+    assert(corpus.read().filter(col("fp").isNull || col("sig").isNull).count() == 0)
+    assert(CorpusIngest.ingestBatchNear(
+      docs(41L -> base, 42L -> ("note " + base)), corpus, "doc_id", "text") == 0)
+    assert(CorpusIngest.ingestBatchNear(
+      docs(43L -> "after compaction this brand new doc still lands"),
+      corpus, "doc_id", "text") == 1)
   }
 
   test("session retains the Bloom across batches; results match the stateless path") {
