@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** A PERSISTED IVF index — the production build-once / probe-many split of
   * [[Similarity.ivfTopK]] (which trains/assigns per call):
@@ -99,6 +100,64 @@ object SimilarityIndex {
   def loadIvfPq(spark: SparkSession, path: String, idCol: String,
       vecCol: String): IvfPqIndex = new IvfPqIndex(spark, path, idCol, vecCol)
 
+  /** Shared targeted delete over a `centroid_id`-partitioned corpus
+    * table (takedown / right-to-be-forgotten for a persisted ANN index):
+    * locate the cells holding `ids` with one narrow (id, centroid_id)
+    * scan probed by the broadcast id list, rewrite ONLY those cell
+    * partitions without the ids (dynamic partition overwrite — untouched
+    * cells' files are never listed, read, or rewritten), and remove the
+    * directories of cells whose rows were all deleted. At 100 TB with
+    * K = 4096 cells, deleting a takedown list touches the handful of
+    * cells its members assigned to; the other ~4090 cells' files stay
+    * byte-identical. The table is a DERIVED artifact (rebuildable from
+    * the corpus), so the rewrite is not manifest-transactional like a
+    * [[graft.pool.Pool]] commit; a crash mid-delete is repaired by
+    * re-running the delete (idempotent) or rebuilding the index.
+    *
+    * @return number of index rows deleted.
+    */
+  private def deleteFromCellTable(tablePath: String, table: DataFrame,
+      idCol: String, ids: DataFrame): Long = {
+    val idList = ids.select(col(idCol)).distinct()
+      .localCheckpoint(true) // takedown-list-scale; consumed by two jobs
+    try {
+      val byCell = table.select(col(idCol), col("centroid_id"))
+        .join(broadcast(idList), Seq(idCol))
+        .groupBy("centroid_id").count().collect()
+      if (byCell.isEmpty) return 0L
+      val cells = byCell.map(_.get(0)).toSeq
+      val deleted = byCell.map(_.getLong(1)).sum
+      // sever lineage from tablePath before the overwrite (Spark refuses
+      // to overwrite a path its plan reads); materialized size is the
+      // surviving rows of the affected cells — exactly the data being
+      // rewritten anyway
+      val survivors = table
+        .filter(col("centroid_id").isin(cells: _*))
+        .join(broadcast(idList), Seq(idCol), "left_anti")
+        .localCheckpoint(true)
+      try {
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("centroid_id")
+          .parquet(tablePath)
+        // a fully-deleted cell is absent from the overwrite output, so
+        // dynamic overwrite leaves its old files — drop the dir explicitly
+        val live = survivors.select(col("centroid_id")).distinct()
+          .collect().map(_.get(0)).toSet
+        cells.filterNot(live).foreach { c =>
+          val dir = java.nio.file.Paths.get(tablePath, s"centroid_id=$c")
+          if (java.nio.file.Files.exists(dir)) {
+            val walk = java.nio.file.Files.walk(dir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+            finally walk.close()
+          }
+        }
+        deleted
+      } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(survivors)
+    } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(idList)
+  }
+
   final class IvfPqIndex private[SimilarityIndex] (spark: SparkSession,
       path: String, idCol: String, vecCol: String) {
     val centroids: DataFrame = spark.read.parquet(s"$path/centroids")
@@ -114,6 +173,13 @@ object SimilarityIndex {
     def topK(queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame =
       Similarity.ivfPqTopKPreassigned(encoded, queries, centroids, codebook,
         idCol, vecCol, k, nprobe)
+
+    /** Targeted delete of the given ids (one `idCol` column) from the
+      * encoded table — only the cells holding them are rewritten
+      * ([[deleteFromCellTable]]). Returns rows deleted.
+      */
+    def delete(ids: DataFrame): Long =
+      deleteFromCellTable(s"$path/encoded", encoded, idCol, ids)
   }
 
   final class IvfIndex private[SimilarityIndex] (spark: SparkSession,
@@ -145,5 +211,12 @@ object SimilarityIndex {
           idCol, vecCol)
         .write.mode("append").partitionBy("centroid_id")
         .parquet(s"$path/assigned")
+
+    /** Targeted delete of the given ids (one `idCol` column) from the
+      * assigned table — only the cells holding them are rewritten
+      * ([[deleteFromCellTable]]). Returns rows deleted.
+      */
+    def delete(ids: DataFrame): Long =
+      deleteFromCellTable(s"$path/assigned", assigned, idCol, ids)
   }
 }

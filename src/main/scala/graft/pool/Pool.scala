@@ -237,6 +237,82 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     segs.length
   }
 
+  /** Targeted delete (takedown / right-to-be-forgotten): remove every row
+    * matching `pred` by rewriting ONLY the segments that contain matches.
+    * Untouched segments' files are never read past their footers, never
+    * rewritten, and keep their paths — at 100 TB a delete of one document
+    * costs one stats-pruned scan plus the rewrite of the handful of
+    * segments (row groups pruned by min/max stats elsewhere) that hold it,
+    * not a full-table rewrite.
+    *
+    * Two passes:
+    *   1. one predicate-pushed scan over the committed segments counts
+    *      matches PER SEGMENT (`input_file_name`-derived; the collected
+    *      result is ≤ #segments rows — metadata-scale). Segments whose
+    *      row-group stats exclude the predicate are footer-only reads.
+    *   2. the affected segments, GROUPED BY their footer schema so
+    *      provenance eras (stored `fp`/`sig` columns vs legacy shapes)
+    *      are never merged into one superset segment — the invariant raw
+    *      [[compact]] violates and [[readPartitionedBySchema]] relies
+    *      on — are rewritten without the matching rows, sorted like any
+    *      commit. A group whose rows are all deleted vanishes from the
+    *      manifest instead of leaving an empty segment.
+    *
+    * The manifest swap at the end is the single atomic commit point; old
+    * segment dirs stay on disk for [[vacuum]], so readers draining the
+    * prior manifest are undisturbed (the compaction discipline).
+    *
+    * Null predicate results keep the row (SQL DELETE semantics: only
+    * rows where `pred` is TRUE are removed). The predicate must resolve
+    * against each affected segment's schema extended by the pool's other
+    * top-level columns (absent ones read as null); a predicate reaching
+    * into a struct field that an affected segment's era lacks fails
+    * loudly at rewrite rather than guessing.
+    *
+    * @return number of rows deleted.
+    */
+  def deleteWhere(pred: org.apache.spark.sql.Column): Long = {
+    val segs = committedSegments()
+    if (segs.isEmpty) return 0L
+    val merged = mergedSchema(segs)
+    val matchCol = coalesce(pred, lit(false))
+    val bySeg = spark.read.schema(merged)
+      .parquet(segs.map(s => root.resolve(s).toString): _*)
+      .filter(matchCol)
+      .groupBy(element_at(split(input_file_name(), "/"), -2).as("_seg"))
+      .count()
+      .collect()
+    if (bySeg.isEmpty) return 0L
+    val deleted = bySeg.map(_.getLong(1)).sum
+    val affected = bySeg.map(_.getString(0)).toSet
+    val groups = segs.filter(affected).groupBy(segmentSchema)
+    val newSegs = groups.toSeq.flatMap { case (groupSchema, group) =>
+      // scan with the group's OWN shape (nested structs keep their era
+      // schema — no null bleed into rewritten footers) extended by the
+      // pool's other top-level columns so the predicate still resolves
+      val missingTop = merged.fields.filterNot(f =>
+        groupSchema.fieldNames.contains(f.name))
+      val scanSchema = org.apache.spark.sql.types.StructType(
+        groupSchema.fields ++ missingTop)
+      val keep = spark.read.schema(scanSchema)
+        .parquet(group.map(s => root.resolve(s).toString): _*)
+        .filter(!matchCol)
+        .select(groupSchema.fieldNames.map(col).toSeq: _*)
+      val seg = f"delete-${System.nanoTime()}%x"
+      keep
+        .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
+        .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+        .write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(seg).toString)
+      // fully-deleted group: metadata-count the rewrite, drop it if empty
+      if (spark.read.parquet(root.resolve(seg).toString).count() == 0L) None
+      else Some(seg)
+    }
+    synchronized {
+      replaceManifest(committedSegments().filterNot(affected) ++ newSegs)
+    }
+    deleted
+  }
+
   /** Delete segment directories no longer referenced by the manifest —
     * compaction leftovers and crashed-writer partials. Safe under the
     * pool's single-writer constraint when invoked by that writer (readers

@@ -129,6 +129,36 @@ object CorpusIngest {
       landedSigFrame(corpus, idCol, textCol, n, numPerms),
       idCol, textCol, n, numPerms, bands, threshold)
 
+  /** End-to-end near-dup TAKEDOWN (DMCA list, licensed corpus, opt-out
+    * request): find every landed document matching a query document at
+    * signature-estimated Jaccard ≥ `threshold`
+    * ([[nearDuplicatesInPool]] — the stored-sig probe, landed text never
+    * read), then DELETE those documents from the pool via
+    * [[graft.pool.Pool.deleteWhere]] — only the segments holding matches
+    * are rewritten, per provenance era. The matched id list is collected
+    * driver-side: it is bounded by (takedown list × near-copies each),
+    * takedown-scale by contract, never corpus-scale.
+    *
+    * Idempotent (a second run matches nothing) and composes with a live
+    * [[CorpusIngestSession]]: the session's retained Bloom may still
+    * contain the deleted fingerprints, but the sketch only PRUNES — the
+    * exact verify consults the pool itself, so a deleted document
+    * re-ingests cleanly afterwards (spec-pinned).
+    *
+    * @return (distinct landed documents matched, pool rows deleted) —
+    *   equal unless a match was already gone.
+    */
+  def takedownNear(queries: DataFrame, corpus: Pool, idCol: String,
+      textCol: String, n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): (Long, Long) = {
+    val matched = nearDuplicatesInPool(queries, corpus, idCol, textCol,
+        n, numPerms, bands, threshold)
+      .select(col("d2")).distinct().collect().map(_.get(0)).toSeq
+    if (matched.isEmpty) (0L, 0L)
+    else (matched.size.toLong,
+      corpus.deleteWhere(col(s"value.$idCol").isin(matched: _*)))
+  }
+
   /** The landed exact-gate fingerprints, one `_fp` column — EVERY landed
     * row is covered whatever wrote it: segments whose footer schema
     * carries the stored `fp` contribute it directly (narrow scan);

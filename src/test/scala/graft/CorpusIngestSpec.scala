@@ -230,6 +230,40 @@ class CorpusIngestSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet == Set(1L, 11L))
   }
 
+  test("takedownNear deletes near-copies from the pool; the doc can re-land after") {
+    val corpus = Pool.create(spark, Files.createTempDirectory("corpus-td").toString)
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", near = true)
+    val base = "the quick brown fox jumps over the lazy dog near the old " +
+      "stone bridge at dawn every single morning"
+    val other = "completely different words about some other topic entirely " +
+      "nothing shared with the licensed material at all"
+    assert(session.ingest(docs(1L -> base, 2L -> other)) == 2)
+
+    // takedown list: a near-copy of the landed base (not byte-identical)
+    val claim = docs(900L -> ("prefix " + base))
+    val (matched, deleted) = CorpusIngest.takedownNear(claim, corpus, "doc_id", "text")
+    assert(matched == 1L && deleted == 1L)
+    assert(corpus.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(2L), "only the matched doc is deleted")
+    // idempotent: nothing left to match
+    assert(CorpusIngest.takedownNear(claim, corpus, "doc_id", "text") == ((0L, 0L)))
+    // no-match takedown touches nothing
+    assert(CorpusIngest.takedownNear(
+      docs(901L -> "unrelated takedown claim text entirely absent"),
+      corpus, "doc_id", "text") == ((0L, 0L)))
+
+    // the live session's retained Bloom still contains the deleted fp —
+    // but the sketch only prunes: the exact verify consults the POOL, so
+    // the document re-lands cleanly after the takedown
+    assert(session.ingest(docs(50L -> base)) == 1)
+    assert(corpus.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 50L))
+    // and the re-landed copy is findable again
+    assert(CorpusIngest.nearDuplicatesInPool(claim, corpus, "doc_id", "text")
+      .collect().map(_.getLong(1)).toSeq == Seq(50L))
+  }
+
   test("session offset cache and auto-compaction keep contents and offsets exact") {
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus-oc").toString)
     // compactEvery = 2: after batches 1+2 the pool compacts to ONE segment;

@@ -538,6 +538,39 @@ class OpsSpec extends AnyFunSuite {
       StructType.fromDDL("vec_id bigint, v array<double>"))
     idx.append(extra)
     assert(idxTop1(1) == Seq(3L), "appended vector must be probed")
+
+    // targeted delete: only the cells holding the ids are rewritten; the
+    // deleted vector stops being a neighbor, the rest still answer
+    val cellBDir = java.nio.file.Paths.get(path, "assigned")
+    val untouched = java.nio.file.Files.list(cellBDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("centroid_id="))
+      .map(p => p.getFileName.toString ->
+        java.nio.file.Files.list(p).iterator().asScala
+          .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
+          .toMap)
+      .toMap
+    val delIds = spark.createDataFrame(Seq(Row(3L)).asJava,
+      StructType.fromDDL("vec_id bigint"))
+    assert(idx.delete(delIds) == 1L)
+    assert(idxTop1(1) == Seq(1L), "deleted vector must not be retrieved")
+    assert(idxTop1(2) == Seq(2L))
+    // vec 3 lived in cell A (centroid 100); cell B (101) must be untouched
+    val afterB = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "assigned", "centroid_id=101"))
+      .iterator().asScala
+      .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
+      .toMap
+    assert(afterB == untouched("centroid_id=101"),
+      "cells not holding a deleted id must keep their files byte-identical")
+    assert(idx.delete(delIds) == 0L, "delete is idempotent")
+    // deleting every row of a cell removes its partition directory
+    val delCellB = spark.createDataFrame(Seq(Row(2L)).asJava,
+      StructType.fromDDL("vec_id bigint"))
+    assert(idx.delete(delCellB) == 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "assigned", "centroid_id=101")),
+      "a fully-deleted cell's partition dir must be removed")
+    assert(idxTop1(2) == Seq(1L))
   }
 
   test("asof join picks the latest right row at-or-before each left ts") {

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 import graft.pool.{Envelope, Pool}
 
 class PoolSpec extends AnyFunSuite {
@@ -52,6 +53,100 @@ class PoolSpec extends AnyFunSuite {
     assert(p.vacuum() == 2) // the two pre-compaction segments
     assert(p.vacuum() == 0)
     assert(p.read().count() == n)
+    env.unpersist()
+  }
+
+  test("deleteWhere removes only matching rows and never rewrites clean segments") {
+    val dir = Files.createTempDirectory("pool")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    val total = env.count()
+    val segsBefore = p.committedSegments()
+    def files(seg: String) = {
+      val ls = Files.list(dir.resolve(seg))
+      try ls.iterator().asScala
+        .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f)).toMap
+      finally ls.close()
+    }
+    val cleanSegFiles = files(segsBefore(1)) // only segment 1 holds matches
+    val pred = col("kafka.offset") < 600 && col("value.user_id") % 5 === 0
+    val expected = env.filter(
+      col("kafka.offset") < 600 && col("value.user_id") % 5 === 0).count()
+    assert(expected > 0)
+    assert(p.deleteWhere(pred) == expected)
+    assert(p.read().count() == total - expected)
+    assert(p.read().filter(pred).count() == 0)
+    val segsAfter = p.committedSegments()
+    assert(segsAfter.contains(segsBefore(1)), "clean segment stays committed")
+    assert(!segsAfter.contains(segsBefore(0)), "affected segment is replaced")
+    assert(segsAfter.exists(_.startsWith("delete-")))
+    assert(files(segsBefore(1)) == cleanSegFiles,
+      "a segment without matches must keep its files byte-identical")
+    // zero-match delete is a no-op: same manifest, nothing rewritten
+    assert(p.deleteWhere(col("kafka.offset") === -99L) == 0L)
+    assert(p.committedSegments() == segsAfter)
+    // old segment dir is vacuum's business, not deleteWhere's
+    assert(Files.exists(dir.resolve(segsBefore(0))))
+    assert(p.vacuum() >= 1)
+    assert(!Files.exists(dir.resolve(segsBefore(0))))
+    assert(p.read().count() == total - expected)
+    env.unpersist()
+  }
+
+  test("deleteWhere keeps rows where the predicate is null (SQL DELETE semantics)") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val env = envelopes()
+      .withColumn("flag", when(col("kafka.offset") % 2 === 0, lit(1)))
+      .persist()
+    p.append(env)
+    val evens = env.filter(col("kafka.offset") % 2 === 0).count()
+    val odds = env.count() - evens
+    // flag is 1 on evens, NULL on odds: `flag = 1` is null on odds → kept
+    assert(p.deleteWhere(col("flag") === 1) == evens)
+    assert(p.read().count() == odds)
+    env.unpersist()
+  }
+
+  test("deleteWhere drops a segment whose rows are all deleted") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 100))
+    p.append(env.filter(col("kafka.offset") >= 100))
+    val low = env.filter(col("kafka.offset") < 100).count()
+    assert(p.deleteWhere(col("kafka.offset") < 100) == low)
+    val segs = p.committedSegments()
+    assert(segs.length == 1 && !segs.head.startsWith("delete-"),
+      "a fully-deleted segment vanishes instead of leaving an empty rewrite")
+    assert(p.read().count() == env.count() - low)
+    env.unpersist()
+  }
+
+  test("deleteWhere rewrites provenance eras separately, keeping footer schemas") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
+    val env = envelopes().persist()
+    // era 1: legacy shape; era 2: carries a stored top-level fp column
+    p.append(env.filter(col("kafka.offset") < 500))
+    p.append(env.filter(col("kafka.offset") >= 500)
+      .withColumn("fp", md5(col("value.user_id").cast("string"))))
+    val hits = env.filter(col("value.user_id") % 3 === 0).count()
+    assert(p.deleteWhere(col("value.user_id") % 3 === 0) == hits)
+    // both eras had matches → both rewritten, each keeping its own shape
+    val (withFp, without) = p.readPartitionedBySchema(_.fieldNames.contains("fp"))
+    assert(withFp.isDefined && without.isDefined,
+      "era routing must survive the rewrite — eras are never merged")
+    assert(!without.get.columns.contains("fp"),
+      "the legacy era's rewritten footer must not grow a null fp column")
+    assert(withFp.get.filter(col("fp").isNull).count() == 0)
+    assert(p.read().count() == env.count() - hits)
+    // a predicate on the era-specific column: null on the legacy era by
+    // extension, so `fp IS NULL` deletes exactly the legacy rows
+    val legacyLeft = without.get.count()
+    assert(p.deleteWhere(col("fp").isNull) == legacyLeft)
+    val (w2, wo2) = p.readPartitionedBySchema(_.fieldNames.contains("fp"))
+    assert(wo2.isEmpty, "legacy era fully deleted")
+    assert(w2.get.count() == env.count() - hits - legacyLeft)
     env.unpersist()
   }
 
