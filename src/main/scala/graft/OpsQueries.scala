@@ -403,6 +403,55 @@ object OpsQueries {
              |  GROUP BY 1, 2)
              |WHERE est >= 0.5""".stripMargin)),
 
+    // near-dup TAKEDOWN end-to-end: a claim list (near-copies + verbatim
+    // replicas of landed docs) is probed against the pool's signatures,
+    // and every matched landed doc is DELETED via the targeted segment
+    // rewrite; the surviving pool contents must equal the corpus minus
+    // the independently-recomputed banded-probe match set. The pool here
+    // is a LEGACY one (plain Pool.append, no stored sig column) so the
+    // probe's text-derivation fallback is what gets exercised.
+    "dedup_takedown_pool" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+        val corpus = graft.pool.Pool.create(s, TempDirs.create("graft-takedown-"))
+        corpus.append(graft.pool.Envelope.wrap(docs,
+          topic = lit("corpus"), offset = col("doc_id"),
+          key = lit(null).cast("string"), valueCols = Seq("doc_id", "text")))
+        val claims = docs.filter(col("doc_id") % 18 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(col("text"), lit(" extra words appended")).as("text"))
+          .unionByName(docs.filter(col("doc_id") % 18 === 4)
+            .select((col("doc_id") + 800000).as("doc_id"), col("text")))
+        graft.streaming.CorpusIngest.takedownNear(claims, corpus, "doc_id", "text")
+        corpus.read().select(col("value.doc_id").as("doc_id"),
+          md5(col("value.text")).as("fp"))
+      },
+      Some("""WITH allr AS (
+             |  SELECT doc_id + 700000 AS id, text || ' extra words appended' AS text, 1 AS inc
+             |    FROM documents WHERE doc_id % 18 = 0
+             |  UNION ALL SELECT doc_id + 800000, text, 1 FROM documents WHERE doc_id % 18 = 4
+             |  UNION ALL SELECT doc_id, text, 0 FROM documents WHERE doc_id % 2 = 0),
+             |tw AS (SELECT id, inc, string_split(text, ' ') AS w FROM allr),
+             |g AS (SELECT id, inc, unnest(list_transform(range(len(w)-2),
+             |        i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM tw),
+             |perms AS (SELECT id, inc, sh, unnest(range(16)) AS p FROM g),
+             |mh AS (SELECT id, inc, p, min(md5(concat(p, '|', sh))) AS mv
+             |       FROM perms GROUP BY 1, 2, 3),
+             |bnd AS (SELECT id, inc, p // 4 AS band,
+             |               md5(string_agg(mv, ',' ORDER BY p)) AS bk
+             |        FROM mh GROUP BY 1, 2, 3),
+             |cand AS (SELECT DISTINCT a.id AS d1, c.id AS d2 FROM bnd a JOIN bnd c
+             |         ON a.band = c.band AND a.bk = c.bk AND a.inc = 1 AND c.inc = 0),
+             |matched AS (SELECT DISTINCT d2 FROM (
+             |  SELECT c.d1, c.d2,
+             |         sum(CASE WHEN y.mv = x.mv THEN 1 ELSE 0 END) / 16.0 AS est
+             |  FROM cand c JOIN mh x ON x.id = c.d1
+             |              JOIN mh y ON y.id = c.d2 AND y.p = x.p
+             |  GROUP BY 1, 2) WHERE est >= 0.5)
+             |SELECT doc_id, md5(text) AS fp FROM documents
+             |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT d2 FROM matched)""".stripMargin)),
+
     // the PRODUCTION preset of the incremental near-dup path: 128 perms /
     // 32 bands / threshold 0.8 (the 16-perm default's 1/16 estimator
     // granularity cannot express a 0.8 cut; 128 perms give ~±0.035 std
@@ -1017,6 +1066,41 @@ object OpsQueries {
            |  FROM assigned q JOIN assigned n
            |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
            |  WHERE q.vec_id >= 100 AND q.vec_id < 110)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin)),
+
+    // targeted index delete (ANN takedown): vectors leave the persisted
+    // index by rewriting only the cells that hold them; the survivors
+    // must answer exactly like an index built without them — the oracle
+    // is sim_ivf_index_topk's with the deleted ids excluded from the
+    // neighbor side
+    "sim_ivf_index_delete" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val path = TempDirs.create("graft-ivf-del-")
+        graft.ops.SimilarityIndex.buildIvfFromCentroids(
+          base, base.filter(col("vec_id") < 8), "vec_id", "v", path)
+        val idx = graft.ops.SimilarityIndex.loadIvf(s, path, "vec_id", "v")
+        idx.delete(base.filter(col("vec_id") % 17 === 3).select("vec_id"))
+        idx.topK(base.filter(col("vec_id") >= 100 && col("vec_id") < 110), k = 3)
+      },
+      Some(embBaseSql +
+        s""", cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base WHERE vec_id < 8),
+           |assigned AS (
+           |  SELECT vec_id, v, centroid_id FROM (
+           |    SELECT b.vec_id, b.v, c.centroid_id,
+           |           row_number() OVER (PARTITION BY b.vec_id
+           |                              ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |    FROM base b CROSS JOIN cent c) WHERE rn = 1),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |         ${cos("q.v", "n.v")} AS cos
+           |  FROM assigned q JOIN assigned n
+           |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
+           |  WHERE q.vec_id >= 100 AND q.vec_id < 110 AND n.vec_id % 17 <> 3)
            |SELECT query_id, rank, neighbor_id FROM (
            |  SELECT query_id, neighbor_id,
            |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

@@ -57,6 +57,28 @@ object PoolQueries {
              |       max(event_id) + 1 AS next_offset
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // targeted delete (takedown / right-to-be-forgotten): two committed
+    // segments, then deleteWhere rewrites ONLY the segments holding
+    // matches — the remaining contents must equal a plain NOT-predicate
+    // filter of the source, per topic
+    "pool_delete_where" -> Q(
+      (s, d) => {
+        val dir = TempDirs.create("graft-pool-")
+        val p = Pool.create(s, dir)
+        val env = envelopes(s, d)
+        p.append(env.filter(col("kafka.offset") < 600))
+        p.append(env.filter(col("kafka.offset") >= 600))
+        p.deleteWhere(col("value.user_id") % 5 === 0)
+        p.read()
+          .groupBy(col("kafka.topic").as("topic"))
+          .agg(count(lit(1)).as("cnt"),
+            max(col("kafka.offset")).as("max_offset"),
+            sum(col("value.user_id")).as("sum_user"))
+      },
+      Some("""SELECT event_type AS topic, count(*) AS cnt, max(event_id) AS max_offset,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_user
+             |FROM events WHERE NOT (user_id % 5 = 0) GROUP BY event_type""".stripMargin)),
+
     // S4 exactly-once backstop: two appends of overlapping batches, then the
     // T7 anti-join dedup on (topic, offset) — duplicates from the second
     // commit are filtered, matching the reference's reprocess-nothing golden
