@@ -275,10 +275,15 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     val segs = committedSegments()
     if (segs.isEmpty) return 0L
     val merged = mergedSchema(segs)
-    val matchCol = coalesce(pred, lit(false))
+    // pass 1 filters on `pred` DIRECTLY — null never passes a filter, so
+    // the semantics equal coalesce(pred, false), but unlike the coalesce
+    // wrapper the bare predicate stays translatable into parquet
+    // PushedFilters (a coalesce(...) conjunct is untranslatable and would
+    // turn the match scan into a full read at any scale). Pinned by
+    // PlanAuditSpec.
     val bySeg = spark.read.schema(merged)
       .parquet(segs.map(s => root.resolve(s).toString): _*)
-      .filter(matchCol)
+      .filter(pred)
       .groupBy(element_at(split(input_file_name(), "/"), -2).as("_seg"))
       .count()
       .collect()
@@ -294,9 +299,12 @@ final class Pool private (val spark: SparkSession, val root: Path) {
         groupSchema.fieldNames.contains(f.name))
       val scanSchema = org.apache.spark.sql.types.StructType(
         groupSchema.fields ++ missingTop)
+      // the KEEP side needs the null-safe form (a null predicate keeps
+      // the row — SQL DELETE semantics); pushdown loss is irrelevant
+      // here, an affected segment is fully read for its rewrite anyway
       val keep = spark.read.schema(scanSchema)
         .parquet(group.map(s => root.resolve(s).toString): _*)
-        .filter(!matchCol)
+        .filter(!coalesce(pred, lit(false)))
         .select(groupSchema.fieldNames.map(col).toSeq: _*)
       val seg = f"delete-${System.nanoTime()}%x"
       keep

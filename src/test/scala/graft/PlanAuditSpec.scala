@@ -424,6 +424,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the one shuffle must key on the doc id:\n$plan")
   }
 
+  test("deleteWhere's match scan keeps the predicate pushable into parquet") {
+    // mirrors Pool.deleteWhere pass 1: a merged-schema multi-segment scan
+    // filtered on the BARE predicate (null ⇒ unmatched — same semantics as
+    // coalesce(pred, false), which would be untranslatable and turn every
+    // targeted delete into a full read of all committed segments)
+    import graft.pool.{Envelope, Pool}
+    val dir = java.nio.file.Files.createTempDirectory("pool-delpin")
+    val p = Pool.create(spark, dir.toString)
+    val env = Envelope.wrap(Tables.load(spark, TestSpark.sf, "events"),
+      col("event_type"), col("event_id"),
+      org.apache.spark.sql.functions.struct(col("user_id")).as("key"),
+      Seq("event_id", "user_id", "value"))
+    p.append(env.filter(col("kafka.offset") < 500))
+    p.append(env.filter(col("kafka.offset") >= 500))
+    val segs = p.committedSegments()
+    val scan = spark.read.schema(p.read().schema)
+      .parquet(segs.map(s => dir.resolve(s).toString): _*)
+      .filter(col("kafka.offset") === 123L)
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("EqualTo(kafka.offset,123)"),
+      s"expected the offset predicate pushed into the pool scan:\n$plan")
+  }
+
   test("persisted IVF index probe prunes PARTITIONS — file skipping, not row filtering") {
     import graft.ops.SimilarityIndex
     val base = Tables.load(spark, TestSpark.sf, "embeddings")
