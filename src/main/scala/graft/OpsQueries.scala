@@ -1491,6 +1491,56 @@ object OpsQueries {
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred")),
       Some(s"""SELECT doc_id, $langCase AS lang_pred FROM documents""")),
 
+    // Unicode-script profile: per-script code-point counts + dominant
+    // script (tiebreak = scriptClasses order, zero → unknown). Salted
+    // docs replace their text with fixed non-Latin samples so every
+    // branch fires both ways: Cyrillic/Han/Hiragana/Hangul/Arabic/Greek
+    // dominants, a digits-only unknown, and a latin-cyrillic TIE that
+    // must resolve to latin in both engines. Java spells a script class
+    // \p{IsX}, RE2 \p{X} — the class tables agree on these samples.
+    "text_scripts" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val salted = docs.select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit("Привет мир совсем другой текст здесь"))
+            .when(col("doc_id") % 11 === 1, lit("中文文本处理系统测试"))
+            .when(col("doc_id") % 11 === 2, lit("こんにちは せかい ひらがな"))
+            .when(col("doc_id") % 11 === 3, lit("한국어 텍스트 처리"))
+            .when(col("doc_id") % 11 === 4, lit("مرحبا بالعالم النص العربي"))
+            .when(col("doc_id") % 11 === 5, lit("αβγ δεζ ελληνικά κείμενο"))
+            .when(col("doc_id") % 11 === 6, lit("1234 5678 --- !!!"))
+            .when(col("doc_id") % 11 === 7, lit("abc где"))
+            .otherwise(col("text")).as("text"))
+        TextOps.scriptProfile(salted, "doc_id", "text")
+      },
+      Some {
+        val cnt = TextOps.scriptClasses.map { n =>
+          s"len(regexp_extract_all(text, '\\p{${n.capitalize}}')) AS n_$n"
+        }.mkString(",\n           |  ")
+        val mx = "greatest(" + TextOps.scriptClasses.map(n => s"n_$n").mkString(", ") + ")"
+        val dom = TextOps.scriptClasses
+          .map(n => s"WHEN n_$n = $mx THEN '$n'").mkString(" ")
+        s"""WITH salted AS (
+           |  SELECT doc_id, CASE
+           |    WHEN doc_id % 11 = 0 THEN 'Привет мир совсем другой текст здесь'
+           |    WHEN doc_id % 11 = 1 THEN '中文文本处理系统测试'
+           |    WHEN doc_id % 11 = 2 THEN 'こんにちは せかい ひらがな'
+           |    WHEN doc_id % 11 = 3 THEN '한국어 텍스트 처리'
+           |    WHEN doc_id % 11 = 4 THEN 'مرحبا بالعالم النص العربي'
+           |    WHEN doc_id % 11 = 5 THEN 'αβγ δεζ ελληνικά κείμενο'
+           |    WHEN doc_id % 11 = 6 THEN '1234 5678 --- !!!'
+           |    WHEN doc_id % 11 = 7 THEN 'abc где'
+           |    ELSE text END AS text
+           |  FROM documents),
+           |counted AS (
+           |  SELECT doc_id,
+           |  $cnt
+           |  FROM salted)
+           |SELECT *, CASE WHEN $mx = 0 THEN 'unknown' $dom
+           |  ELSE 'unknown' END AS dominant_script
+           |FROM counted""".stripMargin
+      }),
+
     "text_quality" -> Q(
       (s, d) => TextOps.quality(
         Tables.load(s, d, "documents"), "doc_id", "text"),

@@ -180,6 +180,23 @@ object SimilarityIndex {
       */
     def delete(ids: DataFrame): Long =
       deleteFromCellTable(s"$path/encoded", encoded, idCol, ids)
+
+    /** Incrementally index new vectors: assign against the STORED
+      * centroids and encode against the STORED codebook (both map-only
+      * under 1-row broadcasts), append into the cell partitions —
+      * O(batch) per call, the [[IvfIndex.append]] twin. Both models stay
+      * frozen (the standard IVF/PQ ingest contract; a re-cluster cycle
+      * rebuilds via [[buildIvfPq]] when drift matters). Caller owns id
+      * uniqueness.
+      */
+    def append(vectors: DataFrame): Unit =
+      Similarity.pqEncode(
+          Similarity.ivfAssign(vectors,
+            centroids.select(col(idCol), col(vecCol)), idCol, vecCol),
+          codebook, idCol, vecCol)
+        .select(col(idCol), col("centroid_id"), col("codes"))
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$path/encoded")
   }
 
   final class IvfIndex private[SimilarityIndex] (spark: SparkSession,

@@ -35,6 +35,38 @@ object TextOps {
     }
   }
 
+  /** Unicode scripts the profiler counts, in dominance-tiebreak order.
+    * Java regex spells a script class `\p{IsLatin}`; RE2 (DuckDB, the
+    * oracle side) spells the same class `\p{Latin}` — both count single
+    * code points with that Script property (digits/punct/space are
+    * Script=Common and belong to none).
+    */
+  val scriptClasses: Seq[String] = Seq("latin", "cyrillic", "greek",
+    "arabic", "hebrew", "devanagari", "han", "hiragana", "katakana",
+    "hangul")
+
+  /** Per-document Unicode-script profile: one per-script code-point count
+    * column (`n_latin`, `n_cyrillic`, …) plus `dominant_script` (highest
+    * count; [[scriptClasses]] order on ties — the [[langId]] discipline;
+    * `unknown` when no script char occurs, e.g. digits-only docs). The
+    * mixed-script complement to stopword language ID: script mixing flags
+    * spam/encoding damage that language ID alone misses, and script
+    * routing picks the tokenizer/normalizer family. One map-only
+    * projection of `regexp_count` expressions — no explode, no shuffle.
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = scriptClasses.map { n =>
+      val cls = n.capitalize
+      n -> regexp_count(col(textCol), lit(s"\\p{Is$cls}"))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val dominant = counts.foldRight(lit("unknown"): Column) {
+      case ((n, c), els) => when(c === best && c > 0, lit(n)).otherwise(els)
+    }
+    df.select(col(idCol) +: counts.map { case (n, c) => c.as(s"n_$n") }
+      :+ dominant.as("dominant_script"): _*)
+  }
+
   /** Quality signals: token count, mean token length, stopword ratio,
     * unique-token ratio, and a blended score. Ratios are single divisions
     * of integers — bit-deterministic across engines.

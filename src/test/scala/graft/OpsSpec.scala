@@ -323,6 +323,22 @@ class OpsSpec extends AnyFunSuite {
     assert(m == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("script profile counts code points per script with deterministic ties") {
+    val df = docs(
+      1L -> "abc где",        // latin 3 vs cyrillic 3: tie → class order
+      2L -> "1234 --- !!!",   // Script=Common only → unknown
+      3L -> "中文 かな",       // han 2 vs hiragana 2: han listed first
+      4L -> "Привет мир",
+      5L -> null)
+    val out = TextOps.scriptProfile(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(out == Map(1L -> "latin", 2L -> "unknown", 3L -> "han",
+      4L -> "cyrillic", 5L -> "unknown"))
+    val counts = TextOps.scriptProfile(df, "id", "text")
+      .filter(col("id") === 3L).select("n_han", "n_hiragana").collect()(0)
+    assert((counts.getInt(0), counts.getInt(1)) == ((2, 2)))
+  }
+
   test("kmeans separates obvious clusters and feeds ivfAssign") {
     // cluster A: even ids near (1,0); cluster B: odd ids near (0,1) — the
     // two lowest-id seeds (0, 1) start one in each cluster
@@ -571,6 +587,38 @@ class OpsSpec extends AnyFunSuite {
       java.nio.file.Paths.get(path, "assigned", "centroid_id=101")),
       "a fully-deleted cell's partition dir must be removed")
     assert(idxTop1(2) == Seq(1L))
+  }
+
+  test("persisted IVF-PQ index appends new codes against the frozen models") {
+    import org.apache.spark.sql.types._
+    // two obvious clusters in 4-d; m=2 subspaces of 2 dims each
+    val rows = (0 until 16).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0 + i * 0.01, 0.1, 1.0, 0.1)
+              else Seq(0.1, 1.0 + i * 0.01, 0.1, 1.0)
+      Row(i.toLong, v)
+    }
+    val corpus = spark.createDataFrame(rows.asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-app").toString
+    graft.ops.SimilarityIndex.buildIvfPq(corpus, "vec_id", "v",
+      k = 2, iters = 2, m = 2, codebookK = 4, path = path)
+    val idx = graft.ops.SimilarityIndex.loadIvfPq(spark, path, "vec_id", "v")
+    val q = spark.createDataFrame(Seq(Row(500L, Seq(1.0, 0.1, 1.0, 0.1))).asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    def ids(k: Int) = idx.topK(q, k).collect().map(_.getLong(2)).toSet
+    val before = ids(3)
+    // append a copy of corpus vector 0 under a new id: same cell, same
+    // codes by construction → must surface among the query's neighbors
+    val extra = spark.createDataFrame(
+      Seq(Row(999L, Seq(1.0, 0.1, 1.0, 0.1))).asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    idx.append(extra)
+    // ADC ties across the cluster's identical codes break by id — ask for
+    // the whole cell to make the appended high-id member visible
+    assert(ids(9).contains(999L), "appended vector must be ADC-retrievable")
+    // and the delete path takes it back out
+    assert(idx.delete(extra.select("vec_id")) == 1L)
+    assert(ids(3) == before, "after delete the index answers as before")
   }
 
   test("asof join picks the latest right row at-or-before each left ts") {
