@@ -71,18 +71,33 @@ class ReadmeExampleSpec extends AnyFunSuite {
       corpus, "doc_id", "text", near = true, compactEvery = 64)
     Seq(docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 =!= 0))
       .foreach(session.ingest)
+    val takedownDocs = docs.limit(20)
+      .select(($"doc_id" + 900000).as("doc_id"), $"text")
     val hits = graft.streaming.CorpusIngest.nearDuplicatesInPool(
-      docs.limit(20).select(($"doc_id" + 900000).as("doc_id"), $"text"),
-      corpus, "doc_id", "text")
+      takedownDocs, corpus, "doc_id", "text")
     assert(hits.count() > 0, "verbatim replicas must match the landed corpus")
+
+    // right-to-be-forgotten, both forms from the README
+    val before = corpus.read().count()
+    val (matched, deleted) = graft.streaming.CorpusIngest.takedownNear(
+      takedownDocs, corpus, "doc_id", "text")
+    assert(matched > 0 && deleted == matched)
+    val revoked = Seq(1L, 3L)
+    corpus.deleteWhere($"value.doc_id".isin(revoked: _*))
+    assert(corpus.read().count() < before)
 
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
     val path = java.nio.file.Files.createTempDirectory("readme-index").toString
     graft.ops.SimilarityIndex.buildIvfPq(embs, "vec_id", "v", k = 8, iters = 2,
       m = 2, codebookK = 4, path = path)
-    val top = graft.ops.SimilarityIndex.loadIvfPq(spark, path, "vec_id", "v")
-      .topK(embs.filter($"vec_id" < 5), k = 3, nprobe = 2)
+    val index = graft.ops.SimilarityIndex.loadIvfPq(spark, path, "vec_id", "v")
+    val top = index.topK(embs.filter($"vec_id" < 5), k = 3, nprobe = 2)
     assert(top.groupBy("query_id").count().collect().forall(_.getLong(1) == 3))
+    val newVecs = embs.filter($"vec_id" >= 200 && $"vec_id" < 210)
+      .select(($"vec_id" + 900000).as("vec_id"), $"v")
+    index.append(newVecs)                              // O(batch), models frozen
+    val revokedVecIds = newVecs.select("vec_id")
+    assert(index.delete(revokedVecIds) == 10L)         // rewrites only their cells
   }
 }
