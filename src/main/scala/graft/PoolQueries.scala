@@ -79,6 +79,33 @@ object PoolQueries {
              |       CAST(sum(user_id) AS BIGINT) AS sum_user
              |FROM events WHERE NOT (user_id % 5 = 0) GROUP BY event_type""".stripMargin)),
 
+    // snapshot time travel: a training run pinned at version v still reads
+    // its exact corpus after a later targeted delete — v2 (pre-delete)
+    // must aggregate like the full source, the current manifest like the
+    // NOT-predicate filter, in one tagged union
+    "pool_time_travel" -> Q(
+      (s, d) => {
+        val dir = TempDirs.create("graft-pool-")
+        val p = Pool.create(s, dir)
+        val env = envelopes(s, d)
+        p.append(env.filter(col("kafka.offset") % 2 === 0))
+        p.append(env.filter(col("kafka.offset") % 2 =!= 0))
+        val v2 = p.version()
+        p.deleteWhere(col("value.user_id") % 5 === 0)
+        def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+          df.groupBy(col("kafka.topic").as("topic"))
+            .agg(count(lit(1)).as("cnt"), sum(col("value.user_id")).as("sum_user"))
+            .withColumn("snap", lit(tag))
+        agg(p.readAt(v2), "v2").unionByName(agg(p.read(), "cur"))
+      },
+      Some("""SELECT event_type AS topic, count(*) AS cnt,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_user, 'v2' AS snap
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT event_type AS topic, count(*) AS cnt,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_user, 'cur' AS snap
+             |FROM events WHERE NOT (user_id % 5 = 0) GROUP BY event_type""".stripMargin)),
+
     // S4 exactly-once backstop: two appends of overlapping batches, then the
     // T7 anti-join dedup on (topic, offset) — duplicates from the second
     // commit are filtered, matching the reference's reprocess-nothing golden

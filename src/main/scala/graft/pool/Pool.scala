@@ -16,6 +16,8 @@ import scala.jdk.CollectionConverters._
   *   <root>/
   *     MANIFEST            # committed segment names, one per line; the
   *                         # atomically-renamed manifest IS the commit point
+  *     _versions/v00...01  # immutable per-commit manifest snapshots
+  *                         # (time travel via readAt; pruned by vacuum)
   *     seg-000001/ *.parquet
   *     seg-000002/ *.parquet
   * }}}
@@ -195,6 +197,62 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // record the committed state as an immutable numbered snapshot AFTER
+    // the rename: history can at worst lack a crash-interrupted latest
+    // commit (the next commit records its own), but never lists a state
+    // that was not the commit point — phantom versions are worse than a
+    // gap. Snapshots are metadata (a few segment names per commit);
+    // their data dirs live until vacuum, which prunes unreadable
+    // versions with them.
+    val vDir = root.resolve(VersionsDir)
+    Files.createDirectories(vDir)
+    val vTmp = vDir.resolve(s".v.tmp.${System.nanoTime()}")
+    Files.write(vTmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(vTmp, vDir.resolve(f"v${version() + 1}%012d"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All recorded snapshot versions, ascending (empty for a pool that has
+    * never committed since versioning; vacuum prunes versions whose
+    * segments it reclaimed).
+    */
+  def versions(): Seq[Long] = {
+    val vDir = root.resolve(VersionsDir)
+    if (!Files.isDirectory(vDir)) Seq.empty
+    else {
+      val ls = Files.list(vDir)
+      try ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v"))
+        .map(_.drop(1).toLong).toSeq.sorted
+      finally ls.close()
+    }
+  }
+
+  /** The latest recorded snapshot version (0 = none recorded yet). */
+  def version(): Long = versions().lastOption.getOrElse(0L)
+
+  /** Read the pool AS OF a recorded snapshot version — the reproducible
+    * corpus pin for a training run: commit, note `version()`, and any
+    * later appends, deletes, or compactions leave `readAt(v)` returning
+    * the exact rows that run trained on, until an operator-scheduled
+    * [[vacuum]] reclaims the space (which prunes the no-longer-readable
+    * versions from [[versions]] — absence fails loudly here rather than
+    * returning partial data).
+    */
+  def readAt(v: Long): DataFrame = {
+    val f = root.resolve(VersionsDir).resolve(f"v$v%012d")
+    require(Files.exists(f),
+      s"pool $root has no readable snapshot v$v (never recorded, or vacuumed) — " +
+        s"available: ${versions().mkString(", ")}")
+    val segs = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    if (segs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new org.apache.spark.sql.types.StructType())
+    else
+      spark.read.schema(SchemaUnion.merge(segs.map(segmentSchema)))
+        .parquet(segs.map(s => root.resolve(s).toString): _*)
   }
 
   /** Compact all committed segments into one (topic, offset)-sorted segment
@@ -336,6 +394,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     val candidates =
       try listing.iterator().asScala.toSeq
         .filter(Files.isDirectory(_))
+        .filter(p => p.getFileName.toString != VersionsDir)
         .filter(p => !keep.contains(p.getFileName.toString))
       finally listing.close() // Files.list leaks an fd per call if not closed
     candidates.foreach { dir =>
@@ -343,6 +402,19 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
       finally walk.close()
+    }
+    // prune snapshot versions the reclaim made unreadable: a version
+    // listing a deleted segment can no longer serve readAt, and keeping
+    // it would advertise time travel the data cannot honor
+    val gone = candidates.map(_.getFileName.toString).toSet
+    if (gone.nonEmpty) {
+      val vDir = root.resolve(VersionsDir)
+      if (Files.isDirectory(vDir)) versions().foreach { v =>
+        val f = vDir.resolve(f"v$v%012d")
+        val segs = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+          .map(_.trim).filter(_.nonEmpty)
+        if (segs.exists(gone.contains)) Files.delete(f)
+      }
     }
     candidates.size
   }
@@ -382,6 +454,9 @@ final class Pool private (val spark: SparkSession, val root: Path) {
 
 object Pool {
   val ManifestFile = "MANIFEST"
+  /** Immutable per-commit manifest snapshots for [[Pool.readAt]] live
+    * here; excluded from vacuum's segment-dir sweep. */
+  val VersionsDir = "_versions"
   /** Target rows per written segment file (append's file-count sizing) —
     * the balance point between the small-files hazard (a 32-way shuffle
     * write per few-hundred-k-row commit) and serializing the write into one

@@ -150,6 +150,61 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("deleteWhere equals a NOT-filter of the source across randomized predicates") {
+    val rnd = new scala.util.Random(20260814L) // pinned seed, replayable
+    val env = envelopes().persist()
+    val maxOff = env.agg(max(col("kafka.offset"))).collect()(0).getLong(0)
+    (1 to 4).foreach { _ =>
+      val p = Pool.create(spark, Files.createTempDirectory("pool-rand").toString)
+      // random segmentation: 1-4 segments split by offset mod
+      val k = 1 + rnd.nextInt(4)
+      (0 until k).foreach(i => p.append(env.filter(col("kafka.offset") % k === i)))
+      // random predicate: offset range ∧/∨ user mod ∨ value threshold
+      val lo = rnd.nextLong(maxOff + 1)
+      val m = 2 + rnd.nextInt(7)
+      val cut = rnd.nextDouble() * 100
+      val pred = (col("kafka.offset") >= lo && col("value.user_id") % m === 0) ||
+        col("value.value") < cut
+      val expectKeep = env.filter(!pred).count()
+      val expectDel = env.count() - expectKeep
+      assert(p.deleteWhere(pred) == expectDel)
+      assert(p.read().count() == expectKeep)
+      assert(p.read().filter(pred).count() == 0)
+    }
+    env.unpersist()
+  }
+
+  test("snapshot versions time-travel across appends, deletes, and compaction") {
+    val p = Pool.create(spark, Files.createTempDirectory("pool-tt").toString)
+    val env = envelopes().persist()
+    val evens = env.filter(col("kafka.offset") % 2 === 0)
+    p.append(evens)
+    val v1 = p.version()
+    p.append(env.filter(col("kafka.offset") % 2 === 1))
+    val v2 = p.version()
+    p.deleteWhere(col("value.user_id") % 3 === 0)
+    val v3 = p.version()
+    assert(Seq(v1, v2, v3) == Seq(1L, 2L, 3L))
+    // a training run pinned at v1/v2 still sees its exact corpus
+    assert(p.readAt(v1).count() == evens.count())
+    assert(p.readAt(v2).count() == env.count())
+    assert(p.readAt(v3).count() == p.read().count())
+    // value columns travel too, not just counts
+    assert(p.readAt(v2).filter(col("value.user_id") % 3 === 0).count() > 0)
+    p.compact()
+    val v4 = p.version()
+    assert(p.readAt(v2).count() == env.count(),
+      "pre-compaction snapshots stay readable until vacuum")
+    // vacuum reclaims old segment dirs AND prunes the versions it broke
+    assert(p.vacuum() >= 1)
+    assert(p.versions() == Seq(v4),
+      s"only the current-manifest version survives vacuum: ${p.versions()}")
+    val ex = intercept[IllegalArgumentException](p.readAt(v2))
+    assert(ex.getMessage.contains("vacuumed"))
+    assert(p.readAt(v4).count() == p.read().count())
+    env.unpersist()
+  }
+
   test("rejects batches without the kafka.offset pool key") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val bad = Tables.load(spark, TestSpark.sf, "events")
