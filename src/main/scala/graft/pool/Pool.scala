@@ -95,9 +95,35 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   // are immutable once committed, so entries never invalidate
   private val segSchemas =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
-  private def segmentSchema(seg: String): org.apache.spark.sql.types.StructType =
+  private[graft] def segmentSchema(seg: String): org.apache.spark.sql.types.StructType =
     segSchemas.getOrElseUpdate(seg,
       spark.read.parquet(root.resolve(seg).toString).schema)
+
+  // per-segment row counts straight from the parquet FOOTERS — pure driver
+  // metadata (no Spark job), cached since segments are immutable. This is
+  // what compaction policy reads: sizing hundreds of segments must not
+  // cost a job per segment.
+  private val segRowCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  def segmentRows(seg: String): Long = segRowCounts.getOrElseUpdate(seg, {
+    val ls = Files.list(root.resolve(seg))
+    val files =
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally ls.close()
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  })
+
+  /** Committed segments holding at most `maxRows` rows (footer metadata) —
+    * the fold candidates for leveled compaction. */
+  def smallSegments(maxRows: Long): Seq[String] =
+    committedSegments().filter(segmentRows(_) <= maxRows)
 
   /** Split the committed segments by a FOOTER-schema predicate and read
     * each group as its own scan (group-merged superset schema). A segment
@@ -283,15 +309,34 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     */
   def compactWith(transform: DataFrame => DataFrame): Int = {
     val segs = committedSegments()
-    if (segs.isEmpty) return 0
-    val data = transform(read())
+    if (segs.isEmpty) 0 else compactSegmentsWith(segs, transform)
+  }
+
+  /** PARTIAL compaction: fold only the LISTED committed segments into one
+    * sorted segment (optionally transformed), leaving every other
+    * segment's files untouched — the leveled form a continuous-ingest
+    * loop needs at scale. A full [[compactWith]] is O(corpus) per cycle;
+    * folding just the micro-batch-sized segments is O(small segments),
+    * and a fat folded segment naturally ages out of the candidate set
+    * ([[smallSegments]]) instead of being rewritten forever. Same atomic
+    * manifest swap; old dirs to [[vacuum]].
+    */
+  def compactSegmentsWith(segs: Seq[String],
+      transform: DataFrame => DataFrame = identity): Int = {
+    val committed = committedSegments()
+    require(segs.nonEmpty && segs.forall(committed.contains),
+      s"compactSegmentsWith: segments not committed: ${segs.filterNot(committed.contains)}")
+    val data = transform(
+      spark.read.schema(SchemaUnion.merge(segs.map(segmentSchema)))
+        .parquet(segs.map(s => root.resolve(s).toString): _*))
     require(hasKafkaOffset(data), ErrBadPoolKey)
     val seg = f"compact-${System.nanoTime()}%x"
     data
       .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
       .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
       .write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(seg).toString)
-    replaceManifest(Seq(seg))
+    val folded = segs.toSet
+    synchronized { replaceManifest(committedSegments().filterNot(folded) :+ seg) }
     segs.length
   }
 

@@ -225,21 +225,48 @@ object CorpusIngest {
     */
   def compactPool(corpus: Pool, idCol: String, textCol: String,
       sigParams: Option[(Int, Int)] = None): Int =
-    corpus.compactWith { env =>
-      val withFp = env.withColumn("fp",
-        if (env.columns.contains("fp"))
-          coalesce(col("fp"), md5(col(s"value.$textCol")))
-        else md5(col(s"value.$textCol")))
-      sigParams match {
-        case None => withFp
-        case Some((n, p)) =>
-          val sigExpr = Dedup.storedSignatureColumn(col(s"value.$textCol"), n, p)
-          val filled = coalesce(
-            if (env.columns.contains("sig")) coalesce(col("sig"), sigExpr) else sigExpr,
-            array().cast("array<string>"))
-          withFp.withColumn("sig", filled)
-      }
+    corpus.compactWith(backfillStored(_, textCol, sigParams))
+
+  /** The stored-column backfill applied during a compaction rewrite. */
+  private def backfillStored(env: DataFrame, textCol: String,
+      sigParams: Option[(Int, Int)]): DataFrame = {
+    val withFp = env.withColumn("fp",
+      if (env.columns.contains("fp"))
+        coalesce(col("fp"), md5(col(s"value.$textCol")))
+      else md5(col(s"value.$textCol")))
+    sigParams match {
+      case None => withFp
+      case Some((n, p)) =>
+        val sigExpr = Dedup.storedSignatureColumn(col(s"value.$textCol"), n, p)
+        val filled = coalesce(
+          if (env.columns.contains("sig")) coalesce(col("sig"), sigExpr) else sigExpr,
+          array().cast("array<string>"))
+        withFp.withColumn("sig", filled)
     }
+  }
+
+  /** LEVELED compaction for the ingest loop: fold only the segments at or
+    * under `maxRows` (parquet-footer metadata — no job to size them),
+    * grouped by footer schema so provenance eras never merge raw (each
+    * group folds through the stored-column backfill, so a legacy-era fold
+    * comes out fully stored). A full [[compactPool]] rewrites O(corpus)
+    * every cycle — at 100 TB the session would spend its time rewriting
+    * fat history it already compacted; folding O(small segments) bounds
+    * the listing churn the micro-batches cause while fat segments age out
+    * of the candidate set and are never touched again. Groups of one
+    * segment are left alone (folding a lone segment is churn, not
+    * compaction). Returns segments folded.
+    */
+  def compactSmallPool(corpus: Pool, idCol: String, textCol: String,
+      sigParams: Option[(Int, Int)] = None,
+      maxRows: Long = 1L << 22): Int = {
+    val smalls = corpus.smallSegments(maxRows)
+    smalls.groupBy(corpus.segmentSchema).valuesIterator
+      .filter(_.length >= 2)
+      .map(group => corpus.compactSegmentsWith(group,
+        backfillStored(_, textCol, sigParams)))
+      .sum
+  }
 
   /** Step 1 of both ingest paths: within-batch exact dedup, deterministic
     * survivor (lowest id per content fingerprint). Null-text documents have
@@ -379,10 +406,13 @@ object CorpusIngest {
   * single-ingestor contract — which removes the remaining per-batch
   * O(corpus) term, the full-pool kafka-column max scan. And it can
   * amortize the small-segments accretion of a long loop:
-  * `compactEvery = N` compacts the pool after every N non-empty appends
-  * (an O(corpus) rewrite, amortized to O(corpus/N) per batch — the
-  * LSM-style trade; readers are never disturbed, the manifest swap is
-  * the commit point).
+  * `compactEvery = N` runs a LEVELED compaction after every N non-empty
+  * appends ([[CorpusIngest.compactSmallPool]]): only segments at or
+  * under `compactMaxRows` fold (per schema era, through the
+  * stored-column backfill), so the per-cycle cost is O(small segments)
+  * — fat folded history ages out of the candidate set instead of being
+  * rewritten every cycle, the LSM trade done properly. Readers are
+  * never disturbed; the manifest swap is the commit point.
   *
   * Not thread-safe: one session drives one pool from one loop.
   */
@@ -390,7 +420,7 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
     topic: String = "corpus", near: Boolean = false, n: Int = 3,
     numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
     expectedItems: Long = 1L << 20, fpp: Double = 0.01,
-    compactEvery: Int = 0) {
+    compactEvery: Int = 0, compactMaxRows: Long = 1L << 22) {
   import CorpusIngest._
 
   private var bloom: Option[BloomFilter] = None
@@ -446,9 +476,10 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
     if (compactEvery > 0 && appended > 0) {
       appendsSinceCompact += 1
       if (appendsSinceCompact >= compactEvery) {
-        // backfilling compaction: stored columns stay total across eras
-        CorpusIngest.compactPool(corpus, idCol, textCol,
-          if (near) Some((n, numPerms)) else None)
+        // leveled backfilling compaction: small segments fold per era,
+        // stored columns stay total, fat history is never rewritten
+        CorpusIngest.compactSmallPool(corpus, idCol, textCol,
+          if (near) Some((n, numPerms)) else None, compactMaxRows)
         appendsSinceCompact = 0
       }
     }

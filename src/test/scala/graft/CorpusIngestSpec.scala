@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
@@ -282,6 +283,40 @@ class CorpusIngestSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(rows.toSeq == Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)),
       s"got ${rows.toSeq}")
+  }
+
+  test("leveled compaction folds small segments; fat history is never rewritten") {
+    val root = Files.createTempDirectory("corpus-lvl")
+    val corpus = Pool.create(spark, root.toString)
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", compactEvery = 1, compactMaxRows = 3)
+    // seed: one 6-row segment — ABOVE maxRows, so it is fat from birth
+    assert(session.ingest(docs((1L to 6L).map(i => i -> s"seed doc $i"): _*)) == 6)
+    val fatSeg = corpus.committedSegments().head
+    assert(corpus.segmentRows(fatSeg) == 6)
+    def fatFiles() = {
+      val ls = Files.list(root.resolve(fatSeg))
+      try ls.iterator().asScala
+        .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f)).toMap
+      finally ls.close()
+    }
+    val fatBefore = fatFiles()
+    // two small appends: the first has no fold partner, the second folds
+    // with it — while the fat segment is never listed as a candidate
+    assert(session.ingest(docs(10L -> "a", 11L -> "b")) == 2)
+    assert(corpus.committedSegments().length == 2)
+    assert(session.ingest(docs(12L -> "c", 13L -> "d")) == 2)
+    val segs = corpus.committedSegments()
+    assert(segs.length == 2 && segs.contains(fatSeg),
+      s"smalls fold, fat survives: $segs")
+    assert(segs.exists(_.startsWith("compact-")))
+    assert(fatFiles() == fatBefore, "fat history must keep its files byte-identical")
+    // contents, offsets, and the gates stay exact through the folds
+    val rows = corpus.read().select(col("kafka.offset"), col("value.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 10L) &&
+      rows.map(_._2).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L, 13L))
+    assert(session.ingest(docs(99L -> "a")) == 0, "dup still gated after folds")
   }
 
   test("streaming end-to-end: micro-batches of files dedup-ingest into the pool") {

@@ -43,6 +43,33 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("compactSegmentsWith folds only the listed segments, leaving the rest untouched") {
+    val dir = Files.createTempDirectory("pool")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") % 3 === 0))
+    p.append(env.filter(col("kafka.offset") % 3 === 1))
+    p.append(env.filter(col("kafka.offset") % 3 === 2))
+    val Seq(s0, s1, s2) = p.committedSegments()
+    val rows01 = p.segmentRows(s0) + p.segmentRows(s1)
+    def files(seg: String) = {
+      val ls = Files.list(dir.resolve(seg))
+      try ls.iterator().asScala
+        .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f)).toMap
+      finally ls.close()
+    }
+    val untouched = files(s2)
+    assert(p.compactSegmentsWith(Seq(s0, s1)) == 2)
+    val segs = p.committedSegments()
+    assert(segs.length == 2 && segs.contains(s2))
+    val folded = segs.filter(_.startsWith("compact-")).head
+    assert(p.segmentRows(folded) == rows01, "footer rows survive the fold")
+    assert(files(s2) == untouched, "unlisted segments keep their files byte-identical")
+    assert(p.read().count() == env.count())
+    intercept[IllegalArgumentException](p.compactSegmentsWith(Seq("seg-bogus")))
+    env.unpersist()
+  }
+
   test("vacuum removes unreferenced segment dirs, keeps committed ones") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val env = envelopes().persist()
