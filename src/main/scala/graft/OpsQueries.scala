@@ -764,6 +764,33 @@ object OpsQueries {
           |    j -> w.t[j]), ' '), '') AS text_clean
           |FROM wins w LEFT JOIN starts sx ON w.id = sx.id""".stripMargin)),
 
+    // span-level decontamination: eval docs (%13) appear verbatim in the
+    // corpus — their copies strip to empty while docs merely SHARING an
+    // 8-gram window lose exactly that span; everything else unchanged.
+    // Oracle mirrors with text grams (the 2^-64 hash-collision convention)
+    "dedup_decontam_strip" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id").as("id"), col("text"))
+        Dedup.removeContaminatedSpans(docs,
+          docs.filter(col("id") % 13 === 0), "id", "text", k = 8)
+      },
+      Some("""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+             |toks AS (SELECT id, string_split(text, ' ') AS t FROM corpus),
+             |wins AS (SELECT id, t, len(t) - 7 AS nw FROM toks),
+             |grams AS (SELECT id, i, array_to_string(t[i:i+7], ' ') AS g FROM (
+             |  SELECT id, t, unnest(range(1, nw + 1)) AS i FROM wins WHERE nw > 0)),
+             |evalg AS (SELECT DISTINCT g FROM grams WHERE id % 13 = 0),
+             |flagged AS (SELECT id, i FROM grams JOIN evalg USING (g)),
+             |starts AS (SELECT id, list_sort(list(i)) AS s FROM flagged GROUP BY id)
+             |SELECT w.id, coalesce(array_to_string(
+             |  list_transform(
+             |    list_filter(range(1, len(w.t) + 1),
+             |      j -> len(list_filter(coalesce(sx.s, CAST([] AS BIGINT[])),
+             |                           x -> x <= j AND j < x + 8)) = 0),
+             |    j -> w.t[j]), ' '), '') AS text_clean
+             |FROM wins w LEFT JOIN starts sx ON w.id = sx.id""".stripMargin)),
+
     "dedup_embedding_cosine" -> Q(
       (s, d) => Dedup.embeddingCosinePairs(embCorpus(s, d), "vec_id", "v", "label", 0.9),
       Some(embCorpusSql +

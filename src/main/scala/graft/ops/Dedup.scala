@@ -1022,6 +1022,13 @@ object Dedup {
               else lit(true))
     val starts = flagged.groupBy("id")
       .agg(sort_array(collect_list(col("i"))).as("starts"))
+    cutSpans(base, starts, k)
+  }
+
+  // rebuild each doc from its token array with every position covered by a
+  // flagged k-window start removed — the shared cut step of the span
+  // removers (map-side HOF over the per-doc starts array, no explode)
+  private def cutSpans(base: DataFrame, starts: DataFrame, k: Int): DataFrame =
     base.join(starts, Seq("id"), "left")
       .select(col("id"),
         when(col("starts").isNull, concat_ws(" ", col("t")))
@@ -1031,6 +1038,33 @@ object Dedup {
                 j => !exists(col("starts"), s => s <= j && j < s + k)),
               j => element_at(col("t"), j.cast("int")))))
           .as("text_clean"))
+
+  /** Span-level DECONTAMINATION — the surgical sibling of the document
+    * contamination GATE: rewrite each corpus document with every token
+    * covered by a k-token window appearing VERBATIM in `queries` (an eval
+    * benchmark, a canary set) removed. The document survives; the leaked
+    * passage does not — at pretraining scale dropping every doc that
+    * quotes a benchmark question forfeits real data, while this cuts
+    * exactly the overlap ([[removeDuplicatedSpans]]' machinery pointed at
+    * a bipartite probe).
+    *
+    * Scale: the probe side is the eval set's k-gram hash SET —
+    * benchmark-scale by contract — broadcast into the corpus gram stream,
+    * so the corpus never shuffles for the probe; the only corpus-keyed
+    * aggregation is the per-doc flagged-starts collect (bounded by doc
+    * window count), and the rebuild is map-side. Same xxhash64 2^-64
+    * collision convention as [[duplicatedSpans]].
+    */
+  def removeContaminatedSpans(df: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 1, "window length k must be >= 1")
+    val base = spanBase(df, idCol, textCol, k)
+    val evalHashes = spanGrams(spanBase(queries, idCol, textCol, k), k)
+      .select("h").distinct()
+    val flagged = spanGrams(base, k).join(broadcast(evalHashes), Seq("h"))
+    val starts = flagged.groupBy("id")
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    cutSpans(base, starts, k)
   }
 
   /** Collapse duplicate clusters to one representative: given duplicate

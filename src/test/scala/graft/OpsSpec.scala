@@ -313,6 +313,20 @@ class OpsSpec extends AnyFunSuite {
     assert(planted.subsetOf(pairs), s"missed: ${planted -- pairs}")
   }
 
+  test("contaminated spans are cut, not the whole document") {
+    val corpus = docs(
+      1L -> "a b c d e f g h i j", // embeds the eval passage at position 3
+      2L -> "totally unrelated words that never match anything at all here",
+      3L -> "c d e f g h i j")     // verbatim eval doc → strips to empty
+    val eval = docs(100L -> "c d e f g h i j")
+    val out = Dedup.removeContaminatedSpans(corpus, eval, "id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "a b",
+      2L -> "totally unrelated words that never match anything at all here",
+      3L -> ""))
+  }
+
   test("language id picks the profile language") {
     val df = docs(
       1L -> "the cat is in the house and the dog is of the yard",

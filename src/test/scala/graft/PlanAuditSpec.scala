@@ -387,6 +387,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"token stream must not shuffle for the membership probe:\n$plan")
   }
 
+  test("span decontamination probes the eval hash set via broadcast") {
+    val eval = corpus.filter(col("id") % 7 === 0)
+    val q = Dedup.removeContaminatedSpans(corpus, eval, "id", "text", k = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the benchmark-scale eval hash set broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs anywhere:\n$plan")
+  }
+
   test("incremental near-dup: no cartesian, no corpus window — banded equi-joins only") {
     import graft.ops.Dedup
     val landed = corpus.select((col("id") + 1000).as("id"), col("text"))
