@@ -83,8 +83,11 @@ class ReadmeExampleSpec extends AnyFunSuite {
       takedownDocs, corpus, "doc_id", "text")
     assert(matched > 0 && deleted == matched)
     val revoked = Seq(1L, 3L)
+    val v = corpus.version()
     corpus.deleteWhere($"value.doc_id".isin(revoked: _*))
     assert(corpus.read().count() < before)
+    assert(corpus.readAt(v).count() == before - deleted,
+      "the pinned snapshot still reads the pre-delete corpus")
 
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
