@@ -472,20 +472,87 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       .groupBy(col("kafka.topic").as("topic"))
       .agg(max(col("kafka.offset")).as("offset"))
 
+  // Per-file footer stats for the resume-offset fast path, cached per
+  // segment (immutable): (topicMin, topicMax, offsetMax) per parquet file,
+  // None for a file whose footer lacks usable stats. Driver metadata only.
+  private val segOffsetStats = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[Option[(String, String, Long)]]]
+  private def offsetStats(seg: String): Seq[Option[(String, String, Long)]] =
+    segOffsetStats.getOrElseUpdate(seg, {
+      val ls = Files.list(root.resolve(seg))
+      val files =
+        try ls.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+        finally ls.close()
+      val conf = spark.sessionState.newHadoopConf()
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala
+          val per = blocks.map { b =>
+            val cols = b.getColumns.asScala
+            def stat(path: Seq[String]) = cols.find(
+              _.getPath.toArray.toSeq == path).map(_.getStatistics)
+            (stat(Seq("kafka", "topic")), stat(Seq("kafka", "offset"))) match {
+              case (Some(ts), Some(os))
+                  if ts != null && os != null && !ts.isEmpty && !os.isEmpty &&
+                    ts.hasNonNullValue && os.hasNonNullValue =>
+                val tMin = ts.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val tMax = ts.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                Some((tMin, tMax, os.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+              case _ => None
+            }
+          }
+          if (per.isEmpty || per.exists(_.isEmpty)) None
+          else Some((per.map(_.get._1).min, per.map(_.get._2).max,
+            per.map(_.get._3).max))
+        } finally r.close()
+      }
+    })
+
   /** Resume offset for one topic: committed max + 1, or `earliest` (−2) when
     * the pool holds nothing for the topic (fifo/lake.go:62-82,
     * etl/pool.go:20-22). Checkpoint-free recovery: consumer state lives in
     * the sink itself.
+    *
+    * Fast path: segments are committed sorted by (topic, offset), so every
+    * parquet FOOTER already carries exact per-file (topic min/max, offset
+    * max) stats — when each file either excludes `topic` or is entirely
+    * that topic (min == max == topic), the answer is the max of those
+    * files' offset maxima: pure driver metadata, zero Spark jobs, cached
+    * per immutable segment. A file SPANNING topics (a range boundary) that
+    * may contain `topic` makes attribution ambiguous — fall back to the
+    * aggregation job. Single-topic pools (the corpus-ingest and per-topic
+    * sync case) always take the fast path; parquet long stats are exact
+    * and topic names are short strings well under stats truncation, so the
+    * fast path never guesses.
     */
   def nextOffset(topic: String): Long =
     if (isEmpty) KafkaOffsetEarliest
-    else {
+    else nextOffsetFromFooters(topic).getOrElse {
       val rows = read()
         .filter(col("kafka.topic") === topic)
         .agg(max(col("kafka.offset")))
         .collect()
       if (rows.isEmpty || rows(0).isNullAt(0)) KafkaOffsetEarliest else rows(0).getLong(0) + 1
     }
+
+  private def nextOffsetFromFooters(topic: String): Option[Long] = {
+    val perFile = committedSegments().flatMap(offsetStats)
+    if (perFile.exists(_.isEmpty)) return None // a file without stats
+    val known = perFile.map(_.get)
+    // ambiguous: a file spanning topics (a range boundary) — bail rather
+    // than reason about stats string ordering; single-topic pools and
+    // cleanly-partitioned multi-topic pools never hit this
+    if (known.exists { case (tMin, tMax, _) => tMin != tMax }) return None
+    val maxes = known.collect { case (tMin, tMax, oMax)
+      if tMin == topic && tMax == topic => oMax }
+    Some(if (maxes.isEmpty) KafkaOffsetEarliest else maxes.max + 1)
+  }
 
   private def hasKafkaOffset(df: DataFrame): Boolean =
     df.schema.fields.find(_.name == "kafka").exists { f =>

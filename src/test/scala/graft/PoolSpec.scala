@@ -261,6 +261,39 @@ class PoolSpec extends AnyFunSuite {
     assert(p.nextOffset("no-such-topic") == Pool.KafkaOffsetEarliest)
   }
 
+  test("nextOffset answers from parquet footers — zero jobs on a single-topic pool") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val single = Envelope.wrap(ev, lit("corpus"), col("event_id"),
+      struct(col("user_id")).as("key"), Seq("event_id", "user_id"))
+    val p = Pool.create(spark, Files.createTempDirectory("pool-meta").toString)
+    p.append(single.filter(col("kafka.offset") % 2 === 0))
+    p.append(single.filter(col("kafka.offset") % 2 =!= 0))
+    val expect = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(p.nextOffset("corpus") == expect)
+      assert(p.nextOffset("absent-topic") == Pool.KafkaOffsetEarliest)
+      org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
+      assert(jobs.get() == 0,
+        "single-topic resume offsets must be pure footer metadata — no Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // a file spanning topics (small multi-topic append → one coalesced
+    // file) is ambiguous — the job fallback must still answer exactly
+    val multi = Pool.create(spark, Files.createTempDirectory("pool-multi").toString)
+    multi.append(envelopes())
+    val byTopic = envelopes().groupBy(col("kafka.topic"))
+      .agg(max(col("kafka.offset"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byTopic.foreach { case (t, m) => assert(multi.nextOffset(t) == m + 1) }
+  }
+
   test("maxOffsetsByTopic matches a direct aggregation") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     p.append(envelopes())
