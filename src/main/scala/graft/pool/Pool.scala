@@ -99,26 +99,59 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     segSchemas.getOrElseUpdate(seg,
       spark.read.parquet(root.resolve(seg).toString).schema)
 
-  // per-segment row counts straight from the parquet FOOTERS — pure driver
-  // metadata (no Spark job), cached since segments are immutable. This is
-  // what compaction policy reads: sizing hundreds of segments must not
-  // cost a job per segment.
-  private val segRowCounts =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-  def segmentRows(seg: String): Long = segRowCounts.getOrElseUpdate(seg, {
-    val ls = Files.list(root.resolve(seg))
-    val files =
-      try ls.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-      finally ls.close()
-    val conf = spark.sessionState.newHadoopConf()
-    files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.toUri), conf)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try r.getRecordCount finally r.close()
-    }.sum
-  })
+  // Per-file facts from the parquet FOOTERS — pure driver metadata (no
+  // Spark job), one footer open per file, cached since segments are
+  // immutable. rows feeds compaction policy; topicOffset feeds the
+  // resume-offset fast path: (topic min, topic max, offset max), None
+  // when any stat is missing OR the file holds null-topic rows (stats
+  // exclude nulls, so a null-topic row could own the offset max and
+  // attribution would over-report — the fast path must not guess).
+  private case class FileFooter(rows: Long,
+      topicOffset: Option[(String, String, Long)])
+  private val segFooters =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[FileFooter]]
+  private def segmentFooters(seg: String): Seq[FileFooter] =
+    segFooters.getOrElseUpdate(seg, {
+      val ls = Files.list(root.resolve(seg))
+      val files =
+        try ls.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+        finally ls.close()
+      val conf = spark.sessionState.newHadoopConf()
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala
+          val per = blocks.map { b =>
+            val cols = b.getColumns.asScala
+            def stat(path: Seq[String]) = cols.find(
+              _.getPath.toArray.toSeq == path).map(_.getStatistics)
+            (stat(Seq("kafka", "topic")), stat(Seq("kafka", "offset"))) match {
+              case (Some(ts), Some(os))
+                  if ts != null && os != null && !ts.isEmpty && !os.isEmpty &&
+                    ts.hasNonNullValue && os.hasNonNullValue &&
+                    ts.getNumNulls == 0 && os.getNumNulls == 0 =>
+                val tMin = ts.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                val tMax = ts.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                Some((tMin, tMax, os.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+              case _ => None
+            }
+          }
+          val to =
+            if (per.isEmpty || per.exists(_.isEmpty)) None
+            else Some((per.map(_.get._1).min, per.map(_.get._2).max,
+              per.map(_.get._3).max))
+          FileFooter(r.getRecordCount, to)
+        } finally r.close()
+      }
+    })
+
+  /** Segment row count from the parquet footers (driver metadata, cached). */
+  def segmentRows(seg: String): Long = segmentFooters(seg).map(_.rows).sum
 
   /** Committed segments holding at most `maxRows` rows (footer metadata) —
     * the fold candidates for leveled compaction. */
@@ -229,13 +262,35 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     // that was not the commit point — phantom versions are worse than a
     // gap. Snapshots are metadata (a few segment names per commit);
     // their data dirs live until vacuum, which prunes unreadable
-    // versions with them.
+    // versions with them. Numbering comes from the NEXT counter file,
+    // never from the surviving snapshots: vacuum may prune every
+    // snapshot, and a restarted count would let readAt(v) resolve an
+    // OLD pinned version to an unrelated later state — numbers must be
+    // spent once, forever. (The counter also keeps commits O(1): no
+    // directory listing per commit.)
     val vDir = root.resolve(VersionsDir)
     Files.createDirectories(vDir)
+    val n = nextVersionNumber(vDir)
     val vTmp = vDir.resolve(s".v.tmp.${System.nanoTime()}")
     Files.write(vTmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(vTmp, vDir.resolve(f"v${version() + 1}%012d"),
+    Files.move(vTmp, vDir.resolve(f"v$n%012d"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val cTmp = vDir.resolve(s".c.tmp.${System.nanoTime()}")
+    Files.write(cTmp, (n + 1).toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(cTmp, vDir.resolve(VersionCounterFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // The next unused version number: the counter file when present, else
+  // one past the highest surviving snapshot (pre-counter pools), floored
+  // at 1. max() of both guards a counter file lost to manual meddling.
+  private def nextVersionNumber(vDir: Path): Long = {
+    val counter = vDir.resolve(VersionCounterFile)
+    val fromCounter =
+      if (Files.exists(counter))
+        Files.readString(counter, StandardCharsets.UTF_8).trim.toLong
+      else 1L
+    math.max(fromCounter, version() + 1)
   }
 
   /** All recorded snapshot versions, ascending (empty for a pool that has
@@ -404,19 +459,26 @@ final class Pool private (val spark: SparkSession, val root: Path) {
         groupSchema.fields ++ missingTop)
       // the KEEP side needs the null-safe form (a null predicate keeps
       // the row — SQL DELETE semantics); pushdown loss is irrelevant
-      // here, an affected segment is fully read for its rewrite anyway
+      // here, an affected segment is fully read for its rewrite anyway.
+      // Persisted for the write: repartitionByRange SAMPLES its input, so
+      // an uncached keep plan would read the affected segments twice (the
+      // append() rationale; targeted deletes rewrite few segments by
+      // premise, so the materialization is bounded and spills if not).
       val keep = spark.read.schema(scanSchema)
         .parquet(group.map(s => root.resolve(s).toString): _*)
         .filter(!coalesce(pred, lit(false)))
         .select(groupSchema.fieldNames.map(col).toSeq: _*)
-      val seg = f"delete-${System.nanoTime()}%x"
-      keep
-        .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
-        .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
-        .write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(seg).toString)
-      // fully-deleted group: metadata-count the rewrite, drop it if empty
-      if (spark.read.parquet(root.resolve(seg).toString).count() == 0L) None
-      else Some(seg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seg = f"delete-${System.nanoTime()}%x"
+        keep
+          .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
+          .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
+          .write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(seg).toString)
+        // fully-deleted group: metadata-count the rewrite, drop it if empty
+        if (spark.read.parquet(root.resolve(seg).toString).count() == 0L) None
+        else Some(seg)
+      } finally keep.unpersist()
     }
     synchronized {
       replaceManifest(committedSegments().filterNot(affected) ++ newSegs)
@@ -472,48 +534,6 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       .groupBy(col("kafka.topic").as("topic"))
       .agg(max(col("kafka.offset")).as("offset"))
 
-  // Per-file footer stats for the resume-offset fast path, cached per
-  // segment (immutable): (topicMin, topicMax, offsetMax) per parquet file,
-  // None for a file whose footer lacks usable stats. Driver metadata only.
-  private val segOffsetStats = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[Option[(String, String, Long)]]]
-  private def offsetStats(seg: String): Seq[Option[(String, String, Long)]] =
-    segOffsetStats.getOrElseUpdate(seg, {
-      val ls = Files.list(root.resolve(seg))
-      val files =
-        try ls.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-        finally ls.close()
-      val conf = spark.sessionState.newHadoopConf()
-      files.map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.toUri), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try {
-          val blocks = r.getFooter.getBlocks.asScala
-          val per = blocks.map { b =>
-            val cols = b.getColumns.asScala
-            def stat(path: Seq[String]) = cols.find(
-              _.getPath.toArray.toSeq == path).map(_.getStatistics)
-            (stat(Seq("kafka", "topic")), stat(Seq("kafka", "offset"))) match {
-              case (Some(ts), Some(os))
-                  if ts != null && os != null && !ts.isEmpty && !os.isEmpty &&
-                    ts.hasNonNullValue && os.hasNonNullValue =>
-                val tMin = ts.genericGetMin
-                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                val tMax = ts.genericGetMax
-                  .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                Some((tMin, tMax, os.genericGetMax.asInstanceOf[java.lang.Long].longValue))
-              case _ => None
-            }
-          }
-          if (per.isEmpty || per.exists(_.isEmpty)) None
-          else Some((per.map(_.get._1).min, per.map(_.get._2).max,
-            per.map(_.get._3).max))
-        } finally r.close()
-      }
-    })
-
   /** Resume offset for one topic: committed max + 1, or `earliest` (−2) when
     * the pool holds nothing for the topic (fifo/lake.go:62-82,
     * etl/pool.go:20-22). Checkpoint-free recovery: consumer state lives in
@@ -542,7 +562,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     }
 
   private def nextOffsetFromFooters(topic: String): Option[Long] = {
-    val perFile = committedSegments().flatMap(offsetStats)
+    val perFile = committedSegments().flatMap(segmentFooters).map(_.topicOffset)
     if (perFile.exists(_.isEmpty)) return None // a file without stats
     val known = perFile.map(_.get)
     // ambiguous: a file spanning topics (a range boundary) — bail rather
@@ -569,6 +589,9 @@ object Pool {
   /** Immutable per-commit manifest snapshots for [[Pool.readAt]] live
     * here; excluded from vacuum's segment-dir sweep. */
   val VersionsDir = "_versions"
+  /** Monotonic next-version counter inside [[VersionsDir]] — survives
+    * vacuum pruning every snapshot, so version numbers are never reused. */
+  val VersionCounterFile = "NEXT"
   /** Target rows per written segment file (append's file-count sizing) —
     * the balance point between the small-files hazard (a 32-way shuffle
     * write per few-hundred-k-row commit) and serializing the write into one

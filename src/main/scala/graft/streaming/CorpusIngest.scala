@@ -151,6 +151,10 @@ object CorpusIngest {
   def takedownNear(queries: DataFrame, corpus: Pool, idCol: String,
       textCol: String, n: Int = 3, numPerms: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): (Long, Long) = {
+    // a prior takedown (or delete) may have emptied the pool — nothing
+    // to match is a clean (0, 0), not a read error (the idempotency
+    // contract above)
+    if (corpus.isEmpty) return (0L, 0L)
     val matched = nearDuplicatesInPool(queries, corpus, idCol, textCol,
         n, numPerms, bands, threshold)
       .select(col("d2")).distinct().collect().map(_.get(0)).toSeq
@@ -260,11 +264,26 @@ object CorpusIngest {
   def compactSmallPool(corpus: Pool, idCol: String, textCol: String,
       sigParams: Option[(Int, Int)] = None,
       maxRows: Long = 1L << 22): Int = {
-    val smalls = corpus.smallSegments(maxRows)
-    smalls.groupBy(corpus.segmentSchema).valuesIterator
-      .filter(_.length >= 2)
-      .map(group => corpus.compactSegmentsWith(group,
-        backfillStored(_, textCol, sigParams)))
+    // a segment WITHOUT the stored columns is a fold candidate at ANY
+    // size: without this, a fat legacy segment (foreign append,
+    // pre-storage era) would never age into the stored era and every
+    // micro-batch's gates would re-derive from its text forever — the
+    // O(corpus)-per-batch term the stored columns exist to remove. The
+    // backfill makes the fold a one-time migration (its output carries
+    // fp/sig, so it never qualifies again).
+    def needsBackfill(sch: org.apache.spark.sql.types.StructType): Boolean =
+      !sch.fieldNames.contains("fp") ||
+        (sigParams.isDefined && !sch.fieldNames.contains("sig"))
+    val smalls = corpus.smallSegments(maxRows).toSet
+    corpus.committedSegments()
+      .filter(s => smalls.contains(s) || needsBackfill(corpus.segmentSchema(s)))
+      .groupBy(corpus.segmentSchema).toSeq
+      // stored-era smalls fold only with a partner (a lone fold is
+      // churn); a legacy-era group folds even alone (backfill IS the
+      // point, like compactWith's single-segment contract)
+      .filter { case (sch, group) => group.length >= 2 || needsBackfill(sch) }
+      .map { case (_, group) => corpus.compactSegmentsWith(group,
+        backfillStored(_, textCol, sigParams)) }
       .sum
   }
 

@@ -233,6 +233,9 @@ class CorpusIngestSpec extends AnyFunSuite {
 
   test("takedownNear deletes near-copies from the pool; the doc can re-land after") {
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus-td").toString)
+    // empty pool (fresh, or fully emptied by a prior takedown): clean (0, 0)
+    assert(CorpusIngest.takedownNear(
+      docs(1L -> "anything"), corpus, "doc_id", "text") == ((0L, 0L)))
     val session = new graft.streaming.CorpusIngestSession(
       corpus, "doc_id", "text", near = true)
     val base = "the quick brown fox jumps over the lazy dog near the old " +
@@ -317,6 +320,43 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == (0L until 10L) &&
       rows.map(_._2).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L, 13L))
     assert(session.ingest(docs(99L -> "a")) == 0, "dup still gated after folds")
+  }
+
+  test("leveled compaction backfills a fat legacy segment once, then leaves it alone") {
+    val root = Files.createTempDirectory("corpus-lbf")
+    val corpus = Pool.create(spark, root.toString)
+    // fat FOREIGN history: plain Pool.append, no stored fp column, above
+    // the fold bound — without backfill escalation the gates would
+    // re-derive from its text on every batch forever
+    val foreign = docs((1L to 6L).map(i => i -> s"legacy doc $i"): _*)
+    corpus.append(graft.pool.Envelope.wrap(foreign,
+      org.apache.spark.sql.functions.lit("corpus"), col("doc_id"),
+      org.apache.spark.sql.functions.lit(null).cast("string"),
+      Seq("doc_id", "text")))
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", compactEvery = 1, compactMaxRows = 3)
+    assert(session.ingest(docs(10L -> "novel a")) == 1)
+    // the tick folded the fat legacy segment (backfill escalation): every
+    // committed segment now carries the stored fp column, values total
+    val (withFp, without) = corpus.readPartitionedBySchema(_.fieldNames.contains("fp"))
+    assert(without.isEmpty, "no legacy-schema segment may remain after the tick")
+    assert(withFp.get.filter(col("fp").isNull).count() == 0)
+    // and the backfilled fat segment is not rewritten by later ticks
+    val fat = corpus.committedSegments().filter(s => corpus.segmentRows(s) > 3)
+    assert(fat.nonEmpty)
+    def files(seg: String) = {
+      val ls = Files.list(root.resolve(seg))
+      try ls.iterator().asScala
+        .map(f => f.getFileName.toString -> Files.getLastModifiedTime(f)).toMap
+      finally ls.close()
+    }
+    val before = fat.map(s => s -> files(s)).toMap
+    assert(session.ingest(docs(11L -> "novel b")) == 1)
+    assert(session.ingest(docs(12L -> "novel c")) == 1)
+    fat.foreach(s => assert(files(s) == before(s),
+      s"backfilled fat segment $s must not be rewritten again"))
+    // duplicates of the legacy docs still gate through the stored columns
+    assert(session.ingest(docs(99L -> "legacy doc 3")) == 0)
   }
 
   test("streaming end-to-end: micro-batches of files dedup-ingest into the pool") {

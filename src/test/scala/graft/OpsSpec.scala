@@ -571,25 +571,27 @@ class OpsSpec extends AnyFunSuite {
 
     // targeted delete: only the cells holding the ids are rewritten; the
     // deleted vector stops being a neighbor, the rest still answer
+    def listDir[A](dir: java.nio.file.Path)(f: Iterator[java.nio.file.Path] => A): A = {
+      val ls = java.nio.file.Files.list(dir)
+      try f(ls.iterator().asScala) finally ls.close()
+    }
     val cellBDir = java.nio.file.Paths.get(path, "assigned")
-    val untouched = java.nio.file.Files.list(cellBDir).iterator().asScala
+    val untouched = listDir(cellBDir)(_
       .filter(p => p.getFileName.toString.startsWith("centroid_id="))
-      .map(p => p.getFileName.toString ->
-        java.nio.file.Files.list(p).iterator().asScala
-          .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
-          .toMap)
-      .toMap
+      .map(p => p.getFileName.toString -> listDir(p)(_
+        .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap))
+      .toMap)
     val delIds = spark.createDataFrame(Seq(Row(3L)).asJava,
       StructType.fromDDL("vec_id bigint"))
     assert(idx.delete(delIds) == 1L)
     assert(idxTop1(1) == Seq(1L), "deleted vector must not be retrieved")
     assert(idxTop1(2) == Seq(2L))
     // vec 3 lived in cell A (centroid 100); cell B (101) must be untouched
-    val afterB = java.nio.file.Files.list(
-        java.nio.file.Paths.get(path, "assigned", "centroid_id=101"))
-      .iterator().asScala
+    val afterB = listDir(
+        java.nio.file.Paths.get(path, "assigned", "centroid_id=101"))(_
       .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
-      .toMap
+      .toMap)
     assert(afterB == untouched("centroid_id=101"),
       "cells not holding a deleted id must keep their files byte-identical")
     assert(idx.delete(delIds) == 0L, "delete is idempotent")

@@ -232,6 +232,26 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("version numbers are never reused, even after history is fully pruned") {
+    val dir = Files.createTempDirectory("pool-vc")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 300))  // v1
+    p.append(env.filter(col("kafka.offset") >= 300)) // v2
+    assert(p.version() == 2)
+    // simulate the crash-then-vacuum worst case: every snapshot gone
+    p.versions().foreach(v =>
+      Files.delete(dir.resolve(Pool.VersionsDir).resolve(f"v$v%012d")))
+    assert(p.versions().isEmpty)
+    // the NEXT counter spent 1 and 2 forever — the next commit must NOT
+    // restart numbering, or a consumer's pinned "v2" would later resolve
+    // to an unrelated corpus state
+    assert(p.compact() == 2) // v3
+    assert(p.versions() == Seq(3L), s"got ${p.versions()}")
+    intercept[IllegalArgumentException](p.readAt(2))
+    env.unpersist()
+  }
+
   test("rejects batches without the kafka.offset pool key") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val bad = Tables.load(spark, TestSpark.sf, "events")
