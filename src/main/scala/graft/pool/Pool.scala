@@ -281,16 +281,15 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  // The next unused version number: the counter file when present, else
-  // one past the highest surviving snapshot (pre-counter pools), floored
-  // at 1. max() of both guards a counter file lost to manual meddling.
+  // The next unused version number: the counter file when present (it is
+  // >= every snapshot number by construction, so no listing needed —
+  // commits stay O(1)); else one past the highest surviving snapshot
+  // (pre-counter pools, or a manually deleted counter).
   private def nextVersionNumber(vDir: Path): Long = {
     val counter = vDir.resolve(VersionCounterFile)
-    val fromCounter =
-      if (Files.exists(counter))
-        Files.readString(counter, StandardCharsets.UTF_8).trim.toLong
-      else 1L
-    math.max(fromCounter, version() + 1)
+    if (Files.exists(counter))
+      Files.readString(counter, StandardCharsets.UTF_8).trim.toLong
+    else version() + 1
   }
 
   /** All recorded snapshot versions, ascending (empty for a pool that has
