@@ -79,6 +79,29 @@ object PoolQueries {
              |       CAST(sum(user_id) AS BIGINT) AS sum_user
              |FROM events WHERE NOT (user_id % 5 = 0) GROUP BY event_type""".stripMargin)),
 
+    // footer-pruned range read (the reference's to-kafka resume scan
+    // shape, fifo/lake.go:84-92): only files whose stats admit the range
+    // are scanned, the residual filter keeps it exact
+    "pool_read_range" -> Q(
+      (s, d) => {
+        val dir = TempDirs.create("graft-pool-")
+        val p = Pool.create(s, dir)
+        val ev = Tables.load(s, d, "events")
+        val single = Envelope.wrap(ev, lit("events"), col("event_id"),
+          struct(col("user_id")).as("key"), Seq("event_id", "user_id", "value"))
+        p.append(single.filter(col("kafka.offset") < 500))
+        p.append(single.filter(col("kafka.offset") >= 500))
+        p.readRange("events", 200L, 700L)
+          .groupBy()
+          .agg(count(lit(1)).as("cnt"),
+            min(col("kafka.offset")).as("min_offset"),
+            max(col("kafka.offset")).as("max_offset"),
+            sum(col("value.user_id")).as("sum_user"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS cnt, min(event_id) AS min_offset,
+             |       max(event_id) AS max_offset, CAST(sum(user_id) AS BIGINT) AS sum_user
+             |FROM events WHERE event_id BETWEEN 200 AND 700""".stripMargin)),
+
     // snapshot time travel: a training run pinned at version v still reads
     // its exact corpus after a later targeted delete — v2 (pre-delete)
     // must aggregate like the full source, the current manifest like the

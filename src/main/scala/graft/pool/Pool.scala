@@ -101,13 +101,14 @@ final class Pool private (val spark: SparkSession, val root: Path) {
 
   // Per-file facts from the parquet FOOTERS — pure driver metadata (no
   // Spark job), one footer open per file, cached since segments are
-  // immutable. rows feeds compaction policy; topicOffset feeds the
-  // resume-offset fast path: (topic min, topic max, offset max), None
-  // when any stat is missing OR the file holds null-topic rows (stats
-  // exclude nulls, so a null-topic row could own the offset max and
-  // attribution would over-report — the fast path must not guess).
-  private case class FileFooter(rows: Long,
-      topicOffset: Option[(String, String, Long)])
+  // immutable. rows feeds compaction policy; stats feed the
+  // resume-offset fast path and range-read file pruning: (topic min,
+  // topic max, offset min, offset max), None when any stat is missing OR
+  // the file holds null topic/offset rows (stats exclude nulls, so a
+  // null-topic row could own the offset max and attribution would
+  // over-report — metadata paths must not guess).
+  private case class FileFooter(path: Path, rows: Long,
+      stats: Option[(String, String, Long, Long)])
   private val segFooters =
     scala.collection.concurrent.TrieMap.empty[String, Seq[FileFooter]]
   private def segmentFooters(seg: String): Seq[FileFooter] =
@@ -137,15 +138,17 @@ final class Pool private (val spark: SparkSession, val root: Path) {
                   .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
                 val tMax = ts.genericGetMax
                   .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
-                Some((tMin, tMax, os.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+                Some((tMin, tMax,
+                  os.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                  os.genericGetMax.asInstanceOf[java.lang.Long].longValue))
               case _ => None
             }
           }
           val to =
             if (per.isEmpty || per.exists(_.isEmpty)) None
             else Some((per.map(_.get._1).min, per.map(_.get._2).max,
-              per.map(_.get._3).max))
-          FileFooter(r.getRecordCount, to)
+              per.map(_.get._3).min, per.map(_.get._4).max))
+          FileFooter(f, r.getRecordCount, to)
         } finally r.close()
       }
     })
@@ -561,16 +564,50 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     }
 
   private def nextOffsetFromFooters(topic: String): Option[Long] = {
-    val perFile = committedSegments().flatMap(segmentFooters).map(_.topicOffset)
+    val perFile = committedSegments().flatMap(segmentFooters).map(_.stats)
     if (perFile.exists(_.isEmpty)) return None // a file without stats
     val known = perFile.map(_.get)
     // ambiguous: a file spanning topics (a range boundary) — bail rather
     // than reason about stats string ordering; single-topic pools and
     // cleanly-partitioned multi-topic pools never hit this
-    if (known.exists { case (tMin, tMax, _) => tMin != tMax }) return None
-    val maxes = known.collect { case (tMin, tMax, oMax)
+    if (known.exists { case (tMin, tMax, _, _) => tMin != tMax }) return None
+    val maxes = known.collect { case (tMin, tMax, _, oMax)
       if tMin == topic && tMax == topic => oMax }
     Some(if (maxes.isEmpty) KafkaOffsetEarliest else maxes.max + 1)
+  }
+
+  /** Read one topic restricted to `[fromOffset, toOffset]`, skipping whole
+    * FILES whose footer stats exclude the range — driver-side pruning on
+    * top of parquet's row-group pruning, for the reference's hot query
+    * shape (`kafka.topic=='T' kafka.offset >= hwm`, fifo/lake.go:84-92:
+    * the to-kafka resume scan). On a pool of thousands of committed
+    * segments, the scan lists and schedules only the files that can hold
+    * the range instead of every file ever committed; the residual filter
+    * keeps the result exact whatever the stats knew. Pruning rules are
+    * collation-free: a file is dropped only when it is single-topic for a
+    * DIFFERENT topic (string equality, no ordering) or its exact long
+    * offset range misses; files without usable stats are kept.
+    */
+  def readRange(topic: String, fromOffset: Long,
+      toOffset: Long = Long.MaxValue): DataFrame = {
+    val segs = committedSegments()
+    require(segs.nonEmpty, s"pool $root is empty")
+    val kept = segs.flatMap(segmentFooters).filter { ff =>
+      ff.stats match {
+        case Some((tMin, tMax, oMin, oMax)) =>
+          !(tMin == tMax && tMin != topic) &&
+            oMax >= fromOffset && oMin <= toOffset
+        case None => true // no stats — cannot prune, residual filter decides
+      }
+    }.map(_.path.toString)
+    val residual = col("kafka.topic") === topic &&
+      col("kafka.offset") >= fromOffset && col("kafka.offset") <= toOffset
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        mergedSchema(segs))
+    else
+      spark.read.schema(mergedSchema(segs)).parquet(kept: _*).filter(residual)
   }
 
   private def hasKafkaOffset(df: DataFrame): Boolean =

@@ -230,8 +230,9 @@ object StreamSync {
     val spark = pool.spark
     // order BEFORE encoding: encoders may project the kafka meta away,
     // and the row-codec map preserves partition order (README.md:141-152)
-    val ordered = pool.read()
-      .filter(col("kafka.topic") === topic && col("kafka.offset") >= highWaterMark)
+    // footer-pruned range scan: only the files that can hold the drain
+    // range are listed/scheduled (fifo/lake.go:84-92's query shape)
+    val ordered = pool.readRange(topic, highWaterMark)
       .orderBy(col("kafka.offset"))
     val encoded = encode(ordered)
     val schema = encoded.schema
@@ -272,8 +273,7 @@ object StreamSync {
       highWaterMark: Long,
       encode: DataFrame => DataFrame,
       sink: DataFrame => Unit): Long = {
-    val scoped = pool.read()
-      .filter(col("kafka.topic") === topic && col("kafka.offset") >= highWaterMark)
+    val scoped = pool.readRange(topic, highWaterMark)
     val produced = scoped.count()
     if (produced > 0) {
       val single = scoped

@@ -314,6 +314,46 @@ class PoolSpec extends AnyFunSuite {
     byTopic.foreach { case (t, m) => assert(multi.nextOffset(t) == m + 1) }
   }
 
+  test("readRange prunes files by footer stats and stays exact") {
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val single = Envelope.wrap(ev, lit("corpus"), col("event_id"),
+      struct(col("user_id")).as("key"), Seq("event_id", "user_id"))
+    val dir = Files.createTempDirectory("pool-rr")
+    val p = Pool.create(spark, dir.toString)
+    p.append(single.filter(col("kafka.offset") < 300))
+    p.append(single.filter(col("kafka.offset") >= 300 && col("kafka.offset") < 600))
+    p.append(single.filter(col("kafka.offset") >= 600))
+    val Seq(s0, s1, s2) = p.committedSegments()
+    def expect(lo: Long, hi: Long) = p.read()
+      .filter(col("kafka.offset") >= lo && col("kafka.offset") <= hi)
+      .select("kafka.offset").collect().map(_.getLong(0)).toSet
+    Seq((0L, 250L), (250L, 650L), (600L, Long.MaxValue), (0L, Long.MaxValue))
+      .foreach { case (lo, hi) =>
+        val got = p.readRange("corpus", lo, hi)
+          .select("kafka.offset").collect().map(_.getLong(0)).toSet
+        assert(got == expect(lo, hi), s"range [$lo, $hi]")
+      }
+    // file pruning: a range inside segment 3 must not list the others
+    val files = p.readRange("corpus", 700L).inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s2)),
+      s"only segment $s2's files may be scanned: ${files.toSeq}")
+    assert(p.readRange("absent", 0L).count() == 0)
+    // multi-topic pool: the spanning boundary file is kept, results exact
+    val multi = Pool.create(spark, Files.createTempDirectory("pool-rrm").toString)
+    multi.append(envelopes())
+    val topics = envelopes().select(col("kafka.topic")).distinct()
+      .collect().map(_.getString(0))
+    topics.foreach { t =>
+      val got = multi.readRange(t, 100L, 800L)
+        .select("kafka.offset").collect().map(_.getLong(0)).toSet
+      val want = multi.read()
+        .filter(col("kafka.topic") === t &&
+          col("kafka.offset") >= 100L && col("kafka.offset") <= 800L)
+        .select("kafka.offset").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"topic $t")
+    }
+  }
+
   test("maxOffsetsByTopic matches a direct aggregation") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     p.append(envelopes())
