@@ -274,13 +274,17 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     val vDir = root.resolve(VersionsDir)
     Files.createDirectories(vDir)
     val n = nextVersionNumber(vDir)
-    val vTmp = vDir.resolve(s".v.tmp.${System.nanoTime()}")
-    Files.write(vTmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(vTmp, vDir.resolve(f"v$n%012d"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // SPEND the number before the snapshot exists: a crash between the
+    // two moves then costs a numbering gap (harmless, documented above),
+    // never a reused number — the reverse order would let a restart
+    // overwrite a committed snapshot an old consumer already pinned
     val cTmp = vDir.resolve(s".c.tmp.${System.nanoTime()}")
     Files.write(cTmp, (n + 1).toString.getBytes(StandardCharsets.UTF_8))
     Files.move(cTmp, vDir.resolve(VersionCounterFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val vTmp = vDir.resolve(s".v.tmp.${System.nanoTime()}")
+    Files.write(vTmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(vTmp, vDir.resolve(f"v$n%012d"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -434,7 +438,8 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   def deleteWhere(pred: org.apache.spark.sql.Column): Long = {
     val segs = committedSegments()
     if (segs.isEmpty) return 0L
-    val merged = mergedSchema(segs)
+    // driver-side superset merge from cached footers (no mergeSchema job)
+    val merged = SchemaUnion.merge(segs.map(segmentSchema))
     // pass 1 filters on `pred` DIRECTLY — null never passes a filter, so
     // the semantics equal coalesce(pred, false), but unlike the coalesce
     // wrapper the bare predicate stays translatable into parquet
@@ -602,12 +607,16 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     }.map(_.path.toString)
     val residual = col("kafka.topic") === topic &&
       col("kafka.offset") >= fromOffset && col("kafka.offset") <= toOffset
+    // superset schema merged DRIVER-side from cached footers — the
+    // mergeSchema option would run a footer job over EVERY pool file per
+    // manifest change, the exact cost this method exists to avoid (the
+    // readPartitionedBySchema rationale)
+    val schema = SchemaUnion.merge(segs.map(segmentSchema))
     if (kept.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        mergedSchema(segs))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(mergedSchema(segs)).parquet(kept: _*).filter(residual)
+      spark.read.schema(schema).parquet(kept: _*).filter(residual)
   }
 
   private def hasKafkaOffset(df: DataFrame): Boolean =

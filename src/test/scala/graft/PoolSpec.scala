@@ -249,6 +249,12 @@ class PoolSpec extends AnyFunSuite {
     assert(p.compact() == 2) // v3
     assert(p.versions() == Seq(3L), s"got ${p.versions()}")
     intercept[IllegalArgumentException](p.readAt(2))
+    // a numbering gap (crash between the counter and snapshot moves —
+    // the counter is spent FIRST) is tolerated: numbering just jumps
+    Files.write(dir.resolve(Pool.VersionsDir).resolve(Pool.VersionCounterFile),
+      "10".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p.append(env.filter(col("kafka.offset") < 100))
+    assert(p.version() == 10L, s"got ${p.version()}")
     env.unpersist()
   }
 
