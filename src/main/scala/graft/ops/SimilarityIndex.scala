@@ -158,6 +158,48 @@ object SimilarityIndex {
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(idList)
   }
 
+  /** Fold the multi-file cells of a `centroid_id`-partitioned table back
+    * to one file each: every [[IvfIndex.append]] adds a file per touched
+    * cell, and thousands of appends recreate the small-files hazard pool
+    * compaction exists for (listing time, sub-stats row groups). Cells
+    * with at most `maxFiles` files are left byte-identical — only the
+    * fragmented cells are read and rewritten (dynamic partition
+    * overwrite), so the cost is O(fragmented cells), not O(index).
+    * Returns the number of cells compacted.
+    */
+  private def compactCellTable(tablePath: String, table: DataFrame,
+      maxFiles: Int): Int = {
+    val root = java.nio.file.Paths.get(tablePath)
+    if (!java.nio.file.Files.isDirectory(root)) return 0
+    def list[A](p: java.nio.file.Path)(f: Iterator[java.nio.file.Path] => A): A = {
+      val ls = java.nio.file.Files.list(p)
+      try f(ls.iterator().asScala) finally ls.close()
+    }
+    val fragmented = list(root)(_
+      .filter(p => p.getFileName.toString.startsWith("centroid_id="))
+      .filter(p => list(p)(_.count(_.getFileName.toString.endsWith(".parquet"))) > maxFiles)
+      .map(_.getFileName.toString.stripPrefix("centroid_id="))
+      .toSeq)
+    if (fragmented.isEmpty) return 0
+    // typed literals on the UNCAST partition column keep the read
+    // partition-pruned to the fragmented cells; repartition on the cell
+    // id gives dynamic overwrite one task per cell = one file per cell
+    val dt = table.schema("centroid_id").dataType
+    val hit = fragmented.map(v => col("centroid_id") === lit(v).cast(dt))
+      .reduce(_ || _)
+    val folded = table
+      .filter(hit)
+      .repartition(math.max(1, fragmented.size), col("centroid_id"))
+      .localCheckpoint(true) // sever lineage: the overwrite reads this path
+    try {
+      folded.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("centroid_id")
+        .parquet(tablePath)
+      fragmented.size
+    } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(folded)
+  }
+
   final class IvfPqIndex private[SimilarityIndex] (spark: SparkSession,
       path: String, idCol: String, vecCol: String) {
     val centroids: DataFrame = spark.read.parquet(s"$path/centroids")
@@ -197,6 +239,13 @@ object SimilarityIndex {
         .select(col(idCol), col("centroid_id"), col("codes"))
         .write.mode("append").partitionBy("centroid_id")
         .parquet(s"$path/encoded")
+
+    /** Fold fragmented cells (more than `maxFiles` files from repeated
+      * [[append]]s) back to one file each; other cells stay
+      * byte-identical ([[compactCellTable]]). Returns cells compacted.
+      */
+    def compactCells(maxFiles: Int = 4): Int =
+      compactCellTable(s"$path/encoded", encoded, maxFiles)
   }
 
   final class IvfIndex private[SimilarityIndex] (spark: SparkSession,
@@ -235,5 +284,12 @@ object SimilarityIndex {
       */
     def delete(ids: DataFrame): Long =
       deleteFromCellTable(s"$path/assigned", assigned, idCol, ids)
+
+    /** Fold fragmented cells (more than `maxFiles` files from repeated
+      * [[append]]s) back to one file each; other cells stay
+      * byte-identical ([[compactCellTable]]). Returns cells compacted.
+      */
+    def compactCells(maxFiles: Int = 4): Int =
+      compactCellTable(s"$path/assigned", assigned, maxFiles)
   }
 }

@@ -605,6 +605,44 @@ class OpsSpec extends AnyFunSuite {
     assert(idxTop1(2) == Seq(1L))
   }
 
+  test("index cell compaction folds fragmented cells, leaves the rest byte-identical") {
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(Seq(
+      Row(100L, Seq(1.0, 0.0)), Row(101L, Seq(0.0, 1.0)), // centroids
+      Row(1L, Seq(0.9, 0.1)), Row(2L, Seq(0.1, 0.9))).asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    val path = java.nio.file.Files.createTempDirectory("ivf-cc").toString
+    graft.ops.SimilarityIndex.buildIvfFromCentroids(
+      df.filter(col("vec_id") < 100L), df.filter(col("vec_id") >= 100L),
+      "vec_id", "v", path)
+    val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+    // six appends into cell A only → A fragments, B untouched
+    (0 until 6).foreach { i =>
+      idx.append(spark.createDataFrame(
+        Seq(Row(10L + i, Seq(0.95, 0.05 + i * 0.001))).asJava,
+        StructType.fromDDL("vec_id bigint, v array<double>")))
+    }
+    def files(cell: String) = {
+      val ls = java.nio.file.Files.list(
+        java.nio.file.Paths.get(path, "assigned", cell))
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
+      finally ls.close()
+    }
+    assert(files("centroid_id=100").size > 4)
+    val bBefore = files("centroid_id=101")
+    val q = df.filter(col("vec_id") === 1L)
+    val before = idx.topK(q, k = 5).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(idx.compactCells(maxFiles = 4) == 1)
+    assert(files("centroid_id=100").size == 1, "fragmented cell folds to one file")
+    assert(files("centroid_id=101") == bBefore, "quiet cell keeps its files")
+    val after = idx.topK(q, k = 5).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(after == before, "compaction changes no answer")
+    assert(idx.compactCells(maxFiles = 4) == 0, "nothing left to fold")
+  }
+
   test("persisted IVF-PQ index appends new codes against the frozen models") {
     import org.apache.spark.sql.types._
     // two obvious clusters in 4-d; m=2 subspaces of 2 dims each
