@@ -1134,6 +1134,55 @@ object OpsQueries {
            |  FROM pairs)
            |WHERE rank <= 3""".stripMargin)),
 
+    // near-dup-GATED vector ingest: the index's stored vectors are the
+    // landed state; a batch vector drops when a landed vector in its
+    // probed cell scores cosine >= threshold (planted 1.01-scaled copies
+    // score exactly 1.0) or a lower-id batch mate in the same cell does.
+    // The oracle replays both gates from scratch
+    "sim_index_ingest_near" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val landed = base.filter(col("vec_id") < 300)
+        val path = TempDirs.create("graft-ivf-ing-")
+        graft.ops.SimilarityIndex.buildIvfFromCentroids(
+          landed, base.filter(col("vec_id") < 8), "vec_id", "v", path)
+        val idx = graft.ops.SimilarityIndex.loadIvf(s, path, "vec_id", "v")
+        val batch = base.filter(col("vec_id") >= 300 && col("vec_id") < 340)
+          .unionByName(landed.filter(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 900000).as("vec_id"), col("label"),
+              transform(col("v"), x => x * lit(1.01)).as("v")))
+        idx.ingestNear(batch, threshold = 0.95)
+        idx.assigned.filter(col("vec_id") >= 300)
+          .select(col("vec_id"), col("centroid_id").cast("long").as("cell"))
+      },
+      Some(embBaseSql +
+        s""", cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base WHERE vec_id < 8),
+           |landed AS (SELECT vec_id, v FROM base WHERE vec_id < 300),
+           |batch AS (SELECT vec_id, v FROM base WHERE vec_id >= 300 AND vec_id < 340
+           |          UNION ALL
+           |          SELECT vec_id + 900000, list_transform(v, x -> x * 1.01)
+           |          FROM base WHERE vec_id < 300 AND vec_id % 50 = 0),
+           |la AS (SELECT vec_id, v, centroid_id FROM (
+           |  SELECT l.vec_id, l.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY l.vec_id
+           |                            ORDER BY ${cos("l.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM landed l CROSS JOIN cent c) WHERE rn = 1),
+           |ba AS (SELECT vec_id, v, centroid_id FROM (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM batch b CROSS JOIN cent c) WHERE rn = 1),
+           |dropsL AS (SELECT DISTINCT b.vec_id FROM ba b
+           |           JOIN la l ON b.centroid_id = l.centroid_id
+           |           WHERE ${cos("b.v", "l.v")} >= 0.95),
+           |dropsB AS (SELECT DISTINCT hi.vec_id FROM ba hi
+           |           JOIN ba lo ON hi.centroid_id = lo.centroid_id
+           |                     AND lo.vec_id < hi.vec_id
+           |           WHERE ${cos("hi.v", "lo.v")} >= 0.95)
+           |SELECT vec_id, centroid_id AS cell FROM ba
+           |WHERE vec_id NOT IN (SELECT vec_id FROM dropsL
+           |                     UNION SELECT vec_id FROM dropsB)""".stripMargin)),
+
     // IVF search with label metadata riding the top-k payload struct
     "sim_ivf_topk_meta" -> Q(
       (s, d) => {

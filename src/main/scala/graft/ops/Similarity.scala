@@ -477,7 +477,7 @@ object Similarity {
     * otherwise). Returns (assigned queries with query_id/qv/centroid_id,
     * the store pruned to the probed cells).
     */
-  private def probeCells(store: DataFrame, queries: DataFrame,
+  private[ops] def probeCells(store: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       nprobe: Int): (DataFrame, DataFrame) = {
     val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))

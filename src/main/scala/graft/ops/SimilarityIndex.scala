@@ -291,5 +291,51 @@ object SimilarityIndex {
       */
     def compactCells(maxFiles: Int = 4): Int =
       compactCellTable(s"$path/assigned", assigned, maxFiles)
+
+    /** Near-dup-GATED incremental indexing — the embedding twin of the
+      * corpus-ingest near gate: a new vector lands only if no LANDED
+      * vector in its `nprobe` probed cells scores cosine ≥ `threshold`
+      * against it, and within the batch the lower id survives any near
+      * pair sharing a probed cell (the incremental-near-dup discipline).
+      * The index's own stored vectors ARE the landed state — no side
+      * table — so replay is idempotent for free: an exact (or scaled)
+      * copy scores cosine 1.0 against its landed twin and drops.
+      *
+      * Scale: the gate reads only the batch's probed cell PARTITIONS
+      * (file skipping via the collected ≤ batch-cells id list, the topK
+      * probe's machinery); the landed side never shuffles — the
+      * batch-sized assigned queries broadcast into the cell join. The
+      * survivor append is [[append]], O(batch). `nprobe` is the recall
+      * knob: near-dups hiding across a cell boundary need nprobe > 1,
+      * exactly as in search.
+      *
+      * @return number of vectors appended (batch minus gated drops).
+      */
+    def ingestNear(vectors: DataFrame, threshold: Double,
+        nprobe: Int = 1): Long = {
+      val (aq, pruned) = Similarity.probeCells(assigned, vectors,
+        centroids.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe)
+      val landedHits = aq
+        .join(pruned.select(col(vecCol).as("cv"), col("centroid_id")),
+          Seq("centroid_id"))
+        .filter(Similarity.cosine(col("qv"), col("cv")) >= threshold)
+        .select(col("query_id"))
+      val inBatchHits = aq.select(col("query_id").as("_hi"), col("qv").as("_hv"),
+          col("centroid_id"))
+        .join(aq.select(col("query_id").as("_lo"), col("qv").as("_lv"),
+          col("centroid_id")), Seq("centroid_id"))
+        .filter(col("_lo") < col("_hi") &&
+          Similarity.cosine(col("_hv"), col("_lv")) >= threshold)
+        .select(col("_hi").as("query_id"))
+      val drops = landedHits.unionByName(inBatchHits).distinct()
+        .withColumnRenamed("query_id", idCol)
+      val survivors = vectors.join(drops, Seq(idCol), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = survivors.count()
+        if (n > 0) append(survivors)
+        n
+      } finally survivors.unpersist()
+    }
   }
 }

@@ -643,6 +643,41 @@ class OpsSpec extends AnyFunSuite {
     assert(idx.compactCells(maxFiles = 4) == 0, "nothing left to fold")
   }
 
+  test("gated vector ingest drops landed near-dups and in-batch pairs; replay no-ops") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    def vecs(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava, sch)
+    val cents = vecs(100L -> Seq(1.0, 0.0), 101L -> Seq(0.0, 1.0))
+    val landed = vecs(1L -> Seq(0.95, 0.31))
+    val path = java.nio.file.Files.createTempDirectory("ivf-ing").toString
+    graft.ops.SimilarityIndex.buildIvfFromCentroids(landed, cents, "vec_id", "v", path)
+    val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+    val batch = vecs(
+      10L -> Seq(1.90, 0.62),  // 2 x landed 1: cosine 1.0 -> drops
+      11L -> Seq(0.31, 0.95),  // cell B, novel -> lands
+      12L -> Seq(0.62, 1.90),  // 2 x batch 11, same cell, higher id -> drops
+      13L -> Seq(0.99, 0.14))  // cell A, cos vs landed ~0.984 < cut -> lands
+    assert(idx.ingestNear(batch, threshold = 0.995) == 2L)
+    def ids() = idx.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids() == Set(1L, 11L, 13L))
+    // replay: every batch member now scores 1.0 against itself or its twin
+    assert(idx.ingestNear(batch, threshold = 0.995) == 0L)
+    assert(ids() == Set(1L, 11L, 13L))
+
+    // nprobe recall knob: a near-dup hiding in the query's SECOND cell
+    // slips past nprobe=1 and is caught by nprobe=2
+    def fresh() = {
+      val p2 = java.nio.file.Files.createTempDirectory("ivf-ing2").toString
+      graft.ops.SimilarityIndex.buildIvfFromCentroids(
+        vecs(2L -> Seq(0.70, 0.7141)), cents, "vec_id", "v", p2) // cell B
+      graft.ops.SimilarityIndex.loadIvf(spark, p2, "vec_id", "v")
+    }
+    val inc = vecs(20L -> Seq(0.75, 0.66)) // assigns to cell A; cos vs 2 ~ 0.997
+    assert(fresh().ingestNear(inc, threshold = 0.995, nprobe = 1) == 1L)
+    assert(fresh().ingestNear(inc, threshold = 0.995, nprobe = 2) == 0L)
+  }
+
   test("persisted IVF-PQ index appends new codes against the frozen models") {
     import org.apache.spark.sql.types._
     // two obvious clusters in 4-d; m=2 subspaces of 2 dims each
