@@ -200,6 +200,32 @@ object SimilarityIndex {
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(folded)
   }
 
+  /** Continuous-ANN driver loop — the [[graft.streaming.CorpusIngestSession]]
+    * twin for vectors: each batch runs the near-dup gate
+    * ([[IvfIndex.ingestNear]]) and every `compactEvery` appending batches
+    * folds the cells the appends fragmented ([[IvfIndex.compactCells]]).
+    * All state lives in the index itself (the gate probes stored
+    * vectors), so the session object is just cadence. Not thread-safe:
+    * one session drives one index from one loop.
+    */
+  final class VectorIngestSession(idx: IvfIndex, threshold: Double,
+      nprobe: Int = 1, compactEvery: Int = 0, compactMaxFiles: Int = 4) {
+    private var appendsSinceCompact = 0
+
+    /** Gate + append one batch; returns vectors appended. */
+    def ingest(vectors: DataFrame): Long = {
+      val n = idx.ingestNear(vectors, threshold, nprobe)
+      if (compactEvery > 0 && n > 0) {
+        appendsSinceCompact += 1
+        if (appendsSinceCompact >= compactEvery) {
+          idx.compactCells(compactMaxFiles)
+          appendsSinceCompact = 0
+        }
+      }
+      n
+    }
+  }
+
   final class IvfPqIndex private[SimilarityIndex] (spark: SparkSession,
       path: String, idCol: String, vecCol: String) {
     val centroids: DataFrame = spark.read.parquet(s"$path/centroids")

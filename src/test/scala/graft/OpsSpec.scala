@@ -671,11 +671,27 @@ class OpsSpec extends AnyFunSuite {
       val p2 = java.nio.file.Files.createTempDirectory("ivf-ing2").toString
       graft.ops.SimilarityIndex.buildIvfFromCentroids(
         vecs(2L -> Seq(0.70, 0.7141)), cents, "vec_id", "v", p2) // cell B
-      graft.ops.SimilarityIndex.loadIvf(spark, p2, "vec_id", "v")
+      (graft.ops.SimilarityIndex.loadIvf(spark, p2, "vec_id", "v"), p2)
     }
     val inc = vecs(20L -> Seq(0.75, 0.66)) // assigns to cell A; cos vs 2 ~ 0.997
-    assert(fresh().ingestNear(inc, threshold = 0.995, nprobe = 1) == 1L)
-    assert(fresh().ingestNear(inc, threshold = 0.995, nprobe = 2) == 0L)
+    assert(fresh()._1.ingestNear(inc, threshold = 0.995, nprobe = 1) == 1L)
+    assert(fresh()._1.ingestNear(inc, threshold = 0.995, nprobe = 2) == 0L)
+
+    // the session wrapper: gate + periodic cell compaction in one loop
+    val (sIdx, sPath) = fresh()
+    val session = new graft.ops.SimilarityIndex.VectorIngestSession(
+      sIdx, threshold = 0.995, compactEvery = 2, compactMaxFiles = 1)
+    assert(session.ingest(vecs(30L -> Seq(0.0, 1.0))) == 1L)   // cell B
+    assert(session.ingest(vecs(31L -> Seq(0.45, 0.9))) == 1L)  // cell B, cos vs 30 ~0.89
+    val bFiles = {
+      val ls = java.nio.file.Files.list(
+        java.nio.file.Paths.get(sPath, "assigned", "centroid_id=101"))
+      try ls.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally ls.close()
+    }
+    assert(bFiles == 1, s"the compaction tick must fold cell B, got $bFiles files")
+    assert(session.ingest(vecs(32L -> Seq(0.46, 0.9))) == 0L,  // ~dup of 31
+      "gate still exact after the fold")
   }
 
   test("persisted IVF-PQ index appends new codes against the frozen models") {
