@@ -102,5 +102,18 @@ class ReadmeExampleSpec extends AnyFunSuite {
     index.append(newVecs)                              // O(batch), models frozen
     val revokedVecIds = newVecs.select("vec_id")
     assert(index.delete(revokedVecIds) == 10L)         // rewrites only their cells
+
+    // continuous ANN: near-dup-gated ingest into a raw IVF index
+    val rawPath = java.nio.file.Files.createTempDirectory("readme-raw").toString
+    graft.ops.SimilarityIndex.buildIvf(embs, "vec_id", "v", k = 8, iters = 2,
+      path = rawPath)
+    val vSession = new graft.ops.SimilarityIndex.VectorIngestSession(
+      graft.ops.SimilarityIndex.loadIvf(spark, rawPath, "vec_id", "v"),
+      threshold = 0.98, nprobe = 2, compactEvery = 64)
+    val dailyVecBatches = Seq(
+      embs.filter($"vec_id" < 10)                      // replays: all drop
+        .select(($"vec_id" + 700000).as("vec_id"), $"v"))
+    assert(dailyVecBatches.map(vSession.ingest).sum == 0L,
+      "verbatim replays must be gated out")
   }
 }
