@@ -258,6 +258,57 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("randomized lifecycle: every surviving snapshot reads its exact recorded state") {
+    val rnd = new scala.util.Random(20260815L) // pinned seed, replayable
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    val single = Envelope.wrap(ev, lit("corpus"), col("event_id"),
+      struct(col("user_id")).as("key"), Seq("event_id", "user_id")).persist()
+    val userOf = ev.select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allOffsets = userOf.keySet
+    val p = Pool.create(spark, Files.createTempDirectory("pool-life").toString)
+
+    var current = Set.empty[Long] // model: offsets present in the pool
+    var nextLo = 0L               // appends take disjoint offset ranges
+    val recorded = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    (1 to 10).foreach { _ =>
+      rnd.nextInt(3) match {
+        case 0 => // append the next random-width disjoint offset range
+          val hi = nextLo + 50 + rnd.nextInt(200)
+          val slice = allOffsets.filter(o => o >= nextLo && o < hi)
+          if (slice.nonEmpty) {
+            p.append(single.filter(
+              col("kafka.offset") >= nextLo && col("kafka.offset") < hi))
+            current ++= slice
+          }
+          nextLo = hi
+        case 1 if current.nonEmpty => // delete by a random predicate
+          val m = 2 + rnd.nextInt(9)
+          p.deleteWhere(col("value.user_id") % m === 0)
+          current = current.filterNot(o => userOf(o) % m == 0)
+        case _ =>
+          p.compact()
+      }
+      if (p.version() > 0) recorded(p.version()) = current
+    }
+    // every surviving snapshot must reproduce its recorded state exactly
+    assert(p.versions().nonEmpty)
+    p.versions().filter(recorded.contains).foreach { v =>
+      val got = p.readAt(v).select("kafka.offset").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == recorded(v), s"version $v")
+    }
+    // vacuum prunes only, never corrupts: the survivors still agree
+    p.vacuum()
+    assert(p.versions().toSet.subsetOf(recorded.keySet))
+    p.versions().foreach { v =>
+      val got = p.readAt(v).select("kafka.offset").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == recorded(v), s"post-vacuum version $v")
+    }
+    single.unpersist()
+  }
+
   test("rejects batches without the kafka.offset pool key") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val bad = Tables.load(spark, TestSpark.sf, "events")
