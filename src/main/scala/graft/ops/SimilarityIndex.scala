@@ -200,6 +200,30 @@ object SimilarityIndex {
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(folded)
   }
 
+  /** Streaming entry for the gated vector ingest: each micro-batch of
+    * `vectors` (a streaming DataFrame) runs through one
+    * [[VectorIngestSession]] against the persisted index — the
+    * continuous-ANN loop as a Structured Streaming sink, the
+    * [[graft.streaming.CorpusIngest.startNear]] twin. Replay safety is
+    * the gate itself: a replayed batch's vectors score cosine 1.0
+    * against their landed twins and drop — state lives in the sink.
+    */
+  def startIngest(vectors: DataFrame, index: IvfIndex, threshold: Double,
+      checkpoint: String, nprobe: Int = 1, interval: String = "5 seconds",
+      compactEvery: Int = 0, compactMaxFiles: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val session = new VectorIngestSession(index, threshold, nprobe,
+      compactEvery, compactMaxFiles)
+    vectors.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        session.ingest(batch)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous-ANN driver loop — the [[graft.streaming.CorpusIngestSession]]
     * twin for vectors: each batch runs the near-dup gate
     * ([[IvfIndex.ingestNear]]) and every `compactEvery` appending batches

@@ -694,6 +694,32 @@ class OpsSpec extends AnyFunSuite {
       "gate still exact after the fold")
   }
 
+  test("streaming gated vector ingest: micro-batches of files index through one session") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    def vecs(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava, sch)
+    val path = java.nio.file.Files.createTempDirectory("ivf-stream").toString
+    graft.ops.SimilarityIndex.buildIvfFromCentroids(
+      vecs(1L -> Seq(0.9, 0.1)),
+      vecs(100L -> Seq(1.0, 0.0), 101L -> Seq(0.0, 1.0)), "vec_id", "v", path)
+    val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+    val inDir = java.nio.file.Files.createTempDirectory("vec-stream").toString
+    vecs(10L -> Seq(1.8, 0.2), 11L -> Seq(0.1, 0.9)) // 10 = 2x landed 1 → drops
+      .write.mode("append").parquet(inDir)
+    val q = graft.ops.SimilarityIndex.startIngest(
+      spark.readStream.schema(sch).parquet(inDir), idx, threshold = 0.995,
+      checkpoint = java.nio.file.Files.createTempDirectory("vckpt").toString,
+      interval = "1 seconds")
+    q.processAllAvailable()
+    vecs(12L -> Seq(0.2, 1.8), // 2x landed 11 → drops
+      13L -> Seq(0.7, 0.7)).write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+    val ids = idx.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 11L, 13L), s"got $ids")
+  }
+
   test("persisted IVF-PQ index appends new codes against the frozen models") {
     import org.apache.spark.sql.types._
     // two obvious clusters in 4-d; m=2 subspaces of 2 dims each
