@@ -142,16 +142,16 @@ object SimilarityIndex {
           .parquet(tablePath)
         // a fully-deleted cell is absent from the overwrite output, so
         // dynamic overwrite leaves its old files — drop the dir explicitly
+        // (through the path's Hadoop FileSystem: on an object store a
+        // local-FS delete would silently leave the files and the deleted
+        // vectors would KEEP being retrieved)
         val live = survivors.select(col("centroid_id")).distinct()
           .collect().map(_.get(0)).toSet
+        val hfs = new org.apache.hadoop.fs.Path(tablePath)
+          .getFileSystem(table.sparkSession.sessionState.newHadoopConf())
         cells.filterNot(live).foreach { c =>
-          val dir = java.nio.file.Paths.get(tablePath, s"centroid_id=$c")
-          if (java.nio.file.Files.exists(dir)) {
-            val walk = java.nio.file.Files.walk(dir)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(java.nio.file.Files.delete)
-            finally walk.close()
-          }
+          val dir = new org.apache.hadoop.fs.Path(tablePath, s"centroid_id=$c")
+          if (hfs.exists(dir)) hfs.delete(dir, true)
         }
         deleted
       } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(survivors)
@@ -169,17 +169,18 @@ object SimilarityIndex {
     */
   private def compactCellTable(tablePath: String, table: DataFrame,
       maxFiles: Int): Int = {
-    val root = java.nio.file.Paths.get(tablePath)
-    if (!java.nio.file.Files.isDirectory(root)) return 0
-    def list[A](p: java.nio.file.Path)(f: Iterator[java.nio.file.Path] => A): A = {
-      val ls = java.nio.file.Files.list(p)
-      try f(ls.iterator().asScala) finally ls.close()
-    }
-    val fragmented = list(root)(_
-      .filter(p => p.getFileName.toString.startsWith("centroid_id="))
-      .filter(p => list(p)(_.count(_.getFileName.toString.endsWith(".parquet"))) > maxFiles)
-      .map(_.getFileName.toString.stripPrefix("centroid_id="))
-      .toSeq)
+    // directory work goes through the path's HADOOP FileSystem, not
+    // java.nio: the index lives wherever the DataFrame writer put it
+    // (HDFS/object store at deployment scale), and a local-FS listing
+    // there would silently report "nothing fragmented" forever
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val hfs = root.getFileSystem(table.sparkSession.sessionState.newHadoopConf())
+    if (!hfs.exists(root)) return 0
+    val fragmented = hfs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .filter(s => hfs.listStatus(s.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("centroid_id="))
     if (fragmented.isEmpty) return 0
     // typed literals on the UNCAST partition column keep the read
     // partition-pruned to the fragmented cells; repartition on the cell
@@ -363,6 +364,27 @@ object SimilarityIndex {
       */
     def ingestNear(vectors: DataFrame, threshold: Double,
         nprobe: Int = 1): Long = {
+      // same-id duplicates inside one batch (an at-least-once upstream
+      // repeating a row) slip BOTH gates — the in-batch pair rule needs
+      // strictly ordered ids and the landed side holds neither copy yet —
+      // so collapse to one deterministic row per id first (the
+      // uniqPerContent discipline; arrays order lexicographically, so
+      // conflicting payloads under one id pick the minimum, not a
+      // partition-order coin flip). Persisted: the gate evaluates the
+      // batch several times (probe-cell collect, both gate joins, the
+      // survivor count) and a streaming source would re-scan per pass.
+      val cols = vectors.columns.toSeq
+      val batch = vectors
+        .groupBy(col(idCol))
+        .agg(min(struct(cols.filterNot(_ == idCol).map(col): _*)).as("_r"))
+        .select(col(idCol) +: cols.filterNot(_ == idCol).map(c => col(s"_r.$c")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ingestNearUniq(batch, threshold, nprobe)
+      finally batch.unpersist()
+    }
+
+    private def ingestNearUniq(vectors: DataFrame, threshold: Double,
+        nprobe: Int): Long = {
       val (aq, pruned) = Similarity.probeCells(assigned, vectors,
         centroids.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe)
       val landedHits = aq

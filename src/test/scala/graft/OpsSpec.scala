@@ -677,6 +677,13 @@ class OpsSpec extends AnyFunSuite {
     assert(fresh()._1.ingestNear(inc, threshold = 0.995, nprobe = 1) == 1L)
     assert(fresh()._1.ingestNear(inc, threshold = 0.995, nprobe = 2) == 0L)
 
+    // a row REPEATED under the same id inside one batch (at-least-once
+    // upstream) collapses to one appended copy, not two
+    val dup = vecs(40L -> Seq(0.6, 0.8), 40L -> Seq(0.6, 0.8))
+    val (dIdx, _) = fresh()
+    assert(dIdx.ingestNear(dup, threshold = 0.995) == 1L)
+    assert(dIdx.assigned.filter(col("vec_id") === 40L).count() == 1L)
+
     // the session wrapper: gate + periodic cell compaction in one loop
     val (sIdx, sPath) = fresh()
     val session = new graft.ops.SimilarityIndex.VectorIngestSession(
