@@ -79,6 +79,50 @@ object PoolQueries {
              |       CAST(sum(user_id) AS BIGINT) AS sum_user
              |FROM events WHERE NOT (user_id % 5 = 0) GROUP BY event_type""".stripMargin)),
 
+    // purge-mode delete (the DMCA/right-to-be-forgotten contract): after
+    // deleteWhere(purge = true) the pre-delete snapshot REFUSES to read,
+    // and the DISK ITSELF — every parquet file under the pool root,
+    // committed or not — holds exactly the surviving rows. The aggregate
+    // here reads the raw segment directories, not the manifest, so a
+    // purge that left a stale copy on disk (the retention footgun this
+    // mode exists to close) breaks the hash match
+    "pool_purge_delete" -> Q(
+      (s, d) => {
+        val dir = TempDirs.create("graft-pool-")
+        val p = Pool.create(s, dir)
+        val env = envelopes(s, d)
+        p.append(env.filter(col("kafka.offset") < 600))
+        p.append(env.filter(col("kafka.offset") >= 600))
+        val vPre = p.version()
+        p.deleteWhere(col("value.user_id") % 5 === 0, purge = true)
+        val refused = // time travel across the purge must be gone
+          try { p.readAt(vPre); 0L }
+          catch { case _: IllegalArgumentException => 1L }
+        val segDirs = {
+          val ls = Files.list(java.nio.file.Paths.get(dir))
+          try {
+            val it = ls.iterator()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) {
+              val q = it.next()
+              if (Files.isDirectory(q) &&
+                  q.getFileName.toString != Pool.VersionsDir)
+                b += q.toString
+            }
+            b.result()
+          } finally ls.close()
+        }
+        s.read.parquet(segDirs: _*)
+          .groupBy(col("kafka.topic").as("topic"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value.user_id")).as("sum_user"))
+          .withColumn("pre_snapshot_refused", lit(refused))
+      },
+      Some("""SELECT event_type AS topic, count(*) AS cnt,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_user,
+             |       CAST(1 AS BIGINT) AS pre_snapshot_refused
+             |FROM events WHERE NOT (user_id % 5 = 0) GROUP BY event_type""".stripMargin)),
+
     // footer-pruned range read (the reference's to-kafka resume scan
     // shape, fifo/lake.go:84-92): only files whose stats admit the range
     // are scanned, the residual filter keeps it exact

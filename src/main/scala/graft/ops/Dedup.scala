@@ -63,7 +63,7 @@ object Dedup {
     * fingerprints and the flagged incoming batch are persisted — the
     * might-contain flag is computed a single time per row and the
     * definitely-new / needs-verify split reads the cache), and `release()`
-    * unpersists both and destroys the Bloom broadcast so per-micro-batch
+    * unpersists both and releases the Bloom broadcast so per-micro-batch
     * use doesn't accumulate executor storage or broadcasts until the
     * ContextCleaner happens to run. Call `release()` only after the
     * returned frame is fully consumed — the output cannot be recomputed
@@ -116,7 +116,11 @@ object Dedup {
     val confirmedNew = flagged.filter(col("_mc"))
       .join(historyFps.select(col(fpCol).as("_fp")), Seq("_fp"), "left_anti")
     val out = definitelyNew.unionByName(confirmedNew).drop("_fp", "_mc")
-    (out, () => { flagged.unpersist(blocking = false); bfBc.destroy() })
+    // unpersist, not destroy: if a consumer's cached partition of `out` is
+    // recomputed after release (executor loss evicting the persist), the
+    // mightContain UDF re-runs against the broadcast — destroy() would
+    // fail that lineage re-execution; unpersist lets the driver re-deliver
+    (out, () => { flagged.unpersist(blocking = false); bfBc.unpersist(blocking = false) })
   }
 
   private def incrementalImpl(historyFps: DataFrame, incoming: DataFrame,
@@ -140,7 +144,9 @@ object Dedup {
         flagged.unpersist(blocking = false)
         hFp.unpersist(blocking = false)
       }
-      bfBc.destroy()
+      // unpersist, not destroy — the lineage-re-execution argument of
+      // [[incrementalNewDocsWithBloomManaged]]'s release
+      bfBc.unpersist(blocking = false)
     }
     (out, release)
   }

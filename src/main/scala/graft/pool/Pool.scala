@@ -1,7 +1,7 @@
 package graft.pool
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
@@ -27,7 +27,17 @@ import scala.jdk.CollectionConverters._
   * "transactionally consistent batch + markers in one commit" guarantee
   * (etl/pipeline.go:92-125, fifo/lake.go:58-60). On a real deployment the
   * same interface maps onto a table format with ACID appends; the manifest
-  * protocol here is self-contained and object-store-safe (one atomic rename).
+  * protocol here is self-contained.
+  *
+  * ALL metadata I/O goes through the root path's Hadoop `FileSystem` (and
+  * `FileContext` for the atomic rename-overwrite commits), so a pool lives
+  * wherever the DataFrame writer can put its segments — local disk, HDFS,
+  * or an object store — not just on the driver box. Rename semantics per
+  * store class (SCALING.md "pool commit protocol"): on HDFS/local,
+  * `FileContext.rename(OVERWRITE)` is the posix-atomic swap; on object
+  * stores, rename is copy+delete but the manifest is a SINGLE small object,
+  * so the swap is one last-writer-wins PUT — safe under the pool's
+  * single-writer rule, which is the contract either way.
   *
   * Concurrency: ONE writer per pool (commit is synchronized in-process;
   * cross-process concurrent writers would race the manifest rewrite). The
@@ -45,12 +55,40 @@ import scala.jdk.CollectionConverters._
 final class Pool private (val spark: SparkSession, val root: Path) {
   import Pool._
 
-  private def manifestPath: Path = root.resolve(ManifestFile)
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+  private val fs: FileSystem = root.getFileSystem(hadoopConf)
+  // FileContext gives rename-with-OVERWRITE (atomic on HDFS/local); built
+  // from the FileSystem's own URI so a scheme-less local root still binds
+  // to the local store, not fs.defaultFS
+  private lazy val fc: FileContext = FileContext.getFileContext(fs.getUri, hadoopConf)
+
+  private def manifestPath: Path = new Path(root, ManifestFile)
+  private def segPath(seg: String): Path = new Path(root, seg)
+
+  private def readString(p: Path): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, StandardCharsets.UTF_8)
+  }
+
+  private def parseLines(s: String): Seq[String] =
+    s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** Write-then-atomic-rename: the rename is the visibility point, so a
+    * reader never observes a half-written file whatever the store. */
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp.${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fc.rename(tmp, target, Options.Rename.OVERWRITE)
+  }
 
   def committedSegments(): Seq[String] =
-    if (!Files.exists(manifestPath)) Seq.empty
-    else Files.readAllLines(manifestPath, StandardCharsets.UTF_8).asScala.toSeq
-      .map(_.trim).filter(_.nonEmpty)
+    if (!fs.exists(manifestPath)) Seq.empty
+    else parseLines(readString(manifestPath))
 
   def isEmpty: Boolean = committedSegments().isEmpty
 
@@ -69,10 +107,10 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       case _ =>
         val s =
           if (segs.size == 1) // one segment = one shape; driver-side footer read
-            spark.read.parquet(root.resolve(segs.head).toString).schema
+            spark.read.parquet(segPath(segs.head).toString).schema
           else
             spark.read.option("mergeSchema", "true")
-              .parquet(segs.map(s => root.resolve(s).toString): _*).schema
+              .parquet(segs.map(s => segPath(s).toString): _*).schema
         schemaCache = Some((segs, s))
         s
     }
@@ -88,20 +126,24 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     val segs = committedSegments()
     require(segs.nonEmpty, s"pool $root is empty")
     spark.read.schema(mergedSchema(segs))
-      .parquet(segs.map(s => root.resolve(s).toString): _*)
+      .parquet(segs.map(s => segPath(s).toString): _*)
   }
 
   // per-segment footer schemas (driver metadata reads), cached — segments
-  // are immutable once committed, so entries never invalidate
+  // are immutable once committed, so entries never invalidate in place;
+  // vacuum/purge EVICT entries for segments they remove from disk, or a
+  // months-long ingest session (one nanoTime-unique segment per batch)
+  // accretes unbounded driver memory here
   private val segSchemas =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
   private[graft] def segmentSchema(seg: String): org.apache.spark.sql.types.StructType =
     segSchemas.getOrElseUpdate(seg,
-      spark.read.parquet(root.resolve(seg).toString).schema)
+      spark.read.parquet(segPath(seg).toString).schema)
 
   // Per-file facts from the parquet FOOTERS — pure driver metadata (no
   // Spark job), one footer open per file, cached since segments are
-  // immutable. rows feeds compaction policy; stats feed the
+  // immutable (same eviction discipline as segSchemas). rows feeds
+  // compaction policy; stats feed the
   // resume-offset fast path and range-read file pruning: (topic min,
   // topic max, offset min, offset max), None when any stat is missing OR
   // the file holds null topic/offset rows (stats exclude nulls, so a
@@ -113,15 +155,11 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     scala.collection.concurrent.TrieMap.empty[String, Seq[FileFooter]]
   private def segmentFooters(seg: String): Seq[FileFooter] =
     segFooters.getOrElseUpdate(seg, {
-      val ls = Files.list(root.resolve(seg))
-      val files =
-        try ls.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
-        finally ls.close()
-      val conf = spark.sessionState.newHadoopConf()
+      val files = fs.listStatus(segPath(seg)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
       files.map { f =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hadoopConf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           val blocks = r.getFooter.getBlocks.asScala
@@ -180,7 +218,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       // option("mergeSchema") would run a (small) distributed merge job on
       // every call, a per-micro-batch tax in ingest loops
       else Some(spark.read.schema(SchemaUnion.merge(g.map(segmentSchema)))
-        .parquet(g.map(s => root.resolve(s).toString): _*))
+        .parquet(g.map(s => segPath(s).toString): _*))
     (rd(yes), rd(no))
   }
 
@@ -209,7 +247,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       knownRows: Option[Long] = None): Unit = {
     require(hasKafkaOffset(batch), ErrBadPoolKey)
     val seg = f"seg-${committedSegments().size + 1}%06d-${System.nanoTime()}%x"
-    val segDir = root.resolve(seg)
+    val segDir = segPath(seg)
     // The range partitioner SAMPLES its input before shuffling it, so an
     // uncached batch plan executes twice per commit. Batches are bounded
     // (micro-batch / CLI-load sized — pools grow by segments, batches
@@ -255,10 +293,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     synchronized { replaceManifest(committedSegments() :+ seg) }
 
   private def replaceManifest(lines: Seq[String]): Unit = synchronized {
-    val tmp = root.resolve(s".manifest.tmp.${System.nanoTime()}")
-    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    writeAtomic(manifestPath, lines.mkString("\n"))
     // record the committed state as an immutable numbered snapshot AFTER
     // the rename: history can at worst lack a crash-interrupted latest
     // commit (the next commit records its own), but never lists a state
@@ -271,21 +306,15 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     // OLD pinned version to an unrelated later state — numbers must be
     // spent once, forever. (The counter also keeps commits O(1): no
     // directory listing per commit.)
-    val vDir = root.resolve(VersionsDir)
-    Files.createDirectories(vDir)
+    val vDir = new Path(root, VersionsDir)
+    fs.mkdirs(vDir)
     val n = nextVersionNumber(vDir)
     // SPEND the number before the snapshot exists: a crash between the
-    // two moves then costs a numbering gap (harmless, documented above),
+    // two renames then costs a numbering gap (harmless, documented above),
     // never a reused number — the reverse order would let a restart
     // overwrite a committed snapshot an old consumer already pinned
-    val cTmp = vDir.resolve(s".c.tmp.${System.nanoTime()}")
-    Files.write(cTmp, (n + 1).toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(cTmp, vDir.resolve(VersionCounterFile),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val vTmp = vDir.resolve(s".v.tmp.${System.nanoTime()}")
-    Files.write(vTmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(vTmp, vDir.resolve(f"v$n%012d"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writeAtomic(new Path(vDir, VersionCounterFile), (n + 1).toString)
+    writeAtomic(new Path(vDir, f"v$n%012d"), lines.mkString("\n"))
   }
 
   // The next unused version number: the counter file when present (it is
@@ -293,9 +322,8 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   // commits stay O(1)); else one past the highest surviving snapshot
   // (pre-counter pools, or a manually deleted counter).
   private def nextVersionNumber(vDir: Path): Long = {
-    val counter = vDir.resolve(VersionCounterFile)
-    if (Files.exists(counter))
-      Files.readString(counter, StandardCharsets.UTF_8).trim.toLong
+    val counter = new Path(vDir, VersionCounterFile)
+    if (fs.exists(counter)) readString(counter).trim.toLong
     else version() + 1
   }
 
@@ -304,20 +332,19 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     * segments it reclaimed).
     */
   def versions(): Seq[Long] = {
-    val vDir = root.resolve(VersionsDir)
-    if (!Files.isDirectory(vDir)) Seq.empty
-    else {
-      val ls = Files.list(vDir)
-      try ls.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("v"))
-        .map(_.drop(1).toLong).toSeq.sorted
-      finally ls.close()
-    }
+    val vDir = new Path(root, VersionsDir)
+    if (!fs.exists(vDir)) Seq.empty
+    else fs.listStatus(vDir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).sorted
   }
 
   /** The latest recorded snapshot version (0 = none recorded yet). */
   def version(): Long = versions().lastOption.getOrElse(0L)
+
+  private def snapshotSegments(v: Long): Seq[String] =
+    parseLines(readString(new Path(new Path(root, VersionsDir), f"v$v%012d")))
 
   /** Read the pool AS OF a recorded snapshot version — the reproducible
     * corpus pin for a training run: commit, note `version()`, and any
@@ -328,18 +355,34 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     * returning partial data).
     */
   def readAt(v: Long): DataFrame = {
-    val f = root.resolve(VersionsDir).resolve(f"v$v%012d")
-    require(Files.exists(f),
+    val f = new Path(new Path(root, VersionsDir), f"v$v%012d")
+    require(fs.exists(f),
       s"pool $root has no readable snapshot v$v (never recorded, or vacuumed) — " +
         s"available: ${versions().mkString(", ")}")
-    val segs = Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
-      .map(_.trim).filter(_.nonEmpty)
+    val segs = parseLines(readString(f))
     if (segs.isEmpty)
+      // a snapshot recorded from an EMPTY manifest (deleteWhere can delete
+      // every row): zero rows OF THE POOL'S SCHEMA, not an empty struct —
+      // column references that resolve on every other snapshot must
+      // resolve here too. Schema from the nearest earlier non-empty
+      // snapshot (what a reader at v would have last seen), else the
+      // nearest later one, else the live manifest; truly-never-any-data
+      // pools fall through to an empty struct, the only honest answer.
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        new org.apache.spark.sql.types.StructType())
+        emptySnapshotSchema(v))
     else
       spark.read.schema(SchemaUnion.merge(segs.map(segmentSchema)))
-        .parquet(segs.map(s => root.resolve(s).toString): _*)
+        .parquet(segs.map(s => segPath(s).toString): _*)
+  }
+
+  private def emptySnapshotSchema(v: Long): org.apache.spark.sql.types.StructType = {
+    val vs = versions()
+    (vs.filter(_ < v).sorted.reverse ++ vs.filter(_ > v).sorted).iterator
+      .map(snapshotSegments)
+      .find(_.nonEmpty)
+      .orElse(Some(committedSegments()).filter(_.nonEmpty))
+      .map(ss => SchemaUnion.merge(ss.map(segmentSchema)))
+      .getOrElse(new org.apache.spark.sql.types.StructType())
   }
 
   /** Compact all committed segments into one (topic, offset)-sorted segment
@@ -389,13 +432,13 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       s"compactSegmentsWith: segments not committed: ${segs.filterNot(committed.contains)}")
     val data = transform(
       spark.read.schema(SchemaUnion.merge(segs.map(segmentSchema)))
-        .parquet(segs.map(s => root.resolve(s).toString): _*))
+        .parquet(segs.map(s => segPath(s).toString): _*))
     require(hasKafkaOffset(data), ErrBadPoolKey)
     val seg = f"compact-${System.nanoTime()}%x"
     data
       .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
       .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
-      .write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(seg).toString)
+      .write.mode(SaveMode.ErrorIfExists).parquet(segPath(seg).toString)
     val folded = segs.toSet
     synchronized { replaceManifest(committedSegments().filterNot(folded) :+ seg) }
     segs.length
@@ -433,9 +476,20 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     * into a struct field that an affected segment's era lacks fails
     * loudly at rewrite rather than guessing.
     *
+    * @param purge when true, the PRE-delete copies are removed too: after
+    *   the manifest swap, the affected original segment directories are
+    *   deleted from disk and every snapshot version referencing them is
+    *   pruned (the vacuum machinery scoped to exactly this delete). This
+    *   is the takedown/right-to-be-forgotten mode — the deleted rows are
+    *   no longer readable through ANY `readAt` and no longer present in
+    *   any on-disk file, at the documented price of forfeiting time
+    *   travel across the delete (that is the point) and of disturbing a
+    *   reader still draining the pre-delete manifest (the single-writer/
+    *   operator-scheduled contract, as with [[vacuum]]).
     * @return number of rows deleted.
     */
-  def deleteWhere(pred: org.apache.spark.sql.Column): Long = {
+  def deleteWhere(pred: org.apache.spark.sql.Column,
+      purge: Boolean = false): Long = {
     val segs = committedSegments()
     if (segs.isEmpty) return 0L
     // driver-side superset merge from cached footers (no mergeSchema job)
@@ -447,7 +501,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     // turn the match scan into a full read at any scale). Pinned by
     // PlanAuditSpec.
     val bySeg = spark.read.schema(merged)
-      .parquet(segs.map(s => root.resolve(s).toString): _*)
+      .parquet(segs.map(s => segPath(s).toString): _*)
       .filter(pred)
       .groupBy(element_at(split(input_file_name(), "/"), -2).as("_seg"))
       .count()
@@ -472,7 +526,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       // append() rationale; targeted deletes rewrite few segments by
       // premise, so the materialization is bounded and spills if not).
       val keep = spark.read.schema(scanSchema)
-        .parquet(group.map(s => root.resolve(s).toString): _*)
+        .parquet(group.map(s => segPath(s).toString): _*)
         .filter(!coalesce(pred, lit(false)))
         .select(groupSchema.fieldNames.map(col).toSeq: _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -481,16 +535,41 @@ final class Pool private (val spark: SparkSession, val root: Path) {
         keep
           .repartitionByRange(col("kafka.topic"), col("kafka.offset"))
           .sortWithinPartitions(col("kafka.topic"), col("kafka.offset"))
-          .write.mode(SaveMode.ErrorIfExists).parquet(root.resolve(seg).toString)
+          .write.mode(SaveMode.ErrorIfExists).parquet(segPath(seg).toString)
         // fully-deleted group: metadata-count the rewrite, drop it if empty
-        if (spark.read.parquet(root.resolve(seg).toString).count() == 0L) None
+        if (spark.read.parquet(segPath(seg).toString).count() == 0L) None
         else Some(seg)
       } finally keep.unpersist()
     }
     synchronized {
       replaceManifest(committedSegments().filterNot(affected) ++ newSegs)
     }
+    if (purge) removeSegments(affected)
     deleted
+  }
+
+  /** Delete the given segment directories from disk, prune the snapshot
+    * versions that reference any of them, and evict their metadata cache
+    * entries — the reclamation core shared by [[vacuum]] (which applies
+    * it to every unreferenced dir) and `deleteWhere(purge = true)` (which
+    * scopes it to the just-replaced segments).
+    */
+  private def removeSegments(gone: Set[String]): Unit = {
+    if (gone.isEmpty) return
+    gone.foreach { s =>
+      val dir = segPath(s)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      segSchemas.remove(s)
+      segFooters.remove(s)
+    }
+    // prune snapshot versions the reclaim made unreadable: a version
+    // listing a deleted segment can no longer serve readAt, and keeping
+    // it would advertise time travel the data cannot honor
+    val vDir = new Path(root, VersionsDir)
+    if (fs.exists(vDir)) versions().foreach { v =>
+      val f = new Path(vDir, f"v$v%012d")
+      if (parseLines(readString(f)).exists(gone.contains)) fs.delete(f, false)
+    }
   }
 
   /** Delete segment directories no longer referenced by the manifest —
@@ -504,32 +583,12 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     */
   def vacuum(): Int = {
     val keep = committedSegments().toSet
-    val listing = Files.list(root)
-    val candidates =
-      try listing.iterator().asScala.toSeq
-        .filter(Files.isDirectory(_))
-        .filter(p => p.getFileName.toString != VersionsDir)
-        .filter(p => !keep.contains(p.getFileName.toString))
-      finally listing.close() // Files.list leaks an fd per call if not closed
-    candidates.foreach { dir =>
-      val walk = Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
-      finally walk.close()
-    }
-    // prune snapshot versions the reclaim made unreadable: a version
-    // listing a deleted segment can no longer serve readAt, and keeping
-    // it would advertise time travel the data cannot honor
-    val gone = candidates.map(_.getFileName.toString).toSet
-    if (gone.nonEmpty) {
-      val vDir = root.resolve(VersionsDir)
-      if (Files.isDirectory(vDir)) versions().foreach { v =>
-        val f = vDir.resolve(f"v$v%012d")
-        val segs = Files.readAllLines(f, StandardCharsets.UTF_8).asScala
-          .map(_.trim).filter(_.nonEmpty)
-        if (segs.exists(gone.contains)) Files.delete(f)
-      }
-    }
+    val candidates = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_ != VersionsDir)
+      .filterNot(keep.contains)
+    removeSegments(candidates.toSet)
     candidates.size
   }
 
@@ -651,15 +710,22 @@ object Pool {
   val ErrBadPoolKey =
     "pool key must be the ascending kafka.offset (kafka:struct<topic,offset> column required)" // fifo/lake.go:36-39
 
+  /** Open-or-create at `path` — any Hadoop-FS-resolvable location (a bare
+    * local path, `file:`, `hdfs:`, an object-store scheme with its
+    * connector on the classpath). Local bare paths behave exactly as
+    * before the FS port (same strings reach the parquet reader/writer).
+    */
   def create(spark: SparkSession, path: String): Pool = {
-    val p = Paths.get(path)
-    Files.createDirectories(p)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p)
     new Pool(spark, p)
   }
 
   def open(spark: SparkSession, path: String): Pool = {
-    val p = Paths.get(path)
-    require(Files.isDirectory(p), s"no pool at $path")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p) && fs.getFileStatus(p).isDirectory, s"no pool at $path")
     new Pool(spark, p)
   }
 }

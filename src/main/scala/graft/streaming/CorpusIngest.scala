@@ -145,12 +145,22 @@ object CorpusIngest {
     * exact verify consults the pool itself, so a deleted document
     * re-ingests cleanly afterwards (spec-pinned).
     *
+    * @param purge when true the delete is also applied to HISTORY:
+    *   [[graft.pool.Pool.deleteWhere]] runs with `purge = true`, so the
+    *   pre-delete segment copies leave the disk and the snapshot versions
+    *   referencing them are pruned — after the call, NO `readAt` and no
+    *   on-disk file yields the matched text. This is the actual
+    *   DMCA / right-to-be-forgotten contract; the default (false) keeps
+    *   the pre-delete snapshots readable until an operator-scheduled
+    *   `vacuum()`, which is an audit convenience but a compliance
+    *   footgun — purge forfeits time travel across the delete, and that
+    *   is the point.
     * @return (distinct landed documents matched, pool rows deleted) —
     *   equal unless a match was already gone.
     */
   def takedownNear(queries: DataFrame, corpus: Pool, idCol: String,
       textCol: String, n: Int = 3, numPerms: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): (Long, Long) = {
+      threshold: Double = 0.5, purge: Boolean = false): (Long, Long) = {
     // a prior takedown (or delete) may have emptied the pool — nothing
     // to match is a clean (0, 0), not a read error (the idempotency
     // contract above)
@@ -160,7 +170,7 @@ object CorpusIngest {
       .select(col("d2")).distinct().collect().map(_.get(0)).toSeq
     if (matched.isEmpty) (0L, 0L)
     else (matched.size.toLong,
-      corpus.deleteWhere(col(s"value.$idCol").isin(matched: _*)))
+      corpus.deleteWhere(col(s"value.$idCol").isin(matched: _*), purge = purge))
   }
 
   /** The landed exact-gate fingerprints, one `_fp` column — EVERY landed

@@ -268,6 +268,54 @@ class CorpusIngestSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSeq == Seq(50L))
   }
 
+  test("takedownNear(purge=true): no snapshot and no on-disk file yields the content") {
+    val dir = Files.createTempDirectory("corpus-purge")
+    val corpus = Pool.create(spark, dir.toString)
+    val session = new graft.streaming.CorpusIngestSession(
+      corpus, "doc_id", "text", near = true)
+    val base = "the licensed novel excerpt runs through these exact words " +
+      "in order telling of the storm that took the harbor wall"
+    val other = "completely unrelated content about gardening tips and " +
+      "soil acidity for tomatoes in a northern climate"
+    assert(session.ingest(docs(1L -> base, 2L -> other)) == 2)
+    assert(session.ingest(docs(
+      3L -> "more filler words entirely distinct from both earlier texts")) == 1)
+    val vPre = corpus.version()
+    assert(corpus.readAt(vPre).filter(col("value.text") === base).count() == 1,
+      "the pre-takedown snapshot must see the content (or the purge proves nothing)")
+
+    val claim = docs(900L -> ("prefix " + base))
+    val (matched, deleted) = CorpusIngest.takedownNear(
+      claim, corpus, "doc_id", "text", purge = true)
+    assert(matched == 1L && deleted == 1L)
+    // the live pool, EVERY surviving snapshot, and EVERY on-disk file are
+    // clean — readAt of the pre-takedown state refuses rather than serving
+    assert(corpus.read().filter(col("value.text") === base).count() == 0)
+    intercept[IllegalArgumentException](corpus.readAt(vPre))
+    assert(corpus.versions().nonEmpty)
+    corpus.versions().foreach { v =>
+      assert(corpus.readAt(v).filter(col("value.text") === base).count() == 0,
+        s"snapshot v$v still serves taken-down content")
+    }
+    val segDirs = {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).filter(_ != Pool.VersionsDir).toSeq
+      finally ls.close()
+    }
+    segDirs.foreach { s =>
+      assert(spark.read.parquet(dir.resolve(s).toString)
+        .filter(col("value.text") === base).count() == 0,
+        s"on-disk dir $s retains taken-down content after purge")
+    }
+    // the unmatched documents survive the purge untouched
+    assert(corpus.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+    // and idempotence holds in purge mode too
+    assert(CorpusIngest.takedownNear(
+      claim, corpus, "doc_id", "text", purge = true) == ((0L, 0L)))
+  }
+
   test("session offset cache and auto-compaction keep contents and offsets exact") {
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus-oc").toString)
     // compactEvery = 2: after batches 1+2 the pool compacts to ONE segment;

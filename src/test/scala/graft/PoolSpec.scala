@@ -150,6 +150,47 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("deleteWhere(purge=true): no snapshot and no on-disk file retains a deleted row") {
+    val dir = Files.createTempDirectory("pool")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    val pred = col("value.user_id") % 5 === 0
+    val vPre = p.version()
+    assert(p.readAt(vPre).filter(pred).count() > 0,
+      "the pre-delete snapshot must be able to see the rows (or the purge proves nothing)")
+    val expected = env.filter(pred).count()
+    val total = env.count()
+    assert(p.deleteWhere(pred, purge = true) == expected)
+    assert(p.read().count() == total - expected)
+    assert(p.read().filter(pred).count() == 0)
+    // TIME TRAVEL across the delete is forfeited (that is the point):
+    // the pre-delete snapshots are pruned, and every surviving snapshot
+    // is clean of the deleted rows
+    intercept[IllegalArgumentException](p.readAt(vPre))
+    assert(p.versions().nonEmpty, "the post-delete state is still snapshotted")
+    p.versions().foreach { v =>
+      assert(p.readAt(v).filter(pred).count() == 0, s"snapshot v$v retains deleted rows")
+    }
+    // and NO parquet file anywhere under the pool root — committed or
+    // not — still holds a bit-identical copy of the deleted content
+    val dirs = {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).filter(_ != Pool.VersionsDir).toSeq
+      finally ls.close()
+    }
+    dirs.foreach { s =>
+      assert(spark.read.parquet(dir.resolve(s).toString).filter(pred).count() == 0,
+        s"on-disk dir $s retains deleted rows after purge")
+    }
+    // non-matching rows and resume state survive the purge untouched
+    assert(p.read().count() == total - expected)
+    assert(p.nextOffset("purchase") > 0)
+    env.unpersist()
+  }
+
   test("deleteWhere rewrites provenance eras separately, keeping footer schemas") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val env = envelopes().persist()
@@ -250,9 +291,16 @@ class PoolSpec extends AnyFunSuite {
     assert(p.versions() == Seq(3L), s"got ${p.versions()}")
     intercept[IllegalArgumentException](p.readAt(2))
     // a numbering gap (crash between the counter and snapshot moves —
-    // the counter is spent FIRST) is tolerated: numbering just jumps
-    Files.write(dir.resolve(Pool.VersionsDir).resolve(Pool.VersionCounterFile),
-      "10".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the counter is spent FIRST) is tolerated: numbering just jumps.
+    // Edited through the Hadoop FS (how an operator on any store would) —
+    // the local FS is checksummed, so a raw byte write would corrupt the
+    // sidecar and the pool would rightly refuse the counter
+    val counter = new org.apache.hadoop.fs.Path(
+      dir.resolve(Pool.VersionsDir).resolve(Pool.VersionCounterFile).toString)
+    val hfs = counter.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = hfs.create(counter, true)
+    out.write("10".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     p.append(env.filter(col("kafka.offset") < 100))
     assert(p.version() == 10L, s"got ${p.version()}")
     env.unpersist()
