@@ -1183,6 +1183,86 @@ object OpsQueries {
            |WHERE vec_id NOT IN (SELECT vec_id FROM dropsL
            |                     UNION SELECT vec_id FROM dropsB)""".stripMargin)),
 
+    // the CONTINUOUS vector-ingest loop: two micro-batch-equivalent
+    // VectorIngestSession calls against one persisted index — gate +
+    // append + the compactEvery=1 cell fold BETWEEN the batches (the
+    // fold must not change a single gate answer), with batch 2 replaying
+    // batch 1 in full (at-least-once upstream) alongside novel vectors
+    // and a fresh planted near-copy set. The oracle replays both gates
+    // sequentially against the evolving landed state: batch-1 survivors
+    // join the landed side before batch 2 is judged
+    "sim_index_ingest_session" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val landed = base.filter(col("vec_id") < 300)
+        val path = TempDirs.create("graft-ivf-sess-")
+        graft.ops.SimilarityIndex.buildIvfFromCentroids(
+          landed, base.filter(col("vec_id") < 8), "vec_id", "v", path)
+        val idx = graft.ops.SimilarityIndex.loadIvf(s, path, "vec_id", "v")
+        val session = new graft.ops.SimilarityIndex.VectorIngestSession(
+          idx, threshold = 0.95, nprobe = 1, compactEvery = 1, compactMaxFiles = 1)
+        val b1 = base.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+          .unionByName(landed.filter(col("vec_id") % 50 === 0)
+            .select((col("vec_id") + 900000).as("vec_id"), col("label"),
+              transform(col("v"), x => x * lit(1.01)).as("v")))
+        session.ingest(b1)
+        session.ingest(b1 // the full batch-1 replay...
+          .unionByName(base.filter(col("vec_id") >= 320 && col("vec_id") < 340))
+          .unionByName(landed.filter(col("vec_id") % 70 === 0)
+            .select((col("vec_id") + 800000).as("vec_id"), col("label"),
+              transform(col("v"), x => x * lit(1.01)).as("v"))))
+        idx.assigned.filter(col("vec_id") >= 300)
+          .select(col("vec_id"), col("centroid_id").cast("long").as("cell"))
+      },
+      Some(embBaseSql +
+        s""", cent AS (SELECT vec_id AS centroid_id, v AS centv FROM base WHERE vec_id < 8),
+           |landed AS (SELECT vec_id, v FROM base WHERE vec_id < 300),
+           |la AS (SELECT vec_id, v, centroid_id FROM (
+           |  SELECT l.vec_id, l.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY l.vec_id
+           |                            ORDER BY ${cos("l.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM landed l CROSS JOIN cent c) WHERE rn = 1),
+           |b1 AS (SELECT vec_id, v FROM base WHERE vec_id >= 300 AND vec_id < 320
+           |       UNION ALL
+           |       SELECT vec_id + 900000, list_transform(v, x -> x * 1.01)
+           |       FROM base WHERE vec_id < 300 AND vec_id % 50 = 0),
+           |b1a AS (SELECT vec_id, v, centroid_id FROM (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM b1 b CROSS JOIN cent c) WHERE rn = 1),
+           |d1 AS (SELECT DISTINCT b.vec_id FROM b1a b JOIN la l ON b.centroid_id = l.centroid_id
+           |       WHERE ${cos("b.v", "l.v")} >= 0.95
+           |       UNION
+           |       SELECT DISTINCT hi.vec_id FROM b1a hi JOIN b1a lo
+           |         ON hi.centroid_id = lo.centroid_id AND lo.vec_id < hi.vec_id
+           |       WHERE ${cos("hi.v", "lo.v")} >= 0.95),
+           |s1 AS (SELECT vec_id, v, centroid_id FROM b1a
+           |       WHERE vec_id NOT IN (SELECT vec_id FROM d1)),
+           |la2 AS (SELECT vec_id, v, centroid_id FROM la
+           |        UNION ALL SELECT vec_id, v, centroid_id FROM s1),
+           |b2 AS (SELECT vec_id, v FROM b1
+           |       UNION ALL
+           |       SELECT vec_id, v FROM base WHERE vec_id >= 320 AND vec_id < 340
+           |       UNION ALL
+           |       SELECT vec_id + 800000, list_transform(v, x -> x * 1.01)
+           |       FROM base WHERE vec_id < 300 AND vec_id % 70 = 0),
+           |b2a AS (SELECT vec_id, v, centroid_id FROM (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM b2 b CROSS JOIN cent c) WHERE rn = 1),
+           |d2 AS (SELECT DISTINCT b.vec_id FROM b2a b JOIN la2 l ON b.centroid_id = l.centroid_id
+           |       WHERE ${cos("b.v", "l.v")} >= 0.95
+           |       UNION
+           |       SELECT DISTINCT hi.vec_id FROM b2a hi JOIN b2a lo
+           |         ON hi.centroid_id = lo.centroid_id AND lo.vec_id < hi.vec_id
+           |       WHERE ${cos("hi.v", "lo.v")} >= 0.95)
+           |SELECT vec_id, centroid_id AS cell FROM s1
+           |UNION ALL
+           |SELECT vec_id, centroid_id AS cell FROM b2a
+           |WHERE vec_id NOT IN (SELECT vec_id FROM d2)""".stripMargin)),
+
     // IVF search with label metadata riding the top-k payload struct
     "sim_ivf_topk_meta" -> Q(
       (s, d) => {

@@ -121,12 +121,24 @@ object SimilarityIndex {
     val idList = ids.select(col(idCol)).distinct()
       .localCheckpoint(true) // takedown-list-scale; consumed by two jobs
     try {
+      // _cdir is the cell's PARTITION DIRECTORY NAME, rendered by Spark
+      // itself: Cast-to-string (session timezone, matching the writer's
+      // partitionPathExpression) + the catalog escaping rules — so
+      // string/decimal/timestamp centroid ids map to the exact dir the
+      // writer created, not a raw toString guess (which for e.g. a
+      // string cell id containing '/' would name a path that does not
+      // exist, and the deleted vectors would keep being served)
+      val dirName = udf((s: String) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString("centroid_id", if (s == null) "" else s))
       val byCell = table.select(col(idCol), col("centroid_id"))
         .join(broadcast(idList), Seq(idCol))
-        .groupBy("centroid_id").count().collect()
+        .groupBy(col("centroid_id"), dirName(col("centroid_id").cast("string")).as("_cdir"))
+        .count().collect()
       if (byCell.isEmpty) return 0L
       val cells = byCell.map(_.get(0)).toSeq
-      val deleted = byCell.map(_.getLong(1)).sum
+      val cellDirs = byCell.map(r => r.get(0) -> r.getString(1)).toMap
+      val deleted = byCell.map(_.getLong(2)).sum
       // sever lineage from tablePath before the overwrite (Spark refuses
       // to overwrite a path its plan reads); materialized size is the
       // surviving rows of the affected cells — exactly the data being
@@ -150,8 +162,14 @@ object SimilarityIndex {
         val hfs = new org.apache.hadoop.fs.Path(tablePath)
           .getFileSystem(table.sparkSession.sessionState.newHadoopConf())
         cells.filterNot(live).foreach { c =>
-          val dir = new org.apache.hadoop.fs.Path(tablePath, s"centroid_id=$c")
-          if (hfs.exists(dir)) hfs.delete(dir, true)
+          val dir = new org.apache.hadoop.fs.Path(tablePath, cellDirs(c))
+          // the cell HAD rows (it matched ids), so its dir must exist —
+          // absence means the rendered name diverged from the writer's,
+          // i.e. the takedown hazard above; fail loudly, never serve on
+          require(hfs.exists(dir),
+            s"takedown: expected partition dir $dir for fully-deleted cell " +
+              s"$c not found — rendered name diverged from the writer's")
+          hfs.delete(dir, true)
         }
         deleted
       } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(survivors)
@@ -201,6 +219,30 @@ object SimilarityIndex {
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(folded)
   }
 
+  /** Swap a STAGED rebuild into place: for each subdir, drop the live
+    * copy and rename the staged one in (Hadoop-FS rename — the same
+    * store-reach argument as [[compactCellTable]]). Not transactional
+    * across subdirs: a crash mid-swap leaves a partial index, which is
+    * the documented repair story for this DERIVED artifact — re-run the
+    * rebuild (reads nothing from the half-swapped live dirs when given
+    * the same staged inputs) or rebuild from the source corpus. Readers
+    * racing the swap see the operator-scheduled/single-writer contract,
+    * as with [[graft.pool.Pool.vacuum]].
+    */
+  private def swapStagedIndex(spark: SparkSession, path: String,
+      staged: String, subdirs: Seq[String]): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    subdirs.foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(path, d)
+      val s = new org.apache.hadoop.fs.Path(staged, d)
+      require(hfs.exists(s), s"rebuild: staged dir $s missing")
+      if (hfs.exists(live)) hfs.delete(live, true)
+      require(hfs.rename(s, live), s"rebuild: rename $s -> $live failed")
+    }
+    hfs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
   /** Streaming entry for the gated vector ingest: each micro-batch of
     * `vectors` (a streaming DataFrame) runs through one
     * [[VectorIngestSession]] against the persisted index — the
@@ -213,6 +255,8 @@ object SimilarityIndex {
       checkpoint: String, nprobe: Int = 1, interval: String = "5 seconds",
       compactEvery: Int = 0, compactMaxFiles: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(threshold < 1.0, // the ingestNear replay-idempotence contract —
+      s"startIngest threshold must be < 1.0 (got $threshold)") // fail at start(), not first batch
     val session = new VectorIngestSession(index, threshold, nprobe,
       compactEvery, compactMaxFiles)
     vectors.writeStream
@@ -297,6 +341,29 @@ object SimilarityIndex {
       */
     def compactCells(maxFiles: Int = 4): Int =
       compactCellTable(s"$path/encoded", encoded, maxFiles)
+
+    /** The RE-CLUSTER cycle for IVF-PQ. Unlike [[IvfIndex.rebuild]] this
+      * needs the SOURCE vectors: the stored codes are lossy (m subspace
+      * ids), and re-training k-means/PQ on reconstructions would bake
+      * one generation's quantization error into the next's models. The
+      * caller passes the corpus; the retrain input is `corpus` SEMI-
+      * JOINED to the index's current id set, so deletes stay deleted
+      * even when the source table still holds the taken-down rows — the
+      * index's id set, not the corpus, is the authority on membership.
+      * Atomic swap + crash story as [[swapStagedIndex]]. Returns a fresh
+      * handle (this one's cached models are stale).
+      */
+    def rebuild(corpus: DataFrame, k: Int, iters: Int, m: Int,
+        codebookK: Int, seedByHash: Boolean = true,
+        roundDigits: Int = 9): IvfPqIndex = {
+      val live = corpus.join(encoded.select(col(idCol)), Seq(idCol), "left_semi")
+      val staged = s"$path/_rebuild-${System.nanoTime().toHexString}"
+      buildIvfPq(live, idCol, vecCol, k, iters, m, codebookK, staged,
+        seedByHash, roundDigits)
+      swapStagedIndex(spark, path, staged,
+        Seq("centroids", "codebook", "encoded"))
+      new IvfPqIndex(spark, path, idCol, vecCol)
+    }
   }
 
   final class IvfIndex private[SimilarityIndex] (spark: SparkSession,
@@ -343,6 +410,33 @@ object SimilarityIndex {
     def compactCells(maxFiles: Int = 4): Int =
       compactCellTable(s"$path/assigned", assigned, maxFiles)
 
+    /** The RE-CLUSTER cycle: re-train k-means on the index's CURRENT
+      * contents — post-appends, post-deletes, the assigned table holds
+      * the full vectors — re-assign, and atomically swap the new
+      * centroids + assigned dirs into place ([[swapStagedIndex]]).
+      * Returns a fresh handle (this one's cached centroids are stale).
+      *
+      * When to run it: [[append]]/[[ingestNear]] hold the coarse
+      * quantizer frozen, so a drifting ingest distribution piles new
+      * vectors into the nearest OLD cells — cells bloat (probe cost
+      * grows: a probe reads whole cells) and recall@k at fixed nprobe
+      * decays because true neighbors increasingly straddle cell
+      * boundaries drawn for the old distribution. The rebuild redraws
+      * the Voronoi cells for the data actually in the index; deletes
+      * STAY deleted (the retrain input is the surviving rows — nothing
+      * reaches back to any pre-delete state). Cost is one full k-means +
+      * re-assign + rewrite, O(index) — the probe for when drift warrants
+      * it is tools/DriftScale, pinned in SCALING.md.
+      */
+    def rebuild(k: Int, iters: Int, seedByHash: Boolean = true,
+        roundDigits: Int = 9): IvfIndex = {
+      val staged = s"$path/_rebuild-${System.nanoTime().toHexString}"
+      buildIvf(assigned.drop("centroid_id"), idCol, vecCol, k, iters,
+        staged, seedByHash, roundDigits)
+      swapStagedIndex(spark, path, staged, Seq("centroids", "assigned"))
+      new IvfIndex(spark, path, idCol, vecCol)
+    }
+
     /** Near-dup-GATED incremental indexing — the embedding twin of the
       * corpus-ingest near gate: a new vector lands only if no LANDED
       * vector in its `nprobe` probed cells scores cosine ≥ `threshold`
@@ -364,6 +458,13 @@ object SimilarityIndex {
       */
     def ingestNear(vectors: DataFrame, threshold: Double,
         nprobe: Int = 1): Long = {
+      // replay safety rests on a replayed vector scoring cosine 1.0
+      // against its landed twin and dropping; threshold == 1.0 would
+      // flip on floating-point self-cosine landing at 1 − ε and
+      // re-append every replayed row — refuse up front
+      require(threshold < 1.0,
+        s"ingestNear threshold must be < 1.0 (got $threshold): replay " +
+          "idempotence needs the landed-twin self-cosine to pass the gate")
       // same-id duplicates inside one batch (an at-least-once upstream
       // repeating a row) slip BOTH gates — the in-batch pair rule needs
       // strictly ordered ids and the landed side holds neither copy yet —
@@ -373,8 +474,14 @@ object SimilarityIndex {
       // partition-order coin flip). Persisted: the gate evaluates the
       // batch several times (probe-cell collect, both gate joins, the
       // survivor count) and a streaming source would re-scan per pass.
+      // Null and ZERO-NORM vectors have no cosine identity (self-cosine
+      // NaN) — they can neither be gated nor gate others, so a replay
+      // would re-append them forever: dropped up front, the null-text
+      // discipline of the corpus ingest.
       val cols = vectors.columns.toSeq
       val batch = vectors
+        .filter(col(vecCol).isNotNull &&
+          !isnan(Similarity.cosine(col(vecCol), col(vecCol))))
         .groupBy(col(idCol))
         .agg(min(struct(cols.filterNot(_ == idCol).map(col): _*)).as("_r"))
         .select(col(idCol) +: cols.filterNot(_ == idCol).map(c => col(s"_r.$c")): _*)

@@ -701,6 +701,82 @@ class OpsSpec extends AnyFunSuite {
       "gate still exact after the fold")
   }
 
+  test("IVF rebuild re-trains on surviving rows: id set exact, deletes stay deleted") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    def vecs(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava, sch)
+    val path = java.nio.file.Files.createTempDirectory("ivf-rb").toString
+    // initial distribution hugs the x-axis; both trained cells land there
+    graft.ops.SimilarityIndex.buildIvf(
+      vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.1), 3L -> Seq(0.95, 0.05),
+        4L -> Seq(1.0, 0.1)),
+      "vec_id", "v", k = 2, iters = 3, path = path)
+    val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+    // the ingest drifts to the y-axis (frozen centroids: all pile into
+    // the nearest old cell); one doc is taken down
+    idx.append(vecs(10L -> Seq(0.0, 1.0), 11L -> Seq(0.1, 0.95),
+      12L -> Seq(0.05, 1.0)))
+    assert(idx.delete(vecs(2L -> Seq(0.0, 0.0)).select("vec_id")) == 1L)
+    def ids(i: graft.ops.SimilarityIndex.IvfIndex) =
+      i.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    val before = ids(idx)
+    assert(before == Set(1L, 3L, 4L, 10L, 11L, 12L))
+
+    val rebuilt = idx.rebuild(k = 2, iters = 3)
+    // THE contract: exactly the surviving rows, nothing resurrected
+    assert(ids(rebuilt) == before, "rebuild must preserve the id set exactly")
+    assert(rebuilt.centroids.count() == 2)
+    // the redrawn cells separate the two true clusters: a 1-probe query
+    // on each axis finds its own cluster's nearest
+    val qx = vecs(500L -> Seq(1.0, 0.02))
+    val qy = vecs(501L -> Seq(0.02, 1.0))
+    assert(rebuilt.topK(qx, k = 1).collect()(0).getLong(2) == 1L)
+    assert(Set(10L, 12L).contains(
+      rebuilt.topK(qy, k = 1).collect()(0).getLong(2)))
+    // staging is cleaned up; the layout holds exactly the two live dirs
+    val left = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try ls.iterator().asScala.map(_.getFileName.toString).toSet
+      finally ls.close()
+    }
+    assert(left == Set("centroids", "assigned"), s"got $left")
+    // and the gate still works against the rebuilt layout
+    assert(rebuilt.ingestNear(vecs(20L -> Seq(0.0, 2.0)), 0.995) == 0L,
+      "a scaled copy of a landed vector must still gate out after rebuild")
+  }
+
+  test("IVF-PQ rebuild from the source corpus keeps the index's id set authoritative") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    val rows = (0 until 16).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0 + i * 0.01, 0.1, 1.0, 0.1)
+              else Seq(0.1, 1.0 + i * 0.01, 0.1, 1.0)
+      Row(i.toLong, v)
+    }
+    val corpus = spark.createDataFrame(rows.asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-rb").toString
+    graft.ops.SimilarityIndex.buildIvfPq(corpus, "vec_id", "v",
+      k = 2, iters = 2, m = 2, codebookK = 4, path = path)
+    val idx = graft.ops.SimilarityIndex.loadIvfPq(spark, path, "vec_id", "v")
+    val del = spark.createDataFrame(Seq(Row(6L), Row(7L)).asJava,
+      StructType.fromDDL("vec_id bigint"))
+    assert(idx.delete(del) == 2L)
+    def ids(i: graft.ops.SimilarityIndex.IvfPqIndex) =
+      i.encoded.select("vec_id").collect().map(_.getLong(0)).toSet
+    val before = ids(idx)
+    assert(!before.contains(6L) && !before.contains(7L))
+    // the corpus STILL contains the deleted rows — the index id set, not
+    // the corpus, decides membership through the rebuild
+    val rebuilt = idx.rebuild(corpus, k = 2, iters = 2, m = 2, codebookK = 4)
+    assert(ids(rebuilt) == before, "deletes must stay deleted through rebuild")
+    assert(rebuilt.centroids.count() == 2 && rebuilt.codebook.count() > 0)
+    val q = spark.createDataFrame(Seq(Row(500L, Seq(1.0, 0.1, 1.0, 0.1))).asJava, sch)
+    val hits = rebuilt.topK(q, k = 3).collect().map(_.getLong(2)).toSet
+    assert(hits.nonEmpty && hits.forall(before.contains))
+  }
+
   test("streaming gated vector ingest: micro-batches of files index through one session") {
     import org.apache.spark.sql.types._
     val sch = StructType.fromDDL("vec_id bigint, v array<double>")
