@@ -113,14 +113,48 @@ object Bench {
         if (leftover != 0) toErr.println(s"bench: $leftover persistent RDDs survived reclaim after $name")
         System.gc() // lets ContextCleaner collect unreferenced broadcasts/RDDs
       }
+      // Contention-band diagnostics (sidecar only): per RUN, capture the
+      // three counters that discriminate the known stall mechanisms —
+      //   gc_ms  (process GC-time delta): old-gen/heap pressure shows here;
+      //   run_ms (Σ task executorRunTime): wall the executors spent inside
+      //          tasks — inflates under external CPU steal (tasks hold a
+      //          core slot but compute slowly);
+      //   cpu_ms (Σ task executorCpuTime): actual cycles — flat under
+      //          steal and scheduler stalls, inflated only by real work.
+      // A slow repeat with gc flat + run inflated + cpu flat = the box was
+      // contended (co-tenant steal); gc inflated = heap mechanism; run AND
+      // cpu flat while wall inflates = the driver/scheduler stalled between
+      // jobs. The r11 adjudication showed the band is bimodal repeats on
+      // the widest-stage LSH-family queries; these counters let any future
+      // driver-run spread be attributed from bench_detail.json alone.
+      val taskRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val taskCpuMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null) {
+            taskRunMs.addAndGet(t.taskMetrics.executorRunTime)
+            taskCpuMs.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
+          }
+      })
+      def gcMs(): Long = {
+        val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+        var s = 0L
+        while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) s += v }
+        s
+      }
       val results = selected.map { case (name, fn) =>
+        val diags = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]()
         def once(): Double = {
+          org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
+          val (gc0, run0, cpu0) = (gcMs(), taskRunMs.get(), taskCpuMs.get())
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
             errors(name) = e.toString.linesIterator.next().take(300) }
           val t = (System.nanoTime() - t0) / 1e9
           dropLeaked() // run-to-run isolation: repeat runs must not stack leaked blocks
+          org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
+          diags += ((t, gcMs() - gc0, taskRunMs.get() - run0, taskCpuMs.get() - cpu0))
           t
         }
         var times = (1 to runs).map(_ => once()).sorted
@@ -131,20 +165,27 @@ object Bench {
         if (runs > 1 && times.last - times.head > 0.5 * medianOf(times))
           times = (times ++ (1 to 2).map(_ => once())).sorted
         reclaim(name)
-        (name, medianOf(times), times.head, times)
+        (name, medianOf(times), times.head, times, diags.toSeq)
       }
 
       // Locale.ROOT: the f"" interpolator uses the default JVM locale, which
       // can render decimal commas and break the driver's JSON parse.
       def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       def num2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      val qs = results.map { case (k, med, _, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
-      val qmins = results.map { case (k, _, min, _) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
+      val qs = results.map { case (k, med, _, _, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
+      val qmins = results.map { case (k, _, min, _, _) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
       // full per-run arrays (sidecar only): the in-suite spread SHAPE is
       // the diagnostic for contention-band adjudication — a median alone
       // cannot distinguish "one cold outlier" from "bimodal repeats"
-      val qruns = results.map { case (k, _, _, ts) =>
+      val qruns = results.map { case (k, _, _, ts, _) =>
         jstr(k) + ":[" + ts.map(num2).mkString(",") + "]" }.mkString("{", ",", "}")
+      // per-run mechanism counters, IN EXECUTION ORDER (not sorted like
+      // queries_runs): [wall_s, gc_ms, task_run_ms, task_cpu_ms] per run —
+      // see the listener comment above for how these name a stall's cause
+      val qdiag = results.map { case (k, _, _, _, ds) =>
+        jstr(k) + ":[" + ds.map { case (w, gc, run, cpu) =>
+          s"[${num2(w)},$gc,$run,$cpu]" }.mkString(",") + "]"
+      }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val totalMin = results.map(_._3).sum
@@ -158,17 +199,17 @@ object Bench {
       // "adaptive": high-spread queries get 2 extra runs beyond the base N.
       val lineBudget = 1800
       val esShort = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
-      val bySlowest = results.sortBy { case (_, med, _, _) => -med }
+      val bySlowest = results.sortBy { case (_, med, _, _, _) => -med }
       def lineFor(keep: Int): String = {
         val kept = bySlowest.take(keep).sortBy(_._1)
-        val q = kept.map { case (k, med, _, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
+        val q = kept.map { case (k, med, _, _, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
         val omitted = if (keep < results.size) s""","q_omitted":${results.size - keep}""" else ""
         s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$q,"errors":$esShort$omitted,"sf":${jstr(sfDir)}}"""
       }
       val line = (results.size to 1 by -1).iterator.map(lineFor)
         .find(_.length <= lineBudget)
         .getOrElse(lineFor(0))
-      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"queries_runs":$qruns,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"queries_runs":$qruns,"queries_diag":$qdiag,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => toErr.println(s"bench_detail.json write failed: $e") }
