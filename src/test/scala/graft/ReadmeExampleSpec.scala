@@ -77,17 +77,19 @@ class ReadmeExampleSpec extends AnyFunSuite {
       takedownDocs, corpus, "doc_id", "text")
     assert(hits.count() > 0, "verbatim replicas must match the landed corpus")
 
-    // right-to-be-forgotten, both forms from the README
+    // right-to-be-forgotten, both forms from the README: the takedown
+    // PURGES (no snapshot or on-disk copy survives), the plain predicate
+    // delete keeps history readable until vacuum
     val before = corpus.read().count()
     val (matched, deleted) = graft.streaming.CorpusIngest.takedownNear(
-      takedownDocs, corpus, "doc_id", "text")
+      takedownDocs, corpus, "doc_id", "text", purge = true)
     assert(matched > 0 && deleted == matched)
     val revoked = Seq(1L, 3L)
     val v = corpus.version()
     corpus.deleteWhere($"value.doc_id".isin(revoked: _*))
     assert(corpus.read().count() < before)
     assert(corpus.readAt(v).count() == before - deleted,
-      "the pinned snapshot still reads the pre-delete corpus")
+      "the pinned snapshot still reads the pre-plain-delete corpus")
 
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
@@ -115,5 +117,13 @@ class ReadmeExampleSpec extends AnyFunSuite {
         .select(($"vec_id" + 700000).as("vec_id"), $"v"))
     assert(dailyVecBatches.map(vSession.ingest).sum == 0L,
       "verbatim replays must be gated out")
+
+    // re-cluster cycle from the README: rebuild re-trains on the index's
+    // current contents and swaps the dirs — the id set is exact
+    val raw = graft.ops.SimilarityIndex.loadIvf(spark, rawPath, "vec_id", "v")
+    val idsBefore = raw.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+    val fresh = raw.rebuild(k = 8, iters = 2)
+    assert(fresh.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
+      == idsBefore)
   }
 }
