@@ -181,9 +181,9 @@ object OpsQueries {
     * centroid) and exact-decimal means rounded to 9 digits. Ends with a
     * `cents$iters(centroid_id, cv)` CTE.
     */
-  private def kmeansRoundsSql(iters: Int, k: Int): String = {
+  private def kmeansRoundsSql(iters: Int, k: Int, from: String = "base"): String = {
     val sb = new StringBuilder(
-      s"""seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+      s"""seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM $from
          |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)""".stripMargin)
     var prev = "seeds"
     for (r <- 1 to iters) {
@@ -193,7 +193,7 @@ object OpsQueries {
            |  SELECT b.vec_id, b.v, c.centroid_id,
            |         row_number() OVER (PARTITION BY b.vec_id
            |                            ORDER BY ${cos("b.v", "c.cv")} DESC, c.centroid_id) AS rn
-           |  FROM base b CROSS JOIN $prev c),
+           |  FROM $from b CROSS JOIN $prev c),
            |assigned$r AS (SELECT vec_id, v, centroid_id FROM scored$r WHERE rn = 1),
            |ex$r AS (SELECT centroid_id, unnest(v) AS x, unnest(range(len(v))) AS i FROM assigned$r),
            |dims$r AS (SELECT centroid_id, i,
@@ -1128,6 +1128,52 @@ object OpsQueries {
            |  FROM assigned q JOIN assigned n
            |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id
            |  WHERE q.vec_id >= 100 AND q.vec_id < 110 AND n.vec_id % 17 <> 3)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM pairs)
+           |WHERE rank <= 3""".stripMargin)),
+
+    // the RE-CLUSTER cycle end-to-end: build under given centroids,
+    // takedown-delete a slice, then rebuild() — re-train k-means on the
+    // index's SURVIVING rows (2 hash-seeded Lloyd rounds, the engine's
+    // deterministic discipline), re-assign, atomic dir swap — and probe
+    // the rebuilt index. The oracle recomputes the same 2 rounds over
+    // the survivors as chained CTEs, so BOTH halves of the contract are
+    // hash-checked: deletes stay deleted through the retrain, and the
+    // redrawn cells are bit-identical to an independent SQL k-means
+    "sim_ivf_rebuild_topk" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        val path = TempDirs.create("graft-ivf-rb-")
+        graft.ops.SimilarityIndex.buildIvfFromCentroids(
+          base, base.filter(col("vec_id") < 8), "vec_id", "v", path)
+        val idx = graft.ops.SimilarityIndex.loadIvf(s, path, "vec_id", "v")
+        idx.delete(base.filter(col("vec_id") % 17 === 3).select("vec_id"))
+        val rebuilt = idx.rebuild(k = 8, iters = 2,
+          seedByHash = true, roundDigits = 9)
+        rebuilt.topK(base.filter(col("vec_id") >= 100 && col("vec_id") < 110), k = 3)
+      },
+      Some(embBaseSql +
+        s""", surv AS (SELECT vec_id, v FROM base WHERE vec_id % 17 <> 3),
+           |${kmeansRoundsSql(iters = 2, k = 8, from = "surv")},
+           |cents AS (SELECT centroid_id, cv AS centv FROM cents2),
+           |corpus_cells AS (SELECT vec_id, v, centroid_id FROM (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM surv b CROSS JOIN cents c) WHERE rn = 1),
+           |query_cells AS (SELECT vec_id, v, centroid_id FROM (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN cents c)
+           |  WHERE rn = 1 AND vec_id >= 100 AND vec_id < 110),
+           |pairs AS (
+           |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+           |         ${cos("q.v", "n.v")} AS cos
+           |  FROM query_cells q JOIN corpus_cells n
+           |    ON q.centroid_id = n.centroid_id AND q.vec_id <> n.vec_id)
            |SELECT query_id, rank, neighbor_id FROM (
            |  SELECT query_id, neighbor_id,
            |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank

@@ -391,6 +391,36 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("pool on object-store semantics (rename = copy+delete) runs the full lifecycle") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.objstore.impl", classOf[ObjStoreFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.objstore.impl", classOf[ObjStoreAbstractFs].getName)
+    val dir = Files.createTempDirectory("pool-objstore")
+    val p = Pool.create(spark, s"objstore://$dir")
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    val total = env.count()
+    assert(p.read().count() == total)
+    val v = p.version()
+    assert(v == 2L)
+    // purge-mode takedown under copy+delete rename: history gone, disk clean
+    val pred = col("value.user_id") % 5 === 0
+    val hits = env.filter(pred).count()
+    assert(p.deleteWhere(pred, purge = true) == hits)
+    assert(p.read().count() == total - hits)
+    assert(p.read().filter(pred).count() == 0)
+    intercept[IllegalArgumentException](p.readAt(v))
+    p.versions().foreach(sv => assert(p.readAt(sv).filter(pred).count() == 0))
+    // compact + vacuum + reopen all through the degraded-rename store
+    if (p.committedSegments().size > 1) p.compact()
+    assert(p.vacuum() >= 0)
+    val p2 = Pool.open(spark, s"objstore://$dir")
+    assert(p2.read().count() == total - hits)
+    assert(p2.nextOffset("purchase") > 0)
+    env.unpersist()
+  }
+
   test("rejects batches without the kafka.offset pool key") {
     val p = Pool.create(spark, Files.createTempDirectory("pool").toString)
     val bad = Tables.load(spark, TestSpark.sf, "events")
