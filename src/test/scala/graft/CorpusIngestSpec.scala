@@ -314,6 +314,12 @@ class CorpusIngestSpec extends AnyFunSuite {
     // and idempotence holds in purge mode too
     assert(CorpusIngest.takedownNear(
       claim, corpus, "doc_id", "text", purge = true) == ((0L, 0L)))
+    // the live session's retained Bloom still holds the purged fp, but
+    // the sketch only PRUNES — the exact verify consults the pool, so
+    // the content re-lands cleanly even after a purge takedown
+    assert(session.ingest(docs(50L -> base)) == 1)
+    assert(corpus.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L, 50L))
   }
 
   test("session offset cache and auto-compaction keep contents and offsets exact") {
