@@ -356,7 +356,20 @@ object SimilarityIndex {
     def rebuild(corpus: DataFrame, k: Int, iters: Int, m: Int,
         codebookK: Int, seedByHash: Boolean = true,
         roundDigits: Int = 9): IvfPqIndex = {
-      val live = corpus.join(encoded.select(col(idCol)), Seq(idCol), "left_semi")
+      // deleted-out index (no files -> schema inference fails) or a corpus
+      // that no longer carries the ids — refuse clearly either way
+      val live =
+        try {
+          val l = corpus.join(encoded.select(col(idCol)), Seq(idCol), "left_semi")
+          require(!l.isEmpty, "empty")
+          l
+        } catch {
+          case e @ (_: org.apache.spark.sql.AnalysisException
+                    | _: IllegalArgumentException) =>
+            throw new IllegalArgumentException(
+              s"rebuild: no corpus rows match the index at $path — nothing " +
+                "to re-train on (deleted-out index, or the wrong corpus)", e)
+        }
       val staged = s"$path/_rebuild-${System.nanoTime().toHexString}"
       buildIvfPq(live, idCol, vecCol, k, iters, m, codebookK, staged,
         seedByHash, roundDigits)
@@ -430,8 +443,22 @@ object SimilarityIndex {
       */
     def rebuild(k: Int, iters: Int, seedByHash: Boolean = true,
         roundDigits: Int = 9): IvfIndex = {
+      // deletes can empty an index; k-means on zero rows (or a schema
+      // inference over zero files) would fail obscurely — refuse clearly
+      val current =
+        try {
+          val a = assigned.drop("centroid_id")
+          require(!a.isEmpty, "empty")
+          a
+        } catch {
+          case e @ (_: org.apache.spark.sql.AnalysisException
+                    | _: IllegalArgumentException) =>
+            throw new IllegalArgumentException(
+              s"rebuild: index at $path has no rows — nothing to re-train " +
+                "on (rebuild from the source corpus instead)", e)
+        }
       val staged = s"$path/_rebuild-${System.nanoTime().toHexString}"
-      buildIvf(assigned.drop("centroid_id"), idCol, vecCol, k, iters,
+      buildIvf(current, idCol, vecCol, k, iters,
         staged, seedByHash, roundDigits)
       swapStagedIndex(spark, path, staged, Seq("centroids", "assigned"))
       new IvfIndex(spark, path, idCol, vecCol)

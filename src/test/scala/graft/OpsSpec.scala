@@ -744,6 +744,10 @@ class OpsSpec extends AnyFunSuite {
     // and the gate still works against the rebuilt layout
     assert(rebuilt.ingestNear(vecs(20L -> Seq(0.0, 2.0)), 0.995) == 0L,
       "a scaled copy of a landed vector must still gate out after rebuild")
+    // a deleted-out index refuses to rebuild with a clear message
+    rebuilt.delete(rebuilt.assigned.select("vec_id"))
+    val err = intercept[IllegalArgumentException](rebuilt.rebuild(k = 2, iters = 1))
+    assert(err.getMessage.contains("no rows"))
   }
 
   test("IVF-PQ rebuild from the source corpus keeps the index's id set authoritative") {
