@@ -142,11 +142,27 @@ object Bench {
         while (it.hasNext) { val v = it.next().getCollectionTime; if (v > 0) s += v }
         s
       }
+      // vCPU STEAL (jiffies, /proc/stat col 8): the host descheduling this
+      // VM's vCPUs. Crucial because guest thread-CPU accounting CANNOT see
+      // it — a stolen vCPU still counts as "running" to the guest, so under
+      // host steal wall, task_run AND task_cpu inflate proportionally
+      // (cpu/run constant), unlike an in-guest co-tenant (cpu/run
+      // collapses) or heap pressure (gc_ms dominates). The r12 live band
+      // capture had exactly the proportional signature; this counter is
+      // the direct witness.
+      def stealJiffies(): Long =
+        try {
+          val src = scala.io.Source.fromFile("/proc/stat")
+          try src.getLines().next().trim.split("\\s+").drop(1).lift(7)
+            .map(_.toLong).getOrElse(-1L)
+          finally src.close()
+        } catch { case scala.util.control.NonFatal(_) => -1L }
       val results = selected.map { case (name, fn) =>
-        val diags = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long)]()
+        val diags = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long, Long)]()
         def once(): Double = {
           org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
-          val (gc0, run0, cpu0) = (gcMs(), taskRunMs.get(), taskCpuMs.get())
+          val (gc0, run0, cpu0, st0) =
+            (gcMs(), taskRunMs.get(), taskCpuMs.get(), stealJiffies())
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
@@ -154,7 +170,8 @@ object Bench {
           val t = (System.nanoTime() - t0) / 1e9
           dropLeaked() // run-to-run isolation: repeat runs must not stack leaked blocks
           org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
-          diags += ((t, gcMs() - gc0, taskRunMs.get() - run0, taskCpuMs.get() - cpu0))
+          diags += ((t, gcMs() - gc0, taskRunMs.get() - run0,
+            taskCpuMs.get() - cpu0, stealJiffies() - st0))
           t
         }
         var times = (1 to runs).map(_ => once()).sorted
@@ -180,11 +197,13 @@ object Bench {
       val qruns = results.map { case (k, _, _, ts, _) =>
         jstr(k) + ":[" + ts.map(num2).mkString(",") + "]" }.mkString("{", ",", "}")
       // per-run mechanism counters, IN EXECUTION ORDER (not sorted like
-      // queries_runs): [wall_s, gc_ms, task_run_ms, task_cpu_ms] per run —
-      // see the listener comment above for how these name a stall's cause
+      // queries_runs): [wall_s, gc_ms, task_run_ms, task_cpu_ms,
+      // steal_jiffies] per run — see the comments above for how these
+      // name a stall's cause (steal at 100 Hz USER_HZ: 100 jiffies =
+      // 1 stolen vCPU-second)
       val qdiag = results.map { case (k, _, _, _, ds) =>
-        jstr(k) + ":[" + ds.map { case (w, gc, run, cpu) =>
-          s"[${num2(w)},$gc,$run,$cpu]" }.mkString(",") + "]"
+        jstr(k) + ":[" + ds.map { case (w, gc, run, cpu, st) =>
+          s"[${num2(w)},$gc,$run,$cpu,$st]" }.mkString(",") + "]"
       }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).sum

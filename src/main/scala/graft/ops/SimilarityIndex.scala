@@ -229,6 +229,20 @@ object SimilarityIndex {
     * racing the swap see the operator-scheduled/single-writer contract,
     * as with [[graft.pool.Pool.vacuum]].
     */
+  /** Reclaim `_rebuild-*` staging left by a CRASHED rebuild (safe under
+    * the single-writer contract; underscore-prefixed dirs are invisible
+    * to readers — the FileInputFormat hidden-path convention — so the
+    * leftovers only waste space, never answers). Run at rebuild start. */
+  private def dropStaleStaging(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (hfs.exists(root))
+      hfs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("_rebuild-"))
+          hfs.delete(st.getPath, true)
+      }
+  }
+
   private def swapStagedIndex(spark: SparkSession, path: String,
       staged: String, subdirs: Seq[String]): Unit = {
     val hfs = new org.apache.hadoop.fs.Path(path)
@@ -370,6 +384,7 @@ object SimilarityIndex {
               s"rebuild: no corpus rows match the index at $path — nothing " +
                 "to re-train on (deleted-out index, or the wrong corpus)", e)
         }
+      dropStaleStaging(spark, path)
       val staged = s"$path/_rebuild-${System.nanoTime().toHexString}"
       buildIvfPq(live, idCol, vecCol, k, iters, m, codebookK, staged,
         seedByHash, roundDigits)
@@ -457,6 +472,7 @@ object SimilarityIndex {
               s"rebuild: index at $path has no rows — nothing to re-train " +
                 "on (rebuild from the source corpus instead)", e)
         }
+      dropStaleStaging(spark, path)
       val staged = s"$path/_rebuild-${System.nanoTime().toHexString}"
       buildIvf(current, idCol, vecCol, k, iters,
         staged, seedByHash, roundDigits)
