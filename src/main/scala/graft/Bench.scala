@@ -181,8 +181,26 @@ object Bench {
         // without taxing the stable 95% of the suite.
         if (runs > 1 && times.last - times.head > 0.5 * medianOf(times))
           times = (times ++ (1 to 2).map(_ => once())).sorted
+        // STEAL-FILTERED median (the named-mechanism mitigation): a run
+        // whose window carried > 300 steal jiffies (3 stolen vCPU-seconds)
+        // measured the HOST, not the engine — the r12 adjudication showed
+        // every >2x repeat matches such a burst in its own diag row. Take
+        // up to 2 extra runs while contaminated, then compute the median
+        // over the CLEAN runs when at least 2 exist (else over everything —
+        // a fully-stolen window has no engine signal to prefer). The raw
+        // arrays and per-run steal always ship complete in the sidecar;
+        // only the summary statistic is filtered, and min never is.
+        val StealJiffies = 300L
+        def cleanTimes(): Seq[Double] =
+          diags.filter(_._5 <= StealJiffies).map(_._1).toSeq.sorted
+        var extra = 0
+        while (cleanTimes().length < runs.min(3) && extra < 2) {
+          times = (times :+ once()).sorted; extra += 1
+        }
         reclaim(name)
-        (name, medianOf(times), times.head, times, diags.toSeq)
+        val clean = cleanTimes()
+        val med = if (clean.length >= 2) medianOf(clean) else medianOf(times)
+        (name, med, times.head, times, diags.toSeq)
       }
 
       // Locale.ROOT: the f"" interpolator uses the default JVM locale, which
@@ -228,7 +246,7 @@ object Bench {
       val line = (results.size to 1 by -1).iterator.map(lineFor)
         .find(_.length <= lineBudget)
         .getOrElse(lineFor(0))
-      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive","queries":$qs,"queries_min":$qmins,"queries_runs":$qruns,"queries_diag":$qdiag,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive-steal-filtered","queries":$qs,"queries_min":$qmins,"queries_runs":$qruns,"queries_diag":$qdiag,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => toErr.println(s"bench_detail.json write failed: $e") }
