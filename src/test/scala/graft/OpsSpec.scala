@@ -744,9 +744,20 @@ class OpsSpec extends AnyFunSuite {
     // and the gate still works against the rebuilt layout
     assert(rebuilt.ingestNear(vecs(20L -> Seq(0.0, 2.0)), 0.995) == 0L,
       "a scaled copy of a landed vector must still gate out after rebuild")
+    // a CRASHED rebuild's staging dir (underscore-prefixed: invisible to
+    // readers) is reclaimed by the next rebuild, and answers are unchanged
+    val stale = java.nio.file.Paths.get(path, "_rebuild-deadbeef")
+    java.nio.file.Files.createDirectories(stale.resolve("assigned"))
+    java.nio.file.Files.writeString(stale.resolve("assigned").resolve("junk.txt"), "x")
+    assert(rebuilt.topK(qx, k = 1).collect()(0).getLong(2) == 1L,
+      "stale staging must be invisible to probes")
+    val again = rebuilt.rebuild(k = 2, iters = 3)
+    assert(!java.nio.file.Files.exists(stale), "next rebuild reclaims crashed staging")
+    assert(ids(again) == before)
+
     // a deleted-out index refuses to rebuild with a clear message
-    rebuilt.delete(rebuilt.assigned.select("vec_id"))
-    val err = intercept[IllegalArgumentException](rebuilt.rebuild(k = 2, iters = 1))
+    again.delete(again.assigned.select("vec_id"))
+    val err = intercept[IllegalArgumentException](again.rebuild(k = 2, iters = 1))
     assert(err.getMessage.contains("no rows"))
   }
 

@@ -218,6 +218,37 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("purge across provenance eras: era schemas survive, originals leave the disk") {
+    val dir = Files.createTempDirectory("pool-purge-era")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    // era 1: legacy shape; era 2: stored top-level fp (the mixed-pool case)
+    p.append(env.filter(col("kafka.offset") < 500))
+    p.append(env.filter(col("kafka.offset") >= 500)
+      .withColumn("fp", md5(col("value.user_id").cast("string"))))
+    val pred = col("value.user_id") % 3 === 0
+    val hits = env.filter(pred).count()
+    assert(p.deleteWhere(pred, purge = true) == hits)
+    // era routing survives the purge rewrite, exactly as in audit mode
+    val (withFp, without) = p.readPartitionedBySchema(_.fieldNames.contains("fp"))
+    assert(withFp.isDefined && without.isDefined)
+    assert(!without.get.columns.contains("fp"))
+    assert(p.read().count() == env.count() - hits)
+    // and the disk holds ONLY the rewrites: every dir clean of the purged rows
+    val dirs = {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).filter(_ != Pool.VersionsDir).toSeq
+      finally ls.close()
+    }
+    dirs.foreach { s =>
+      assert(spark.read.parquet(dir.resolve(s).toString).filter(pred).count() == 0,
+        s"on-disk dir $s retains purged rows")
+    }
+    p.versions().foreach(v => assert(p.readAt(v).filter(pred).count() == 0))
+    env.unpersist()
+  }
+
   test("deleteWhere equals a NOT-filter of the source across randomized predicates") {
     val rnd = new scala.util.Random(20260814L) // pinned seed, replayable
     val env = envelopes().persist()
