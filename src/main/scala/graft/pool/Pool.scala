@@ -485,7 +485,12 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     *   any on-disk file, at the documented price of forfeiting time
     *   travel across the delete (that is the point) and of disturbing a
     *   reader still draining the pre-delete manifest (the single-writer/
-    *   operator-scheduled contract, as with [[vacuum]]).
+    *   operator-scheduled contract, as with [[vacuum]]). Crash window:
+    *   between the manifest swap and the reclamation the old copies are
+    *   still on disk, and re-running the delete matches nothing (the live
+    *   rows are already gone) — run [[vacuum]] to complete the purge (the
+    *   leftover dirs are unreferenced by then, and vacuum prunes the
+    *   snapshots with them).
     * @return number of rows deleted.
     */
   def deleteWhere(pred: org.apache.spark.sql.Column,
