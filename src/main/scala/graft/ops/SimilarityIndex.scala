@@ -52,9 +52,16 @@ object SimilarityIndex {
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
   }
 
-  /** Open a persisted index for probing. */
+  /** Open a persisted index for probing (restoring any subdir a crashed
+    * rebuild swap left aside — see [[recoverAside]]). */
   def loadIvf(spark: SparkSession, path: String, idCol: String,
-      vecCol: String): IvfIndex = new IvfIndex(spark, path, idCol, vecCol)
+      vecCol: String): IvfIndex = {
+    recoverAside(spark, path, IvfSubdirs)
+    new IvfIndex(spark, path, idCol, vecCol)
+  }
+
+  private val IvfSubdirs = Seq("centroids", "assigned")
+  private val IvfPqSubdirs = Seq("centroids", "codebook", "encoded")
 
   /** Persist the IVF-PQ layout under GIVEN centroids + codebook: the two
     * models as small parquet tables, and the corpus as (idCol, codes)
@@ -96,9 +103,13 @@ object SimilarityIndex {
     buildIvfPqFromModels(corpus, cents, book, idCol, vecCol, path)
   }
 
-  /** Open a persisted IVF-PQ index for probing. */
+  /** Open a persisted IVF-PQ index for probing (restoring any subdir a
+    * crashed rebuild swap left aside — see [[recoverAside]]). */
   def loadIvfPq(spark: SparkSession, path: String, idCol: String,
-      vecCol: String): IvfPqIndex = new IvfPqIndex(spark, path, idCol, vecCol)
+      vecCol: String): IvfPqIndex = {
+    recoverAside(spark, path, IvfPqSubdirs)
+    new IvfPqIndex(spark, path, idCol, vecCol)
+  }
 
   /** Shared targeted delete over a `centroid_id`-partitioned corpus
     * table (takedown / right-to-be-forgotten for a persisted ANN index):
@@ -219,16 +230,6 @@ object SimilarityIndex {
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(folded)
   }
 
-  /** Swap a STAGED rebuild into place: for each subdir, drop the live
-    * copy and rename the staged one in (Hadoop-FS rename — the same
-    * store-reach argument as [[compactCellTable]]). Not transactional
-    * across subdirs: a crash mid-swap leaves a partial index, which is
-    * the documented repair story for this DERIVED artifact — re-run the
-    * rebuild (reads nothing from the half-swapped live dirs when given
-    * the same staged inputs) or rebuild from the source corpus. Readers
-    * racing the swap see the operator-scheduled/single-writer contract,
-    * as with [[graft.pool.Pool.vacuum]].
-    */
   /** Reclaim `_rebuild-*` staging left by a CRASHED rebuild (safe under
     * the single-writer contract; underscore-prefixed dirs are invisible
     * to readers — the FileInputFormat hidden-path convention — so the
@@ -243,6 +244,22 @@ object SimilarityIndex {
       }
   }
 
+  /** Swap a STAGED rebuild into place. Per subdir: the live copy is
+    * renamed ASIDE (`_old-<subdir>` — underscore-prefixed, so hidden
+    * from readers), the staged one renamed in, and every aside is
+    * dropped only after ALL subdirs are installed — at no point is a
+    * subdir's only copy being destroyed (for [[IvfIndex]] the live
+    * `assigned` dir is the only full-vector copy; a delete-then-rename
+    * here would leave a crash with the data marooned in staging and no
+    * recovery path). A crash leaves each subdir either live or
+    * restorable from its aside — [[recoverAside]] (run at load and at
+    * rebuild start) renames a lost one back. Not transactional ACROSS
+    * subdirs: a crash mid-swap can leave mixed generations (new
+    * centroids over old assignments), answered consistently only after
+    * the rebuild is re-run — the documented repair for this DERIVED
+    * artifact. Readers racing the swap see the operator-scheduled/
+    * single-writer contract, as with [[graft.pool.Pool.vacuum]].
+    */
   private def swapStagedIndex(spark: SparkSession, path: String,
       staged: String, subdirs: Seq[String]): Unit = {
     val hfs = new org.apache.hadoop.fs.Path(path)
@@ -251,10 +268,37 @@ object SimilarityIndex {
       val live = new org.apache.hadoop.fs.Path(path, d)
       val s = new org.apache.hadoop.fs.Path(staged, d)
       require(hfs.exists(s), s"rebuild: staged dir $s missing")
-      if (hfs.exists(live)) hfs.delete(live, true)
+      val aside = new org.apache.hadoop.fs.Path(path, s"_old-$d")
+      // leftover aside from a prior COMPLETED install of this subdir
+      if (hfs.exists(aside)) hfs.delete(aside, true)
+      if (hfs.exists(live))
+        require(hfs.rename(live, aside), s"rebuild: rename $live aside failed")
       require(hfs.rename(s, live), s"rebuild: rename $s -> $live failed")
     }
+    subdirs.foreach(d =>
+      hfs.delete(new org.apache.hadoop.fs.Path(path, s"_old-$d"), true))
     hfs.delete(new org.apache.hadoop.fs.Path(staged), true)
+  }
+
+  /** Restore any index subdir lost to a crash between its aside-rename
+    * and its staged-install: live missing + `_old-<subdir>` present means
+    * the aside IS the last complete generation — rename it back.
+    * Idempotent and read-only when nothing is wrong; run by [[loadIvf]]/
+    * [[loadIvfPq]] and at rebuild start (single-writer contract), so the
+    * repair needs no human in the loop.
+    */
+  private def recoverAside(spark: SparkSession, path: String,
+      subdirs: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hfs.exists(root)) return
+    subdirs.foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(path, d)
+      val aside = new org.apache.hadoop.fs.Path(path, s"_old-$d")
+      if (!hfs.exists(live) && hfs.exists(aside))
+        require(hfs.rename(aside, live),
+          s"index recovery: rename $aside -> $live failed")
+    }
   }
 
   /** Streaming entry for the gated vector ingest: each micro-batch of
@@ -370,6 +414,7 @@ object SimilarityIndex {
     def rebuild(corpus: DataFrame, k: Int, iters: Int, m: Int,
         codebookK: Int, seedByHash: Boolean = true,
         roundDigits: Int = 9): IvfPqIndex = {
+      recoverAside(spark, path, IvfPqSubdirs) // a prior rebuild's crashed swap
       // deleted-out index (no files -> schema inference fails) or a corpus
       // that no longer carries the ids — refuse clearly either way
       val live =
@@ -458,6 +503,7 @@ object SimilarityIndex {
       */
     def rebuild(k: Int, iters: Int, seedByHash: Boolean = true,
         roundDigits: Int = 9): IvfIndex = {
+      recoverAside(spark, path, IvfSubdirs) // a prior rebuild's crashed swap
       // deletes can empty an index; k-means on zero rows (or a schema
       // inference over zero files) would fail obscurely — refuse clearly
       val current =
@@ -497,10 +543,19 @@ object SimilarityIndex {
       * knob: near-dups hiding across a cell boundary need nprobe > 1,
       * exactly as in search.
       *
+      * The in-batch gate is a per-cell batch self-join — O(Σ b_c²) over
+      * per-cell batch counts b_c. Micro-batch sizing keeps that trivial,
+      * but an adversarial batch concentrated in ONE cell pays
+      * quadratically, so the gate REFUSES (loudly, before any quadratic
+      * work) when any cell's probed batch rows exceed
+      * `maxBatchPerCell` — split the batch upstream, or raise the knob
+      * deliberately for a one-off backfill. The check is one map-side
+      * aggregation over the batch-scale assignment, not over the index.
+      *
       * @return number of vectors appended (batch minus gated drops).
       */
     def ingestNear(vectors: DataFrame, threshold: Double,
-        nprobe: Int = 1): Long = {
+        nprobe: Int = 1, maxBatchPerCell: Int = 1 << 16): Long = {
       // replay safety rests on a replayed vector scoring cosine 1.0
       // against its landed twin and dropping; threshold == 1.0 would
       // flip on floating-point self-cosine landing at 1 − ε and
@@ -529,14 +584,24 @@ object SimilarityIndex {
         .agg(min(struct(cols.filterNot(_ == idCol).map(col): _*)).as("_r"))
         .select(col(idCol) +: cols.filterNot(_ == idCol).map(c => col(s"_r.$c")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try ingestNearUniq(batch, threshold, nprobe)
+      try ingestNearUniq(batch, threshold, nprobe, maxBatchPerCell)
       finally batch.unpersist()
     }
 
     private def ingestNearUniq(vectors: DataFrame, threshold: Double,
-        nprobe: Int): Long = {
+        nprobe: Int, maxBatchPerCell: Int): Long = {
       val (aq, pruned) = Similarity.probeCells(assigned, vectors,
         centroids.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe)
+      // the quadratic-corner guard (see ingestNear doc): fail before the
+      // per-cell self-join below can melt on a single-cell batch
+      val worst = aq.groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).collect()(0)
+      if (!worst.isNullAt(0))
+        require(worst.getLong(0) <= maxBatchPerCell,
+          s"ingestNear: ${worst.getLong(0)} batch vectors probe one cell " +
+            s"(> maxBatchPerCell = $maxBatchPerCell); the in-batch gate is " +
+            "quadratic per cell — split the batch, or raise maxBatchPerCell " +
+            "deliberately")
       val landedHits = aq
         .join(pruned.select(col(vecCol).as("cv"), col("centroid_id")),
           Seq("centroid_id"))

@@ -32,12 +32,16 @@ import scala.jdk.CollectionConverters._
   * ALL metadata I/O goes through the root path's Hadoop `FileSystem` (and
   * `FileContext` for the atomic rename-overwrite commits), so a pool lives
   * wherever the DataFrame writer can put its segments — local disk, HDFS,
-  * or an object store — not just on the driver box. Rename semantics per
-  * store class (SCALING.md "pool commit protocol"): on HDFS/local,
+  * or an object store — not just on the driver box. Visibility semantics
+  * per store class (SCALING.md "pool commit protocol"): on HDFS/local,
   * `FileContext.rename(OVERWRITE)` is the posix-atomic swap; on object
-  * stores, rename is copy+delete but the manifest is a SINGLE small object,
-  * so the swap is one last-writer-wins PUT — safe under the pool's
-  * single-writer rule, which is the contract either way.
+  * stores — where rename degrades to delete+copy and a racing reader
+  * could observe the manifest ABSENT mid-swap — the manifest is instead
+  * written as ONE direct `create(overwrite)`: a single last-writer-wins
+  * PUT, atomic on close, never absent. Safe under the pool's
+  * single-writer rule, which is the contract either way; an absent
+  * manifest with surviving snapshots additionally read-repairs from the
+  * latest snapshot (see [[committedSegments]]).
   *
   * Concurrency: ONE writer per pool (commit is synchronized in-process;
   * cross-process concurrent writers would race the manifest rewrite). The
@@ -76,19 +80,57 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   private def parseLines(s: String): Seq[String] =
     s.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
 
-  /** Write-then-atomic-rename: the rename is the visibility point, so a
-    * reader never observes a half-written file whatever the store. */
-  private def writeAtomic(target: Path, content: String): Unit = {
-    val tmp = new Path(target.getParent,
-      s".${target.getName}.tmp.${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    fc.rename(tmp, target, Options.Rename.OVERWRITE)
-  }
+  // Whether this store's FileContext rename-OVERWRITE is an atomic
+  // metadata swap (posix/HDFS semantics). Everything else — object-store
+  // schemes in particular — degrades rename to delete+copy, where a
+  // reader racing the swap can observe a MISSING or half-copied target.
+  private val renameIsAtomic =
+    Pool.AtomicRenameSchemes.contains(Option(fs.getUri.getScheme).getOrElse("file"))
 
+  /** Make `content` visible at `target` such that a reader never observes
+    * a half-written file, by the mechanism the STORE actually guarantees:
+    *
+    *  - atomic-rename stores (local/HDFS class): write-then-rename — the
+    *    rename is the visibility point;
+    *  - everything else (object-store class): ONE direct
+    *    `create(overwrite)` — a single PUT, which on object stores is
+    *    atomic-on-close and last-writer-wins, so the target is never
+    *    absent and never half-copied. A tmp+rename there would be
+    *    delete+copy: a reader could observe the manifest MISSING
+    *    (committedSegments silently empty) or mid-copy.
+    *
+    * Residual: a store that both lacks atomic rename AND streams create()
+    * bytes into the final key before close has no safe single-file swap;
+    * no real object store does (PUT is all-or-nothing). Defense in depth
+    * for torn stores and pools written by older code:
+    * [[committedSegments]] read-repairs an absent manifest from the
+    * latest `_versions` snapshot.
+    */
+  private def writeAtomic(target: Path, content: String): Unit =
+    if (renameIsAtomic) {
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.tmp.${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    } else {
+      val out = fs.create(target, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    }
+
+  /** The committed segment list. When the manifest file is ABSENT but
+    * snapshots exist (a reader racing a non-atomic rename window of a
+    * pool written by older code, or a torn store), the latest `_versions`
+    * snapshot IS the last commit point — serve it instead of silently
+    * reporting an empty pool. Read-only repair: readers may lack write
+    * permission, and the next commit rewrites the manifest anyway.
+    */
   def committedSegments(): Seq[String] =
-    if (!fs.exists(manifestPath)) Seq.empty
-    else parseLines(readString(manifestPath))
+    if (fs.exists(manifestPath)) parseLines(readString(manifestPath))
+    else versions().lastOption match {
+      case Some(v) => snapshotSegments(v)
+      case None    => Seq.empty
+    }
 
   def isEmpty: Boolean = committedSegments().isEmpty
 
@@ -320,7 +362,13 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   // The next unused version number: the counter file when present (it is
   // >= every snapshot number by construction, so no listing needed —
   // commits stay O(1)); else one past the highest surviving snapshot
-  // (pre-counter pools, or a manually deleted counter).
+  // (pre-counter pools, or a manually deleted counter). The fallback can
+  // only under-count when the counter is missing AND purge/vacuum pruned
+  // the highest snapshots — [[removeSegments]] therefore re-asserts the
+  // counter BEFORE any prune, so the gap needs the counter deleted after
+  // the prune (manual sabotage, documented residual: a re-spent number
+  // would let a consumer pinning the old one silently read a later,
+  // unrelated state).
   private def nextVersionNumber(vDir: Path): Long = {
     val counter = new Path(vDir, VersionCounterFile)
     if (fs.exists(counter)) readString(counter).trim.toLong
@@ -485,12 +533,14 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     *   any on-disk file, at the documented price of forfeiting time
     *   travel across the delete (that is the point) and of disturbing a
     *   reader still draining the pre-delete manifest (the single-writer/
-    *   operator-scheduled contract, as with [[vacuum]]). Crash window:
-    *   between the manifest swap and the reclamation the old copies are
-    *   still on disk, and re-running the delete matches nothing (the live
-    *   rows are already gone) — run [[vacuum]] to complete the purge (the
-    *   leftover dirs are unreferenced by then, and vacuum prunes the
-    *   snapshots with them).
+    *   operator-scheduled contract, as with [[vacuum]]). Crash safety: a
+    *   `_PURGE` intent marker listing the affected segments is written
+    *   BEFORE the manifest swap and removed after the reclamation, and
+    *   [[Pool.open]]/[[Pool.create]] complete any interrupted purge from
+    *   it ([[completePurge]]) — compliance does not depend on an operator
+    *   remembering to [[vacuum]]. A crash before the swap leaves the
+    *   marker stale (the listed segments are still committed), which the
+    *   repair detects and discards without touching data.
     * @return number of rows deleted.
     */
   def deleteWhere(pred: org.apache.spark.sql.Column,
@@ -546,11 +596,38 @@ final class Pool private (val spark: SparkSession, val root: Path) {
         else Some(seg)
       } finally keep.unpersist()
     }
+    // intent BEFORE the swap: a crash in any later step leaves either a
+    // stale marker (swap never happened — repair discards it: every
+    // listed segment is still committed) or a live one (swap happened —
+    // repair finishes the reclamation). Written only in purge mode, so
+    // non-purge deletes keep their time travel untouched.
+    if (purge) writeAtomic(new Path(root, PurgeMarkerFile),
+      affected.toSeq.sorted.mkString("\n"))
     synchronized {
       replaceManifest(committedSegments().filterNot(affected) ++ newSegs)
     }
-    if (purge) removeSegments(affected)
+    if (purge) {
+      removeSegments(affected)
+      fs.delete(new Path(root, PurgeMarkerFile), false)
+    }
     deleted
+  }
+
+  /** Finish a purge that crashed between its manifest swap and its
+    * reclamation: the `_PURGE` marker lists the segments the purge
+    * committed to remove — delete exactly those of them the live manifest
+    * no longer references (still-referenced ones mean the crash hit
+    * BEFORE the swap: the delete never happened, the intent is stale and
+    * only the marker is dropped). Idempotent; run by [[Pool.open]] and
+    * [[Pool.create]] so the repair needs no human in the loop.
+    */
+  def completePurge(): Unit = {
+    val marker = new Path(root, PurgeMarkerFile)
+    if (!fs.exists(marker)) return
+    val listed = parseLines(readString(marker)).toSet
+    val live = committedSegments().toSet
+    removeSegments(listed -- live)
+    fs.delete(marker, false)
   }
 
   /** Delete the given segment directories from disk, prune the snapshot
@@ -569,11 +646,20 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     }
     // prune snapshot versions the reclaim made unreadable: a version
     // listing a deleted segment can no longer serve readAt, and keeping
-    // it would advertise time travel the data cannot honor
+    // it would advertise time travel the data cannot honor. The prune can
+    // remove the HIGHEST snapshots, which is the one state where a
+    // missing NEXT counter would make nextVersionNumber's fallback
+    // re-spend a number — so re-assert the counter from the pre-prune
+    // maximum FIRST (pre-counter pools gain one here; numbers are spent
+    // once, forever).
     val vDir = new Path(root, VersionsDir)
-    if (fs.exists(vDir)) versions().foreach { v =>
-      val f = new Path(vDir, f"v$v%012d")
-      if (parseLines(readString(f)).exists(gone.contains)) fs.delete(f, false)
+    if (fs.exists(vDir)) {
+      val counter = new Path(vDir, VersionCounterFile)
+      if (!fs.exists(counter)) writeAtomic(counter, (version() + 1).toString)
+      versions().foreach { v =>
+        val f = new Path(vDir, f"v$v%012d")
+        if (parseLines(readString(f)).exists(gone.contains)) fs.delete(f, false)
+      }
     }
   }
 
@@ -594,6 +680,9 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       .filter(_ != VersionsDir)
       .filterNot(keep.contains)
     removeSegments(candidates.toSet)
+    // vacuum subsumes any interrupted purge (its leftovers are
+    // unreferenced dirs) — retire the intent marker with them
+    fs.delete(new Path(root, PurgeMarkerFile), false)
     candidates.size
   }
 
@@ -701,6 +790,16 @@ object Pool {
   /** Monotonic next-version counter inside [[VersionsDir]] — survives
     * vacuum pruning every snapshot, so version numbers are never reused. */
   val VersionCounterFile = "NEXT"
+  /** Purge intent marker at the pool root: present only between a
+    * `deleteWhere(purge = true)`'s start and its completed reclamation —
+    * [[Pool.completePurge]] finishes an interrupted purge from it at
+    * open time. */
+  val PurgeMarkerFile = "_PURGE"
+  /** Schemes whose `FileContext.rename(OVERWRITE)` is an atomic metadata
+    * swap; every other scheme gets the direct single-PUT manifest write
+    * (object-store semantics — see `writeAtomic`). */
+  val AtomicRenameSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "har")
   /** Target rows per written segment file (append's file-count sizing) —
     * the balance point between the small-files hazard (a 32-way shuffle
     * write per few-hundred-k-row commit) and serializing the write into one
@@ -724,13 +823,17 @@ object Pool {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p)
-    new Pool(spark, p)
+    val pool = new Pool(spark, p)
+    pool.completePurge()
+    pool
   }
 
   def open(spark: SparkSession, path: String): Pool = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p) && fs.getFileStatus(p).isDirectory, s"no pool at $path")
-    new Pool(spark, p)
+    val pool = new Pool(spark, p)
+    pool.completePurge()
+    pool
   }
 }

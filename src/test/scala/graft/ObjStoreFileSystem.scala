@@ -19,12 +19,22 @@ class ObjStoreFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("objstore:///")
 
   override def rename(src: Path, dst: Path): Boolean = {
+    ObjStoreFileSystem.renamedTo.add(dst.getName)
     if (!exists(src)) return false
     // the object-store degradation: copy everything, then delete the
     // source — never atomic, and a reader can observe the copy mid-way
     FileUtil.copy(this, src, this, dst,
       true /* deleteSource */, true /* overwrite */, getConf)
   }
+}
+
+object ObjStoreFileSystem {
+  /** Destination names of every rename issued through the scheme — lets
+    * specs assert which files are NEVER installed by rename (the pool's
+    * metadata must be direct single-PUT writes here, since this store's
+    * rename has a reader-visible missing/half-copied window). */
+  val renamedTo: java.util.concurrent.ConcurrentLinkedQueue[String] =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
 /** The AbstractFileSystem binding FileContext needs for the scheme. */

@@ -792,6 +792,66 @@ class OpsSpec extends AnyFunSuite {
     assert(hits.nonEmpty && hits.forall(before.contains))
   }
 
+  test("rebuild swap crash leaves every subdir recoverable: load restores from the aside") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    def vecs(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava, sch)
+    val path = java.nio.file.Files.createTempDirectory("ivf-swapcrash").toString
+    graft.ops.SimilarityIndex.buildIvf(
+      vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0), 3L -> Seq(0.9, 0.1)),
+      "vec_id", "v", k = 2, iters = 2, path = path)
+    // simulate the swap's one destructive-looking window: the live
+    // `assigned` (the ONLY full-vector copy) renamed aside, crash before
+    // the staged install — the old protocol (delete live, then rename)
+    // would have left no recovery path at all
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(p.resolve("assigned"), p.resolve("_old-assigned"))
+    val staging = p.resolve("_rebuild-cafe")
+    java.nio.file.Files.createDirectories(staging)
+    // load must restore the aside and reclaim nothing it shouldn't
+    val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+    assert(java.nio.file.Files.exists(p.resolve("assigned")))
+    assert(!java.nio.file.Files.exists(p.resolve("_old-assigned")))
+    assert(idx.assigned.count() == 3)
+    assert(idx.topK(vecs(500L -> Seq(1.0, 0.05)), k = 1)
+      .collect()(0).getLong(2) == 1L)
+    // and a re-run rebuild completes from the recovered state, clearing
+    // the crashed staging
+    val again = idx.rebuild(k = 2, iters = 2)
+    assert(!java.nio.file.Files.exists(staging))
+    assert(again.assigned.count() == 3)
+    // completed swaps leave no asides behind
+    val left = {
+      val ls = java.nio.file.Files.list(p)
+      try ls.iterator().asScala.map(_.getFileName.toString).toSet
+      finally ls.close()
+    }
+    assert(left == Set("centroids", "assigned"), s"got $left")
+  }
+
+  test("ingestNear refuses a batch that concentrates quadratically in one cell") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    def vecs(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava, sch)
+    val cents = vecs(100L -> Seq(1.0, 0.0), 101L -> Seq(0.0, 1.0))
+    val path = java.nio.file.Files.createTempDirectory("ivf-guard").toString
+    graft.ops.SimilarityIndex.buildIvfFromCentroids(
+      vecs(1L -> Seq(0.9, 0.1)), cents, "vec_id", "v", path)
+    val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+    // 12 distinct vectors, all hugging the x-axis: every one probes cell A
+    val pathological = vecs((0 until 12).map(i =>
+      (10L + i, Seq(1.0, 0.001 * i))): _*)
+    val err = intercept[IllegalArgumentException](
+      idx.ingestNear(pathological, threshold = 0.999, maxBatchPerCell = 10))
+    assert(err.getMessage.contains("maxBatchPerCell"))
+    // nothing landed: the refusal happened before any append
+    assert(idx.assigned.count() == 1L)
+    // the same batch under the default knob proceeds normally
+    assert(idx.ingestNear(pathological, threshold = 0.9999999) > 0L)
+  }
+
   test("streaming gated vector ingest: micro-batches of files index through one session") {
     import org.apache.spark.sql.types._
     val sch = StructType.fromDDL("vec_id bigint, v array<double>")

@@ -564,4 +564,107 @@ class PoolSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("objstore: pool metadata is installed by direct PUT, never by rename") {
+    // this store's rename is delete+copy — a rename-installed manifest
+    // would have a reader-visible MISSING/half-copied window, so on
+    // non-atomic-rename schemes writeAtomic must go straight to the
+    // final object (one PUT, last-writer-wins, never absent)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.objstore.impl", classOf[ObjStoreFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.objstore.impl", classOf[ObjStoreAbstractFs].getName)
+    ObjStoreFileSystem.renamedTo.clear()
+    val dir = Files.createTempDirectory("pool-objstore-put")
+    val p = Pool.create(spark, s"objstore://$dir")
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    assert(p.deleteWhere(col("value.user_id") % 5 === 0, purge = true) > 0)
+    val meta = "^(MANIFEST|NEXT|_PURGE|v\\d{12})$".r
+    val hit = ObjStoreFileSystem.renamedTo.asScala
+      .filter(n => meta.findFirstIn(n).isDefined)
+    assert(hit.isEmpty,
+      s"pool metadata installed by rename on an object store: $hit")
+    assert(p.read().count() == env.filter(col("value.user_id") % 5 =!= 0).count())
+    env.unpersist()
+  }
+
+  test("manifest absent with surviving snapshots: read-repair serves the last commit") {
+    val dir = Files.createTempDirectory("pool-repair")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    val total = env.count()
+    val segs = p.committedSegments()
+    // a torn store (or an old-code crash mid-rename) loses the manifest
+    Files.delete(dir.resolve(Pool.ManifestFile))
+    assert(p.committedSegments() == segs,
+      "read-repair must serve the latest snapshot, not an empty pool")
+    assert(!p.isEmpty)
+    assert(p.read().count() == total)
+    env.unpersist()
+  }
+
+  test("interrupted purge (crash after the swap) is completed at open time") {
+    val dir = Files.createTempDirectory("pool-purgecrash")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    val vPre = p.version()
+    val before = p.committedSegments()
+    val pred = col("value.user_id") % 5 === 0
+    // a NON-purge delete produces exactly the crashed-purge disk state:
+    // manifest swapped, pre-delete segment dirs still on disk, snapshots
+    // still referencing them — then the intent marker is planted as the
+    // purge would have left it, and reopen must finish the job
+    assert(p.deleteWhere(pred) > 0)
+    val replaced = before.filterNot(p.committedSegments().contains)
+    assert(replaced.nonEmpty)
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile), replaced.mkString("\n"))
+    val p2 = Pool.open(spark, dir.toString)
+    replaced.foreach(s => assert(!Files.exists(dir.resolve(s)),
+      s"pre-delete copy $s survived the purge repair"))
+    assert(!Files.exists(dir.resolve(Pool.PurgeMarkerFile)))
+    intercept[IllegalArgumentException](p2.readAt(vPre))
+    assert(p2.read().filter(pred).count() == 0)
+    assert(p2.read().count() == env.filter(!pred).count())
+    env.unpersist()
+  }
+
+  test("stale purge intent (crash before the swap) is discarded without touching data") {
+    val dir = Files.createTempDirectory("pool-purgestale")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env)
+    val total = env.count()
+    val seg = p.committedSegments().head
+    // crash between the marker write and the manifest swap: the listed
+    // segment is still committed — the delete never happened
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile), seg)
+    val p2 = Pool.open(spark, dir.toString)
+    assert(Files.exists(dir.resolve(seg)), "live segment must survive a stale intent")
+    assert(!Files.exists(dir.resolve(Pool.PurgeMarkerFile)))
+    assert(p2.read().count() == total)
+    env.unpersist()
+  }
+
+  test("version numbers stay monotonic when a prune meets a missing counter") {
+    val dir = Files.createTempDirectory("pool-vnum")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600)) // v1
+    p.append(env.filter(col("kafka.offset") >= 600)) // v2
+    p.compact() // v3
+    // sabotage: the counter AND the latest snapshot vanish before the
+    // prune (the one state where the old fallback re-spent numbers)
+    Files.delete(dir.resolve(Pool.VersionsDir).resolve(Pool.VersionCounterFile))
+    Files.delete(dir.resolve(Pool.VersionsDir).resolve(f"v${3L}%012d"))
+    assert(p.vacuum() == 2) // prunes v1+v2 (they reference the folded segments)
+    p.append(env.limit(5)) // must NOT re-spend v1/v2
+    assert(p.version() >= 3,
+      s"version ${p.version()} re-spends a number a consumer may have pinned")
+    env.unpersist()
+  }
 }
