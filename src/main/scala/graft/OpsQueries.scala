@@ -130,24 +130,27 @@ object OpsQueries {
   }
 
   /** Unrolled DuckDB CTE chain for a product-quantization codebook over
-    * `base` (64-dim vectors): m=2 subspaces of 32 dims, `k` seeds (lowest
-    * vec_ids, dense cid = seed rank), ONE joint-L2 Lloyd round with exact
-    * decimal means rounded to 9 digits — mirrors
+    * `from` (64-dim vectors): m=2 subspaces of 32 dims, `k` seeds (lowest
+    * vec_ids — or lowest `md5(vec_id)` with `seedByHash`, the portable
+    * hash-seeded discipline — dense cid = seed rank), ONE joint-L2 Lloyd
+    * round with exact decimal means rounded to 9 digits — mirrors
     * `Similarity.pqTrain(m=2, k, iters=1, roundDigits=9)`. Ends with
     * `pcents(sub, cid, cv)`; also leaves `sliced(vec_id, sub, sv)` for
     * downstream encode CTEs. Distances accumulate left-to-right like the
     * fused `pq_encode` loop, so ties are exact on both engines or neither.
     */
-  private def pqTrainSql(k: Int): String =
+  private def pqTrainSql(k: Int, from: String = "base",
+      seedByHash: Boolean = false): String = {
+    val ord = if (seedByHash) "md5(CAST(vec_id AS VARCHAR)), vec_id" else "vec_id"
     s"""subs AS (SELECT unnest(range(2)) AS sub),
        |pseeds AS (
        |  SELECT s.sub, r.cid, list_slice(r.v, s.sub*32+1, (s.sub+1)*32) AS cv
-       |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |        FROM (SELECT * FROM base ORDER BY vec_id LIMIT $k)) r
+       |  FROM (SELECT vec_id, v, row_number() OVER (ORDER BY $ord) - 1 AS cid
+       |        FROM (SELECT * FROM $from ORDER BY $ord LIMIT $k)) r
        |  CROSS JOIN subs s),
        |sliced AS (
        |  SELECT b.vec_id, s.sub, list_slice(b.v, s.sub*32+1, (s.sub+1)*32) AS sv
-       |  FROM base b CROSS JOIN subs s),
+       |  FROM $from b CROSS JOIN subs s),
        |pscored AS (
        |  SELECT l.vec_id, l.sub, c.cid,
        |         row_number() OVER (PARTITION BY l.vec_id, l.sub
@@ -162,6 +165,7 @@ object OpsQueries {
        |          FROM pex GROUP BY 1, 2, 3),
        |pcents AS (SELECT sub, cid, list(mv ORDER BY i) AS cv FROM pdims GROUP BY sub, cid)"""
       .stripMargin
+  }
 
   /** Encode CTE against `pcents`: per-(vec, sub) L2 argmin, tie → lowest
     * cid. Ends with `ecodes(vec_id, sub, cid)`.
@@ -1685,6 +1689,71 @@ object OpsQueries {
           .topK(base.filter(col("vec_id") >= 100 && col("vec_id") < 110), k = 3)
       },
       ivfPqE2eOracle),
+
+    // the IVF-PQ re-cluster cycle end-to-end: build, takedown-delete a
+    // slice, then rebuild() — which must re-train BOTH models on the
+    // corpus SEMI-JOINED to the index's surviving id set (codes are
+    // lossy, so the caller hands the source corpus; the corpus STILL
+    // CARRIES the deleted rows here, and the index's id set — not the
+    // corpus — is the membership authority: a stale-corpus resurrection
+    // bug fails this hash). The oracle recomputes the hash-seeded
+    // k-means round, the hash-seeded PQ round, the encode, and the ADC
+    // probe over the survivors as independent CTEs.
+    "sim_ivfpq_rebuild_topk" -> Q(
+      (s, d) => {
+        val base = embBase(s, d)
+        // the initial models are throwaways (rebuild replaces both) —
+        // seed-only codebook + given centroids; only the id set they
+        // index matters, which the delete then shrinks
+        val book0 = Similarity.pqTrain(base, "vec_id", "v", m = 2, k = 4, iters = 0)
+        val path = TempDirs.create("graft-ivfpq-rb-")
+        graft.ops.SimilarityIndex.buildIvfPqFromModels(
+          base, base.filter(col("vec_id") < 8), book0, "vec_id", "v", path)
+        val idx = graft.ops.SimilarityIndex.loadIvfPq(s, path, "vec_id", "v")
+        idx.delete(base.filter(col("vec_id") % 17 === 3).select("vec_id"))
+        val rebuilt = idx.rebuild(base, k = 8, iters = 1, m = 2, codebookK = 4)
+        rebuilt.topK(base.filter(col("vec_id") >= 100 && col("vec_id") < 110), k = 3)
+      },
+      Some(embBaseSql +
+        s""", surv AS (SELECT vec_id, v FROM base WHERE vec_id % 17 <> 3),
+           |${kmeansRoundsSql(iters = 1, k = 8, from = "surv")},
+           |cents AS (SELECT centroid_id, cv AS centv FROM cents1),
+           |corpus_cells AS (SELECT vec_id, centroid_id FROM (
+           |  SELECT b.vec_id, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM surv b CROSS JOIN cents c) WHERE rn = 1),
+           |${pqTrainSql(k = 4, from = "surv", seedByHash = true)},
+           |$pqEncodeSql,
+           |recon AS (
+           |  SELECT e.vec_id, flatten(list(c.cv ORDER BY c.sub)) AS vhat
+           |  FROM ecodes e JOIN pcents c ON c.sub = e.sub AND c.cid = e.cid
+           |  GROUP BY e.vec_id),
+           |q AS (SELECT vec_id AS query_id, v AS qv, centroid_id FROM (
+           |  SELECT b.vec_id, b.v, c.centroid_id,
+           |         row_number() OVER (PARTITION BY b.vec_id
+           |                            ORDER BY ${cos("b.v", "c.centv")} DESC, c.centroid_id) AS rn
+           |  FROM base b CROSS JOIN cents c)
+           |  WHERE rn = 1 AND vec_id >= 100 AND vec_id < 110),
+           |ppairs AS (
+           |  SELECT q.query_id, n.vec_id AS neighbor_id,
+           |    list_sum(list_transform(range(2), s ->
+           |      list_sum(list_transform(list_zip(list_slice(q.qv, s*32+1, (s+1)*32),
+           |                                       list_slice(r.vhat, s*32+1, (s+1)*32)),
+           |               p -> p[1]*p[2]))))
+           |    / (sqrt(list_sum(list_transform(q.qv, x -> x*x)))
+           |       * sqrt(list_sum(list_transform(range(2), s ->
+           |           list_sum(list_transform(list_slice(r.vhat, s*32+1, (s+1)*32),
+           |                    x -> x*x))))))
+           |    AS cos
+           |  FROM q JOIN corpus_cells n ON n.centroid_id = q.centroid_id
+           |  JOIN recon r ON r.vec_id = n.vec_id
+           |  WHERE n.vec_id <> q.query_id)
+           |SELECT query_id, rank, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |  FROM ppairs)
+           |WHERE rank <= 3""".stripMargin)),
 
     // ---------------- text analysis ----------------
 
