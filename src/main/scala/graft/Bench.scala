@@ -129,13 +129,54 @@ object Bench {
       // driver-run spread be attributed from bench_detail.json alone.
       val taskRunMs = new java.util.concurrent.atomic.AtomicLong(0L)
       val taskCpuMs = new java.util.concurrent.atomic.AtomicLong(0L)
+      // r12 residue instrumentation: two driver slow repeats carried ~zero
+      // steal but ~10× task-CPU (curate_pipeline_near 40.3s cpu vs 3.5s
+      // clean @ 9 jiffies) — REAL recompute/serialize work the steal
+      // verdict doesn't cover. The three candidate mechanisms separate on:
+      //   spill_mb  (Σ task memory+disk bytes spilled): an execution-
+      //             memory squeeze makes sorts/aggs spill — serialize +
+      //             IO cycles that are genuine cpu inflation;
+      //   evict     (RDD block updates that leave memory: dropped to disk
+      //             or removed inside the run window): storage eviction
+      //             under suite pressure — persisted gate frames re-read
+      //             from disk or recomputed;
+      //   jit_ms    (HotSpot total compilation time delta): codegen churn /
+      //             code-cache flushing — interpreted re-runs burn ~10×
+      //             cpu with zero spill and zero eviction.
+      val spillBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val evictedBlocks = new java.util.concurrent.atomic.AtomicLong(0L)
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (t.taskMetrics != null) {
             taskRunMs.addAndGet(t.taskMetrics.executorRunTime)
             taskCpuMs.addAndGet(t.taskMetrics.executorCpuTime / 1000000L)
+            spillBytes.addAndGet(t.taskMetrics.memoryBytesSpilled + t.taskMetrics.diskBytesSpilled)
           }
+        override def onBlockUpdated(b: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+          val info = b.blockUpdatedInfo
+          val sl = info.storageLevel
+          if (info.blockId.isRDD && (!sl.isValid || (sl.useDisk && !sl.useMemory)))
+            evictedBlocks.incrementAndGet()
+        }
       })
+      def jitMs(): Long =
+        try java.lang.management.ManagementFactory.getCompilationMXBean.getTotalCompilationTime
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      // CodeHeap occupancy (MB): a full code cache disables the JIT —
+      // whole-stage-codegen classes then run INTERPRETED, the one
+      // mechanism that inflates task-CPU ~10× with jit_ms FLAT, zero
+      // spill, zero eviction, zero steal. Reported as a level (not a
+      // delta) in the last diag slot.
+      def codeCacheMb(): Long =
+        try {
+          val it = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.iterator()
+          var s = 0L
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getName.startsWith("CodeHeap")) s += p.getUsage.getUsed
+          }
+          s >> 20
+        } catch { case scala.util.control.NonFatal(_) => -1L }
       def gcMs(): Long = {
         val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
         var s = 0L
@@ -158,20 +199,27 @@ object Bench {
           finally src.close()
         } catch { case scala.util.control.NonFatal(_) => -1L }
       val results = selected.map { case (name, fn) =>
-        val diags = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long, Long)]()
+        val diags = scala.collection.mutable.ArrayBuffer[(Double, Long, Long, Long, Long, Long, Long, Long, Long)]()
         def once(): Double = {
           org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
           val (gc0, run0, cpu0, st0) =
             (gcMs(), taskRunMs.get(), taskCpuMs.get(), stealJiffies())
+          val (sp0, ev0, jit0) = (spillBytes.get(), evictedBlocks.get(), jitMs())
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
             errors(name) = e.toString.linesIterator.next().take(300) }
           val t = (System.nanoTime() - t0) / 1e9
+          // flush the query's own task/block events BEFORE dropLeaked so
+          // the eviction counter sees the run, not the between-run cleanup
+          org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
+          val row = (t, gcMs() - gc0, taskRunMs.get() - run0,
+            taskCpuMs.get() - cpu0, stealJiffies() - st0,
+            (spillBytes.get() - sp0) >> 20, evictedBlocks.get() - ev0,
+            jitMs() - jit0, codeCacheMb())
           dropLeaked() // run-to-run isolation: repeat runs must not stack leaked blocks
           org.apache.spark.sql.graft.GraftColumnsBridge.drainListenerBus(spark)
-          diags += ((t, gcMs() - gc0, taskRunMs.get() - run0,
-            taskCpuMs.get() - cpu0, stealJiffies() - st0))
+          diags += row
           t
         }
         var times = (1 to runs).map(_ => once()).sorted
@@ -200,32 +248,43 @@ object Bench {
         reclaim(name)
         val clean = cleanTimes()
         val med = if (clean.length >= 2) medianOf(clean) else medianOf(times)
-        (name, med, times.head, times, diags.toSeq)
+        // the UNFILTERED median ships alongside (ADVICE r12: steal is
+        // partly proportional to the guest's own demand, so a filter
+        // keyed on steal count alone could bias the headline — reporting
+        // both makes the filter's effect auditable per query)
+        (name, med, times.head, times, diags.toSeq, medianOf(times))
       }
 
       // Locale.ROOT: the f"" interpolator uses the default JVM locale, which
       // can render decimal commas and break the driver's JSON parse.
       def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       def num2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      val qs = results.map { case (k, med, _, _, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
-      val qmins = results.map { case (k, _, min, _, _) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
+      val qs = results.map { case (k, med, _, _, _, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
+      val qmins = results.map { case (k, _, min, _, _, _) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
       // full per-run arrays (sidecar only): the in-suite spread SHAPE is
       // the diagnostic for contention-band adjudication — a median alone
       // cannot distinguish "one cold outlier" from "bimodal repeats"
-      val qruns = results.map { case (k, _, _, ts, _) =>
+      val qruns = results.map { case (k, _, _, ts, _, _) =>
         jstr(k) + ":[" + ts.map(num2).mkString(",") + "]" }.mkString("{", ",", "}")
       // per-run mechanism counters, IN EXECUTION ORDER (not sorted like
       // queries_runs): [wall_s, gc_ms, task_run_ms, task_cpu_ms,
-      // steal_jiffies] per run — see the comments above for how these
-      // name a stall's cause (steal at 100 Hz USER_HZ: 100 jiffies =
-      // 1 stolen vCPU-second)
-      val qdiag = results.map { case (k, _, _, _, ds) =>
-        jstr(k) + ":[" + ds.map { case (w, gc, run, cpu, st) =>
-          s"[${num2(w)},$gc,$run,$cpu,$st]" }.mkString(",") + "]"
+      // steal_jiffies, spill_mb, evict_blocks, jit_ms, codecache_mb] per
+      // run — see the comments above for how these name a stall's cause
+      // (steal at 100 Hz USER_HZ: 100 jiffies = 1 stolen vCPU-second;
+      // spill/evict/jit/codecache discriminate the no-steal
+      // cpu-inflation mechanisms; codecache is a level, the rest deltas)
+      val qdiag = results.map { case (k, _, _, _, ds, _) =>
+        jstr(k) + ":[" + ds.map { case (w, gc, run, cpu, st, sp, ev, jit, cc) =>
+          s"[${num2(w)},$gc,$run,$cpu,$st,$sp,$ev,$jit,$cc]" }.mkString(",") + "]"
       }.mkString("{", ",", "}")
+      // unfiltered medians (per query + sum): the steal filter's effect
+      // must be auditable, not implicit in the headline
+      val qmedRaw = results.map { case (k, _, _, _, _, mr) =>
+        jstr(k) + ":" + num(mr) }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).sum
       val totalMin = results.map(_._3).sum
+      val totalRaw = results.map(_._6).sum
       // The stdout machine line must fit ENTIRELY inside the driver's
       // 2000-char output tail or it records parsed:null (round 4's lesson;
       // at 83 queries even a medians-only map at 3 decimals is ~2.1k chars).
@@ -236,17 +295,17 @@ object Bench {
       // "adaptive": high-spread queries get 2 extra runs beyond the base N.
       val lineBudget = 1800
       val esShort = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
-      val bySlowest = results.sortBy { case (_, med, _, _, _) => -med }
+      val bySlowest = results.sortBy { case (_, med, _, _, _, _) => -med }
       def lineFor(keep: Int): String = {
         val kept = bySlowest.take(keep).sortBy(_._1)
-        val q = kept.map { case (k, med, _, _, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
+        val q = kept.map { case (k, med, _, _, _, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
         val omitted = if (keep < results.size) s""","q_omitted":${results.size - keep}""" else ""
         s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$q,"errors":$esShort$omitted,"sf":${jstr(sfDir)}}"""
       }
       val line = (results.size to 1 by -1).iterator.map(lineFor)
         .find(_.length <= lineBudget)
         .getOrElse(lineFor(0))
-      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive-steal-filtered","queries":$qs,"queries_min":$qmins,"queries_runs":$qruns,"queries_diag":$qdiag,"total_min":${num(totalMin)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive-steal-filtered","queries":$qs,"queries_min":$qmins,"queries_median_raw":$qmedRaw,"queries_runs":$qruns,"queries_diag":$qdiag,"total_min":${num(totalMin)},"total_median_raw":${num(totalRaw)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => toErr.println(s"bench_detail.json write failed: $e") }

@@ -119,7 +119,13 @@ object Dedup {
     // unpersist, not destroy: if a consumer's cached partition of `out` is
     // recomputed after release (executor loss evicting the persist), the
     // mightContain UDF re-runs against the broadcast — destroy() would
-    // fail that lineage re-execution; unpersist lets the driver re-deliver
+    // fail that lineage re-execution; unpersist lets the driver re-deliver.
+    // Driver retention: unpersist drops executor copies only — the
+    // broadcast wrapper stays on the driver until the `bfBc` reference is
+    // GC'd (ContextCleaner). Here the wrapped VALUE is the caller's own
+    // retained filter (one object per session, re-broadcast per batch), so
+    // a long ingest loop accumulates only small wrapper metadata between
+    // cleaner passes, never a filter copy per batch.
     (out, () => { flagged.unpersist(blocking = false); bfBc.unpersist(blocking = false) })
   }
 
@@ -145,7 +151,13 @@ object Dedup {
         hFp.unpersist(blocking = false)
       }
       // unpersist, not destroy — the lineage-re-execution argument of
-      // [[incrementalNewDocsWithBloomManaged]]'s release
+      // [[incrementalNewDocsWithBloomManaged]]'s release. Driver
+      // retention: THIS path builds a fresh filter per call, and the
+      // driver copy lives until the broadcast is GC'd — a tight loop at
+      // large expectedItems should prefer the caller-retained-Bloom entry
+      // point (one shared filter) over re-deriving here, or destroy()
+      // explicitly once the output is durably materialized and no cached
+      // consumer partition can need re-derivation.
       bfBc.unpersist(blocking = false)
     }
     (out, release)
