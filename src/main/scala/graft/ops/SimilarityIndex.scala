@@ -311,12 +311,13 @@ object SimilarityIndex {
     */
   def startIngest(vectors: DataFrame, index: IvfIndex, threshold: Double,
       checkpoint: String, nprobe: Int = 1, interval: String = "5 seconds",
-      compactEvery: Int = 0, compactMaxFiles: Int = 4)
+      compactEvery: Int = 0, compactMaxFiles: Int = 4,
+      maxBatchPerCell: Int = 1 << 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(threshold < 1.0, // the ingestNear replay-idempotence contract —
       s"startIngest threshold must be < 1.0 (got $threshold)") // fail at start(), not first batch
     val session = new VectorIngestSession(index, threshold, nprobe,
-      compactEvery, compactMaxFiles)
+      compactEvery, compactMaxFiles, maxBatchPerCell)
     vectors.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
@@ -336,12 +337,13 @@ object SimilarityIndex {
     * one session drives one index from one loop.
     */
   final class VectorIngestSession(idx: IvfIndex, threshold: Double,
-      nprobe: Int = 1, compactEvery: Int = 0, compactMaxFiles: Int = 4) {
+      nprobe: Int = 1, compactEvery: Int = 0, compactMaxFiles: Int = 4,
+      maxBatchPerCell: Int = 1 << 16) {
     private var appendsSinceCompact = 0
 
     /** Gate + append one batch; returns vectors appended. */
     def ingest(vectors: DataFrame): Long = {
-      val n = idx.ingestNear(vectors, threshold, nprobe)
+      val n = idx.ingestNear(vectors, threshold, nprobe, maxBatchPerCell)
       if (compactEvery > 0 && n > 0) {
         appendsSinceCompact += 1
         if (appendsSinceCompact >= compactEvery) {
