@@ -663,6 +663,44 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** Read-only health report — the operator's pre-vacuum / post-incident
+    * check, pure driver metadata (one listing + the snapshot reads):
+    *
+    *  - `unreferencedDirs`: segment dirs no manifest line points at —
+    *    compaction/delete leftovers awaiting [[vacuum]], or a crashed
+    *    writer's partial (never readable either way);
+    *  - `stalePurgeIntent`: a `_PURGE` marker is present (a purge is in
+    *    flight or crashed — [[completePurge]]/reopen repairs it);
+    *  - `counterMissing`: the `NEXT` version counter is absent (the
+    *    fallback floor applies until the next commit re-asserts it);
+    *  - `missingLiveSegments`: manifest lines whose directory is GONE —
+    *    `read()` fails; only out-of-band deletion produces this (the
+    *    pool's own reclaim verbs never touch committed segments);
+    *  - `brokenSnapshots`: recorded versions referencing a segment dir
+    *    that no longer exists — their `readAt` would fail; produced only
+    *    by out-of-band deletion, never by the pool's own operations
+    *    (purge/vacuum prune the versions they orphan).
+    *
+    * All-empty/false means the pool is clean. Diagnosis only: the repair
+    * verbs stay explicit ([[vacuum]], [[completePurge]], re-commit).
+    */
+  def fsck(): PoolFsck = {
+    val live = committedSegments()
+    val dirs = fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_ != VersionsDir)
+    val broken = versions().filter(v =>
+      snapshotSegments(v).exists(s => !fs.exists(segPath(s))))
+    PoolFsck(
+      unreferencedDirs = dirs.filterNot(live.toSet).sorted,
+      missingLiveSegments = live.filter(s => !fs.exists(segPath(s))),
+      stalePurgeIntent = fs.exists(new Path(root, PurgeMarkerFile)),
+      counterMissing = fs.exists(new Path(root, VersionsDir)) &&
+        !fs.exists(new Path(new Path(root, VersionsDir), VersionCounterFile)),
+      brokenSnapshots = broken)
+  }
+
   /** Delete segment directories no longer referenced by the manifest —
     * compaction leftovers and crashed-writer partials. Safe under the
     * pool's single-writer constraint when invoked by that writer (readers
@@ -780,6 +818,15 @@ final class Pool private (val spark: SparkSession, val root: Path) {
         case _ => false
       }
     }
+}
+
+/** [[Pool.fsck]]'s report — see the method doc for field semantics. */
+final case class PoolFsck(unreferencedDirs: Seq[String],
+    missingLiveSegments: Seq[String], stalePurgeIntent: Boolean,
+    counterMissing: Boolean, brokenSnapshots: Seq[Long]) {
+  def clean: Boolean = unreferencedDirs.isEmpty &&
+    missingLiveSegments.isEmpty && !stalePurgeIntent &&
+    !counterMissing && brokenSnapshots.isEmpty
 }
 
 object Pool {

@@ -650,6 +650,39 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("fsck reports exactly the dirty states and stays clean through normal life") {
+    val dir = Files.createTempDirectory("pool-fsck")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    assert(p.fsck().clean, s"fresh 2-commit pool must be clean: ${p.fsck()}")
+    // compaction leftovers = unreferenced dirs awaiting vacuum
+    val old = p.committedSegments()
+    p.compact()
+    val f1 = p.fsck()
+    assert(f1.unreferencedDirs.toSet == old.toSet && !f1.clean)
+    assert(p.vacuum() == old.size)
+    assert(p.fsck().clean)
+    // a stale purge intent and a missing counter are both flagged
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile), old.head)
+    Files.delete(dir.resolve(Pool.VersionsDir).resolve(Pool.VersionCounterFile))
+    val f2 = p.fsck()
+    assert(f2.stalePurgeIntent && f2.counterMissing)
+    Files.delete(dir.resolve(Pool.PurgeMarkerFile))
+    // out-of-band segment deletion breaks the snapshots that list it
+    val seg = p.committedSegments().head
+    val segDir = dir.resolve(seg)
+    java.nio.file.Files.walk(segDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    val f3 = p.fsck()
+    assert(f3.missingLiveSegments == Seq(seg),
+      s"the gone-but-committed $seg must be flagged: $f3")
+    assert(f3.brokenSnapshots.nonEmpty,
+      s"snapshots listing the deleted $seg must be flagged: $f3")
+    env.unpersist()
+  }
+
   test("version numbers stay monotonic when a prune meets a missing counter") {
     val dir = Files.createTempDirectory("pool-vnum")
     val p = Pool.create(spark, dir.toString)
