@@ -49,7 +49,62 @@ object SimilarityIndex {
       Similarity.ivfAssign(corpus, cents, idCol, vecCol)
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$path/assigned")
+      stampGeneration(corpus.sparkSession, path, IvfSubdirs)
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
+  }
+
+  /** Stamp every subdir of one build with the SAME generation nonce
+    * (an underscore-prefixed marker file — hidden from parquet readers,
+    * travels with the dir through the rebuild swap's renames). Load
+    * verifies the stamps agree ([[checkGeneration]]): the swap is not
+    * transactional ACROSS subdirs, and without stamps a crash between
+    * subdir installs would leave NEW centroids silently serving over OLD
+    * assignments — wrong cells, no error. Written after all data writes
+    * (`mode("overwrite")` deletes the dir, marker included; append /
+    * dynamic-partition-overwrite paths never touch it).
+    */
+  private def stampGeneration(spark: SparkSession, path: String,
+      subdirs: Seq[String]): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val nonce = java.util.UUID.randomUUID().toString
+    subdirs.foreach { d =>
+      val out = hfs.create(
+        new org.apache.hadoop.fs.Path(s"$path/$d", GenerationMarker), true)
+      try out.write(nonce.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  private[graft] val GenerationMarker = "_GENERATION"
+
+  /** Refuse a MIXED-GENERATION index: every stamped subdir must carry
+    * the same build nonce. All-unstamped (a pre-stamp index) passes —
+    * but a partial stamping means a rebuild swap crashed between subdir
+    * installs, and probing new centroids against old assignments (or
+    * codes against a foreign codebook) returns WRONG cells with no
+    * error, so load fails loudly with the repair instead.
+    */
+  private def checkGeneration(spark: SparkSession, path: String,
+      subdirs: Seq[String]): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stamps = subdirs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d", GenerationMarker)
+      if (!hfs.exists(p)) None
+      else {
+        val in = hfs.open(p)
+        try Some(d -> scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    }
+    require(stamps.isEmpty || (stamps.size == subdirs.size &&
+        stamps.map(_._2).distinct.size == 1),
+      s"index at $path mixes build generations " +
+        s"(${stamps.map { case (d, n) => s"$d=${n.take(8)}" }.mkString(", ")}; " +
+        s"unstamped: ${subdirs.filterNot(stamps.map(_._1).toSet).mkString(", ")}) — " +
+        "a rebuild swap crashed between subdir installs; repair with " +
+        "SimilarityIndex.rebuildIvf(path, ...) / rebuildIvfPq(path, corpus, ...)")
   }
 
   /** Open a persisted index for probing (restoring any subdir a crashed
@@ -57,11 +112,42 @@ object SimilarityIndex {
   def loadIvf(spark: SparkSession, path: String, idCol: String,
       vecCol: String): IvfIndex = {
     recoverAside(spark, path, IvfSubdirs)
+    checkGeneration(spark, path, IvfSubdirs)
     new IvfIndex(spark, path, idCol, vecCol)
   }
 
   private val IvfSubdirs = Seq("centroids", "assigned")
   private val IvfPqSubdirs = Seq("centroids", "codebook", "encoded")
+
+  /** REPAIR a mixed-generation IVF index (a rebuild swap that crashed
+    * between subdir installs — [[loadIvf]] refuses to probe it): the
+    * retrain consumes only the `assigned` data, which is a complete,
+    * single-generation set in every crash state, so re-running the
+    * rebuild IS the repair. Bypasses the generation gate for exactly
+    * that reason; returns a probeable handle.
+    */
+  def rebuildIvf(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, k: Int, iters: Int, seedByHash: Boolean = true,
+      roundDigits: Int = 9): IvfIndex = {
+    recoverAside(spark, path, IvfSubdirs)
+    new IvfIndex(spark, path, idCol, vecCol)
+      .rebuild(k, iters, seedByHash, roundDigits)
+  }
+
+  /** The IVF-PQ repair twin of [[rebuildIvf]]: the retrain's id
+    * membership comes from the `encoded` data (complete and
+    * internally consistent in every crash state — old or new
+    * generation, the id set is the same live set), vectors from the
+    * caller's corpus.
+    */
+  def rebuildIvfPq(spark: SparkSession, path: String, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int, m: Int,
+      codebookK: Int, seedByHash: Boolean = true,
+      roundDigits: Int = 9): IvfPqIndex = {
+    recoverAside(spark, path, IvfPqSubdirs)
+    new IvfPqIndex(spark, path, idCol, vecCol)
+      .rebuild(corpus, k, iters, m, codebookK, seedByHash, roundDigits)
+  }
 
   /** Persist the IVF-PQ layout under GIVEN centroids + codebook: the two
     * models as small parquet tables, and the corpus as (idCol, codes)
@@ -85,6 +171,7 @@ object SimilarityIndex {
         .select(col(idCol), col("centroid_id"), col("codes"))
         .write.mode("overwrite").partitionBy("centroid_id")
         .parquet(s"$path/encoded")
+      stampGeneration(corpus.sparkSession, path, IvfPqSubdirs)
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
   }
 
@@ -108,6 +195,7 @@ object SimilarityIndex {
   def loadIvfPq(spark: SparkSession, path: String, idCol: String,
       vecCol: String): IvfPqIndex = {
     recoverAside(spark, path, IvfPqSubdirs)
+    checkGeneration(spark, path, IvfPqSubdirs)
     new IvfPqIndex(spark, path, idCol, vecCol)
   }
 

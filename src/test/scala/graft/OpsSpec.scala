@@ -830,6 +830,45 @@ class OpsSpec extends AnyFunSuite {
     assert(left == Set("centroids", "assigned"), s"got $left")
   }
 
+  test("mixed-generation index (cross-subdir swap crash) is refused at load, repaired by rebuild") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    def vecs(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava, sch)
+    val data = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0), 3L -> Seq(0.9, 0.1))
+    val pathA = java.nio.file.Files.createTempDirectory("ivf-genA").toString
+    val pathB = java.nio.file.Files.createTempDirectory("ivf-genB").toString
+    graft.ops.SimilarityIndex.buildIvf(data, "vec_id", "v", k = 2, iters = 2, pathA)
+    graft.ops.SimilarityIndex.buildIvf(data, "vec_id", "v", k = 2, iters = 2, pathB)
+    // simulate a swap that crashed after installing only `centroids`:
+    // A's centroids come from a DIFFERENT build generation than its
+    // assigned data — probing would return wrong cells with no error
+    val a = java.nio.file.Paths.get(pathA)
+    def rmTree(p: java.nio.file.Path): Unit =
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    rmTree(a.resolve("centroids"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(pathB).resolve("centroids"),
+      a.resolve("centroids"))
+    val err = intercept[IllegalArgumentException](
+      graft.ops.SimilarityIndex.loadIvf(spark, pathA, "vec_id", "v"))
+    assert(err.getMessage.contains("generations"))
+    // the documented repair bypasses the gate and re-clusters
+    val repaired = graft.ops.SimilarityIndex.rebuildIvf(spark, pathA,
+      "vec_id", "v", k = 2, iters = 2)
+    assert(repaired.assigned.count() == 3)
+    assert(graft.ops.SimilarityIndex.loadIvf(spark, pathA, "vec_id", "v")
+      .topK(vecs(500L -> Seq(1.0, 0.05)), k = 1).collect()(0).getLong(2) == 1L)
+    // a pre-stamp (legacy) index — no markers at all — still loads
+    val pathC = java.nio.file.Files.createTempDirectory("ivf-genC").toString
+    graft.ops.SimilarityIndex.buildIvf(data, "vec_id", "v", k = 2, iters = 2, pathC)
+    val c = java.nio.file.Paths.get(pathC)
+    Seq("centroids", "assigned").foreach(d => java.nio.file.Files.delete(
+      c.resolve(d).resolve(graft.ops.SimilarityIndex.GenerationMarker)))
+    assert(graft.ops.SimilarityIndex.loadIvf(spark, pathC, "vec_id", "v")
+      .assigned.count() == 3)
+  }
+
   test("ingestNear refuses a batch that concentrates quadratically in one cell") {
     import org.apache.spark.sql.types._
     val sch = StructType.fromDDL("vec_id bigint, v array<double>")
