@@ -119,6 +119,45 @@ object SimilarityIndex {
   private val IvfSubdirs = Seq("centroids", "assigned")
   private val IvfPqSubdirs = Seq("centroids", "codebook", "encoded")
 
+  /** Read-only health report for a persisted index layout (IVF or
+    * IVF-PQ) — the [[graft.pool.Pool.fsck]] twin, pure driver metadata:
+    * `staleStaging` (`_rebuild-*` dirs a crashed rebuild left — space
+    * only, reclaimed at next rebuild), `asides` (`_old-*` dirs a swap
+    * crash left — the last complete generation of a lost subdir;
+    * load/rebuild restore them), `missingSubdirs` (expected dirs absent
+    * even after an aside restore would run), and `mixedGeneration`
+    * (stamps disagree — load refuses, [[rebuildIvf]]/[[rebuildIvfPq]]
+    * repair). Diagnosis only; the repair verbs stay explicit.
+    */
+  def fsckIndex(spark: SparkSession, path: String): IndexFsck = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hfs.exists(root))
+      return IndexFsck(Seq.empty, Seq.empty, Seq("<index root>"), mixedGeneration = false)
+    val names = hfs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    val subdirs = if (names.contains("codebook") || names.contains("encoded")
+        || names.contains("_old-encoded")) IvfPqSubdirs else IvfSubdirs
+    val asides = names.filter(_.startsWith("_old-"))
+    val missing = subdirs.filterNot(d =>
+      names.contains(d) || asides.contains(s"_old-$d"))
+    val mixed =
+      try { checkGeneration(spark, path, subdirs.filter(names.contains)); false }
+      catch { case _: IllegalArgumentException => true }
+    IndexFsck(
+      staleStaging = names.filter(_.startsWith("_rebuild-")).sorted,
+      asides = asides.sorted,
+      missingSubdirs = missing,
+      mixedGeneration = mixed)
+  }
+
+  /** [[fsckIndex]]'s report; `clean` means a load would succeed and no
+    * crash leftovers are on disk. */
+  final case class IndexFsck(staleStaging: Seq[String], asides: Seq[String],
+      missingSubdirs: Seq[String], mixedGeneration: Boolean) {
+    def clean: Boolean = staleStaging.isEmpty && asides.isEmpty &&
+      missingSubdirs.isEmpty && !mixedGeneration
+  }
+
   /** REPAIR a mixed-generation IVF index (a rebuild swap that crashed
     * between subdir installs — [[loadIvf]] refuses to probe it): the
     * retrain consumes only the `assigned` data, which is a complete,

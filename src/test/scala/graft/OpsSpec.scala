@@ -853,10 +853,13 @@ class OpsSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](
       graft.ops.SimilarityIndex.loadIvf(spark, pathA, "vec_id", "v"))
     assert(err.getMessage.contains("generations"))
+    val sick = graft.ops.SimilarityIndex.fsckIndex(spark, pathA)
+    assert(sick.mixedGeneration && !sick.clean)
     // the documented repair bypasses the gate and re-clusters
     val repaired = graft.ops.SimilarityIndex.rebuildIvf(spark, pathA,
       "vec_id", "v", k = 2, iters = 2)
     assert(repaired.assigned.count() == 3)
+    assert(graft.ops.SimilarityIndex.fsckIndex(spark, pathA).clean)
     assert(graft.ops.SimilarityIndex.loadIvf(spark, pathA, "vec_id", "v")
       .topK(vecs(500L -> Seq(1.0, 0.05)), k = 1).collect()(0).getLong(2) == 1L)
     // a pre-stamp (legacy) index — no markers at all — still loads

@@ -125,5 +125,8 @@ class ReadmeExampleSpec extends AnyFunSuite {
     val fresh = raw.rebuild(k = 8, iters = 2)
     assert(fresh.assigned.select("vec_id").collect().map(_.getLong(0)).toSet
       == idsBefore)
+
+    // health checks from the README: both clean after a normal lifecycle
+    assert(graft.ops.SimilarityIndex.fsckIndex(spark, rawPath).clean)
   }
 }
