@@ -85,19 +85,22 @@ object SimilarityIndex {
     * codes against a foreign codebook) returns WRONG cells with no
     * error, so load fails loudly with the repair instead.
     */
+  private def readStamp(hfs: org.apache.hadoop.fs.FileSystem, path: String,
+      dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$dir", GenerationMarker)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
   private def checkGeneration(spark: SparkSession, path: String,
       subdirs: Seq[String]): Unit = {
     val hfs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val stamps = subdirs.flatMap { d =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$d", GenerationMarker)
-      if (!hfs.exists(p)) None
-      else {
-        val in = hfs.open(p)
-        try Some(d -> scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-        finally in.close()
-      }
-    }
+    val stamps = subdirs.flatMap(d => readStamp(hfs, path, d).map(d -> _))
     require(stamps.isEmpty || (stamps.size == subdirs.size &&
         stamps.map(_._2).distinct.size == 1),
       s"index at $path mixes build generations " +
@@ -140,9 +143,19 @@ object SimilarityIndex {
     val asides = names.filter(_.startsWith("_old-"))
     val missing = subdirs.filterNot(d =>
       names.contains(d) || asides.contains(s"_old-$d"))
-    val mixed =
-      try { checkGeneration(spark, path, subdirs.filter(names.contains)); false }
-      catch { case _: IllegalArgumentException => true }
+    // generation check over the POST-RESTORE layout: a missing subdir's
+    // aside is what recoverAside will rename back, so its stamp is the
+    // one a load would then compare — without this, the aside-crash
+    // state (new centroids installed, old assigned only in its aside)
+    // would report mixedGeneration=false while load refuses
+    val effective = subdirs.flatMap { d =>
+      if (names.contains(d)) Some(d)
+      else if (names.contains(s"_old-$d")) Some(s"_old-$d")
+      else None
+    }
+    val stamps = effective.flatMap(d => readStamp(hfs, path, d))
+    val mixed = stamps.nonEmpty &&
+      !(stamps.size == effective.size && stamps.distinct.size == 1)
     IndexFsck(
       staleStaging = names.filter(_.startsWith("_rebuild-")).sorted,
       asides = asides.sorted,

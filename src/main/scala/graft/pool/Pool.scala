@@ -84,8 +84,11 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   // metadata swap (posix/HDFS semantics). Everything else — object-store
   // schemes in particular — degrades rename to delete+copy, where a
   // reader racing the swap can observe a MISSING or half-copied target.
-  private val renameIsAtomic =
-    Pool.AtomicRenameSchemes.contains(Option(fs.getUri.getScheme).getOrElse("file"))
+  private val renameIsAtomic = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    Pool.AtomicRenameSchemes.contains(scheme) ||
+      hadoopConf.getTrimmedStrings(Pool.AtomicRenameSchemesKey).contains(scheme)
+  }
 
   /** Make `content` visible at `target` such that a reader never observes
     * a half-written file, by the mechanism the STORE actually guarantees:
@@ -99,12 +102,16 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     *    delete+copy: a reader could observe the manifest MISSING
     *    (committedSegments silently empty) or mid-copy.
     *
-    * Residual: a store that both lacks atomic rename AND streams create()
-    * bytes into the final key before close has no safe single-file swap;
-    * no real object store does (PUT is all-or-nothing). Defense in depth
-    * for torn stores and pools written by older code:
-    * [[committedSegments]] read-repairs an absent manifest from the
-    * latest `_versions` snapshot.
+    * The dichotomy is a scheme classification ([[Pool.AtomicRenameSchemes]],
+    * extendable via `graft.pool.atomic.rename.schemes`): an
+    * atomic-rename filesystem mis-classified as object-store-class would
+    * regain a torn-read window if its create() streams into the visible
+    * key — so the HDFS-class cloud filesystems (abfs, wasb, maprfs,
+    * ozone, alluxio) are in the allowlist, and a deployment on an
+    * unlisted atomic-rename store should add its scheme rather than rely
+    * on the PUT path. Defense in depth for torn stores and pools written
+    * by older code: [[committedSegments]] read-repairs an absent
+    * manifest from the latest `_versions` snapshot.
     */
   private def writeAtomic(target: Path, content: String): Unit =
     if (renameIsAtomic) {
@@ -536,11 +543,13 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     *   operator-scheduled contract, as with [[vacuum]]). Crash safety: a
     *   `_PURGE` intent marker listing the affected segments is written
     *   BEFORE the manifest swap and removed after the reclamation, and
-    *   [[Pool.open]]/[[Pool.create]] complete any interrupted purge from
-    *   it ([[completePurge]]) — compliance does not depend on an operator
-    *   remembering to [[vacuum]]. A crash before the swap leaves the
-    *   marker stale (the listed segments are still committed), which the
-    *   repair detects and discards without touching data.
+    *   [[Pool.open]]/[[Pool.create]] complete any POST-swap interrupted
+    *   purge from it ([[completePurge]]) — compliance does not depend on
+    *   an operator remembering to [[vacuum]]. A crash BEFORE the swap
+    *   means the delete never ran: the marker is left in place as
+    *   evidence ([[fsck]] flags it; re-running the delete rewrites it)
+    *   rather than silently discarded — and an opener never consumes a
+    *   LIVE purge's intent mid-flight.
     * @return number of rows deleted.
     */
   def deleteWhere(pred: org.apache.spark.sql.Column,
@@ -615,20 +624,39 @@ final class Pool private (val spark: SparkSession, val root: Path) {
 
   /** Finish a purge that crashed between its manifest swap and its
     * reclamation: the `_PURGE` marker lists the segments the purge
-    * committed to remove — delete exactly those of them the live manifest
-    * no longer references (still-referenced ones mean the crash hit
-    * BEFORE the swap: the delete never happened, the intent is stale and
-    * only the marker is dropped). Idempotent; run by [[Pool.open]] and
-    * [[Pool.create]] so the repair needs no human in the loop.
+    * committed to remove — delete exactly those of them the live
+    * manifest no longer references. When EVERY listed segment is still
+    * committed, nothing is done and the marker is LEFT IN PLACE: that
+    * state is either a live purge's pre-swap window (another opener must
+    * not consume the writer's intent — the race would void the
+    * compliance guarantee if the writer then crashed post-swap) or a
+    * pre-swap crash, where the delete never ran and silently discarding
+    * the only evidence would let an operator believe a takedown applied
+    * when it didn't — [[fsck]] flags the lingering intent; re-running
+    * the delete (which rewrites the marker) or [[vacuum]] retires it.
+    * Failures (e.g. a read-only consumer lacking delete permission) are
+    * reported to stderr, never fatal to open: the swapped manifest
+    * already hides the rows from every live read, and the reclamation
+    * stays owed — visible through [[fsck]] — until a writer opens.
+    * Idempotent; run by [[Pool.open]] and [[Pool.create]] so the repair
+    * needs no human in the loop.
     */
-  def completePurge(): Unit = {
-    val marker = new Path(root, PurgeMarkerFile)
-    if (!fs.exists(marker)) return
-    val listed = parseLines(readString(marker)).toSet
-    val live = committedSegments().toSet
-    removeSegments(listed -- live)
-    fs.delete(marker, false)
-  }
+  def completePurge(): Unit =
+    try {
+      val marker = new Path(root, PurgeMarkerFile)
+      if (!fs.exists(marker)) return
+      val listed = parseLines(readString(marker)).toSet
+      val live = committedSegments().toSet
+      val gone = listed -- live
+      if (gone.nonEmpty) {
+        removeSegments(gone)
+        fs.delete(marker, false)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"pool $root: completing an interrupted purge " +
+          s"failed (reclamation still owed; fsck() flags it): $e")
+    }
 
   /** Delete the given segment directories from disk, prune the snapshot
     * versions that reference any of them, and evict their metadata cache
@@ -842,11 +870,21 @@ object Pool {
     * [[Pool.completePurge]] finishes an interrupted purge from it at
     * open time. */
   val PurgeMarkerFile = "_PURGE"
-  /** Schemes whose `FileContext.rename(OVERWRITE)` is an atomic metadata
-    * swap; every other scheme gets the direct single-PUT manifest write
-    * (object-store semantics — see `writeAtomic`). */
+  /** Schemes whose rename is an atomic metadata swap (posix/HDFS-class,
+    * including the cloud filesystems that implement REAL rename: Azure
+    * abfs/wasb, MapR, Ozone, Alluxio); every other scheme gets the
+    * direct single-PUT manifest write (object-store semantics, where
+    * rename is delete+copy but a PUT is atomic on close — see
+    * `writeAtomic`). A store outside both classes (no atomic rename AND
+    * create() streaming bytes into the visible key) has no safe
+    * single-file swap at all; deployments with such a store — or with an
+    * atomic-rename scheme missing here — extend the set via the Hadoop
+    * conf key `graft.pool.atomic.rename.schemes` (comma-separated). */
   val AtomicRenameSchemes: Set[String] =
-    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "har")
+    Set("file", "hdfs", "viewfs", "webhdfs", "swebhdfs", "har",
+      "abfs", "abfss", "wasb", "wasbs", "maprfs", "o3fs", "ofs", "alluxio")
+  /** Additive Hadoop conf key extending [[AtomicRenameSchemes]]. */
+  val AtomicRenameSchemesKey = "graft.pool.atomic.rename.schemes"
   /** Target rows per written segment file (append's file-count sizing) —
     * the balance point between the small-files hazard (a 32-way shuffle
     * write per few-hundred-k-row commit) and serializing the write into one

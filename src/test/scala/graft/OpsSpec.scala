@@ -809,6 +809,14 @@ class OpsSpec extends AnyFunSuite {
     java.nio.file.Files.move(p.resolve("assigned"), p.resolve("_old-assigned"))
     val staging = p.resolve("_rebuild-cafe")
     java.nio.file.Files.createDirectories(staging)
+    // fsck sees the crash leftovers and — evaluating generations over the
+    // POST-restore layout (the aside stands in for its missing subdir) —
+    // correctly predicts that a load will succeed here (same generation
+    // both sides), unlike a cross-generation transplant
+    val sick = graft.ops.SimilarityIndex.fsckIndex(spark, path)
+    assert(sick.asides == Seq("_old-assigned") &&
+      sick.staleStaging == Seq("_rebuild-cafe") &&
+      !sick.mixedGeneration && !sick.clean, s"got $sick")
     // load must restore the aside and reclaim nothing it shouldn't
     val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
     assert(java.nio.file.Files.exists(p.resolve("assigned")))

@@ -633,7 +633,7 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
-  test("stale purge intent (crash before the swap) is discarded without touching data") {
+  test("stale purge intent (crash before the swap) is preserved as evidence, data untouched") {
     val dir = Files.createTempDirectory("pool-purgestale")
     val p = Pool.create(spark, dir.toString)
     val env = envelopes().persist()
@@ -641,12 +641,20 @@ class PoolSpec extends AnyFunSuite {
     val total = env.count()
     val seg = p.committedSegments().head
     // crash between the marker write and the manifest swap: the listed
-    // segment is still committed — the delete never happened
+    // segment is still committed — the delete never happened. Open must
+    // NOT consume the intent (it may be another writer's LIVE pre-swap
+    // window, and silently discarding it would let an operator believe
+    // the takedown applied) — fsck carries the evidence instead
     Files.writeString(dir.resolve(Pool.PurgeMarkerFile), seg)
     val p2 = Pool.open(spark, dir.toString)
     assert(Files.exists(dir.resolve(seg)), "live segment must survive a stale intent")
-    assert(!Files.exists(dir.resolve(Pool.PurgeMarkerFile)))
+    assert(Files.exists(dir.resolve(Pool.PurgeMarkerFile)),
+      "a pre-swap intent is evidence the delete never ran — open must not eat it")
+    assert(p2.fsck().stalePurgeIntent)
     assert(p2.read().count() == total)
+    // a re-run purge (the documented repair) rewrites and then retires it
+    assert(p2.deleteWhere(col("value.user_id") % 3 === 0, purge = true) > 0)
+    assert(!Files.exists(dir.resolve(Pool.PurgeMarkerFile)))
     env.unpersist()
   }
 
