@@ -581,12 +581,26 @@ object Dedup {
     * sign(cos) = sign(dot)) + one equi-join on bucket keys; collision
     * probability per bit is 1 − θ/π, so near-duplicates (θ≈0) collide in
     * every band while unrelated vectors rarely share all `bits/bands` bits
-    * of any band. Never all-pairs.
+    * of any band. Never all-pairs BY STRUCTURE — but the candidate VOLUME
+    * is governed by bucket occupancy: a band has 2^(bits/bands) possible
+    * keys, so at corpus size N the densest buckets hold ≳ N·p(key) vectors
+    * and the self-join pays the square of that. SIZE THE KEYS TO THE
+    * CORPUS: pick bits/bands ≥ log2(N/targetBucket) (the default 16/4 = 16
+    * keys per band is a small-corpus/demo setting; a billion-vector corpus
+    * wants e.g. bits = 128, bands = 8 → 65k keys per band), and/or set
+    * `maxBucket`: buckets holding more than that many vectors are DROPPED
+    * from candidate generation before the self-join — the [[jaccardPairs]]
+    * `maxDf` discipline for hyperplane buckets. An oversized bucket is
+    * low-information by construction (a key shared by a large fraction of
+    * the corpus separates nothing); dropping it bounds the join
+    * quadratically while near-dup pairs keep `bands` − 1 other chances to
+    * collide somewhere selective. 0 = unlimited (exact LSH semantics, the
+    * oracle-checked default).
     * Output: (d1, d2, cos) — verified pairs with cosine ≥ threshold.
     */
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
       dims: Int, bits: Int = 16, bands: Int = 4,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, maxBucket: Int = 0): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     val rows = bits / bands
     val hp = hyperplanes(bits, dims)
@@ -604,10 +618,21 @@ object Dedup {
       val key = (0 until rows).map(k => bitCols(b * rows + k) * lit(1 << k)).reduce(_ + _)
       struct(lit(b).as("band"), key.as("bk"))
     }
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val allBanded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
         explode(array(bandStructs: _*)).as("x"))
       .select(col("id"), col("v"), col("x.band").as("band"), col("x.bk").as("bk"))
       .filter(col("bk").isNotNull)
+    val banded =
+      if (maxBucket <= 0) allBanded
+      else {
+        // the oversized-bucket census is bounded by the KEY SPACE
+        // (bands · 2^(bits/bands) rows at most), not the corpus —
+        // broadcast-anti-joining it costs one map-side-combined count
+        // pass and removes the quadratic corner before it exists
+        val oversized = allBanded.groupBy(col("band"), col("bk")).count()
+          .filter(col("count") > maxBucket).select("band", "bk")
+        allBanded.join(broadcast(oversized), Seq("band", "bk"), "left_anti")
+      }
     val a = banded.select(col("id").as("d1"), col("v").as("v1"), col("band"), col("bk"))
     val b = banded.select(col("id").as("d2"), col("v").as("v2"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))

@@ -838,6 +838,38 @@ class OpsSpec extends AnyFunSuite {
     assert(left == Set("centroids", "assigned"), s"got $left")
   }
 
+  test("embeddingLshPairs maxBucket drops oversized buckets, keeps selective ones") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    // 20 vectors crowded into one orthant: every hyperplane bit agrees, so
+    // ALL of them share one bucket in every band — the degenerate occupancy
+    // that makes the candidate self-join quadratic. Two more vectors in the
+    // opposite orthant form a selective near pair (tiny bucket).
+    // exact copies under distinct ids: identical signatures on EVERY
+    // plane (scaled copies flip sign on zero-sum planes via the float
+    // residue and split into sub-buckets), so all 20 share one bucket
+    val crowd = (0 until 20).map(i => Row(i.toLong, Seq.fill(64)(1.0)))
+    val pairA = Row(100L, Seq.fill(64)(-1.0))
+    val pairB = Row(101L, Seq.tabulate(64)(j => if (j == 0) -1.02 else -1.0))
+    val df = spark.createDataFrame((crowd :+ pairA :+ pairB).asJava, sch)
+    val unlimited = graft.ops.Dedup.embeddingLshPairs(df, "vec_id", "v",
+      dims = 64, threshold = 0.99)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unlimited.contains((100L, 101L)))
+    assert(unlimited.exists { case (a, b) => a < 20 && b < 20 },
+      "the crowded orthant's near pairs verify when unguarded")
+    val guarded = graft.ops.Dedup.embeddingLshPairs(df, "vec_id", "v",
+      dims = 64, threshold = 0.99, maxBucket = 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((100L, 101L)),
+      s"only the selective bucket's pair should survive the guard, got $guarded")
+    // maxBucket larger than any bucket = exact LSH semantics
+    val loose = graft.ops.Dedup.embeddingLshPairs(df, "vec_id", "v",
+      dims = 64, threshold = 0.99, maxBucket = 1000)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == unlimited)
+  }
+
   test("mixed-generation index (cross-subdir swap crash) is refused at load, repaired by rebuild") {
     import org.apache.spark.sql.types._
     val sch = StructType.fromDDL("vec_id bigint, v array<double>")
