@@ -306,18 +306,37 @@ object Dedup {
       .select(col("id"), col("x.band").as("band"), col("x.bk").as("bk"))
   }
 
-  /** Distinct candidate pairs (d1 < d2) of a banded key frame. */
-  private def candidatePairs(banded: DataFrame): DataFrame = {
-    val a = banded.select(col("id").as("d1"), col("band"), col("bk"))
-    val b = banded.select(col("id").as("d2"), col("band"), col("bk"))
+  /** Distinct candidate pairs (d1 < d2) of a banded key frame. With
+    * `maxBucket` > 0, buckets holding more than that many docs are
+    * dropped BEFORE the self-join — the candidate volume is governed by
+    * the densest bucket's square (a corpus with K byte-identical copies
+    * of one page puts all K in one bucket of every band → K² candidates),
+    * and an oversized bucket is exactly the degenerate case exact
+    * dedup should have collapsed first: dropping it bounds the join
+    * while genuinely-near pairs keep their other bands. The oversized
+    * census is one map-side-combined count, ≤ rows/maxBucket rows; the
+    * anti-join is left to AQE (broadcast when tiny, as it virtually
+    * always is). 0 = exact LSH semantics (the oracle-checked default).
+    */
+  private def candidatePairs(banded: DataFrame, maxBucket: Int = 0): DataFrame = {
+    val kept =
+      if (maxBucket <= 0) banded
+      else {
+        val oversized = banded.groupBy(col("band"), col("bk")).count()
+          .filter(col("count") > maxBucket).select("band", "bk")
+        banded.join(oversized, Seq("band", "bk"), "left_anti")
+      }
+    val a = kept.select(col("id").as("d1"), col("band"), col("bk"))
+    val b = kept.select(col("id").as("d2"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
   }
 
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numPerms: Int = 16, bands: Int = 4): DataFrame =
+      n: Int = 3, numPerms: Int = 16, bands: Int = 4,
+      maxBucket: Int = 0): DataFrame =
     candidatePairs(bandKeys(minhashSignatureFrame(df, idCol, textCol, n, numPerms),
-      numPerms, bands))
+      numPerms, bands), maxBucket)
 
   /** Incremental NEAR-dup dedup: keep the incoming rows that are not
     * near-duplicates of the landed corpus or of a lower-id row in their own
@@ -502,9 +521,9 @@ object Dedup {
     */
   def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame =
     minhashEstimateImpl(df, idCol, textCol, n, numPerms, bands, threshold,
-      manage = false)._1
+      manage = false, maxBucket)._1
 
   /** As [[minhashEstimatePairs]] with a release thunk for loop callers —
     * the signature frame is persisted (it feeds band keys AND both verify
@@ -518,18 +537,18 @@ object Dedup {
     */
   def minhashEstimatePairsManaged(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, numPerms: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): (DataFrame, () => Unit) =
+      threshold: Double = 0.5, maxBucket: Int = 0): (DataFrame, () => Unit) =
     minhashEstimateImpl(df, idCol, textCol, n, numPerms, bands, threshold,
-      manage = true)
+      manage = true, maxBucket)
 
   private def minhashEstimateImpl(df: DataFrame, idCol: String,
       textCol: String, n: Int, numPerms: Int, bands: Int, threshold: Double,
-      manage: Boolean): (DataFrame, () => Unit) = {
+      manage: Boolean, maxBucket: Int = 0): (DataFrame, () => Unit) = {
     val sig0 = minhashSignatureFrame(df, idCol, textCol, n, numPerms)
     val sig = if (manage)
       sig0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sig0
-    val cand = candidatePairs(bandKeys(sig, numPerms, bands))
+    val cand = candidatePairs(bandKeys(sig, numPerms, bands), maxBucket)
     (signatureEstimate(cand, sig, sig, numPerms, threshold),
       () => { if (manage) sig.unpersist(blocking = false); () })
   }
@@ -1207,13 +1226,14 @@ object Dedup {
     */
   def dedupCorpusLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerms: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+      threshold: Double = 0.5, maxRounds: Int = 20,
+      maxBucket: Int = 0): DataFrame = {
     // localCheckpoint (eager), not persist: the verifier references the
     // candidate frame three times and the component loop again — with a
     // plain persist each reference re-ANALYZES the full LSH plan even
     // though execution reads the cache; the checkpoint makes every
     // downstream plan see a leaf
-    val cand = lshCandidatePairs(df, idCol, textCol, n, numPerms, bands)
+    val cand = lshCandidatePairs(df, idCol, textCol, n, numPerms, bands, maxBucket)
       .localCheckpoint(true)
     try {
       val verified = jaccardForPairs(df, cand, idCol, textCol, n)

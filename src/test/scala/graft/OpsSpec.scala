@@ -838,6 +838,38 @@ class OpsSpec extends AnyFunSuite {
     assert(left == Set("centroids", "assigned"), s"got $left")
   }
 
+  test("text LSH maxBucket drops a degenerate copy bucket, keeps selective pairs") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("id bigint, text string")
+    // 30 byte-identical copies of one page: identical signatures, one
+    // bucket per band, 435 quadratic candidates — exactly what exact
+    // dedup should have collapsed first. Plus one selective near pair.
+    val copies = (0 until 30).map(i =>
+      Row(i.toLong, "the same boilerplate page body text repeated here"))
+    val base = (1 to 30).map(i => s"w$i").mkString(" ") // J = 28/30 with +1 word
+    val nearA = Row(100L, base)
+    val nearB = Row(101L, s"$base extra")
+    val df = spark.createDataFrame((copies :+ nearA :+ nearB).asJava, sch)
+    val unlimited = graft.ops.Dedup.lshCandidatePairs(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unlimited.contains((100L, 101L)) && unlimited.size == 435 + 1)
+    val guarded = graft.ops.Dedup.lshCandidatePairs(df, "id", "text",
+      maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == Set((100L, 101L)), s"got $guarded")
+    // and through the estimate/clean entry points with the knob threaded
+    val est = graft.ops.Dedup.minhashEstimatePairs(df, "id", "text",
+      maxBucket = 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est == Set((100L, 101L)))
+    val cleaned = graft.ops.Dedup.dedupCorpusLsh(df, "id", "text",
+      maxBucket = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // the guard sacrifices the degenerate bucket's pairs (all 30 copies
+    // survive — exact dedup's job), the near pair still collapses
+    assert(cleaned == (0L until 30L).toSet + 100L)
+  }
+
   test("embeddingLshPairs maxBucket drops oversized buckets, keeps selective ones") {
     import org.apache.spark.sql.types._
     val sch = StructType.fromDDL("vec_id bigint, v array<double>")
