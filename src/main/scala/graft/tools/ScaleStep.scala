@@ -158,6 +158,24 @@ object ScaleStep {
           .select("d1", "d2").count()
       }
 
+      measure(spark, "dedup_embedding_lsh_guard", scale) {
+        // the maxBucket guard under the same corpus: bounds the candidate
+        // self-join by dropping saturated buckets (recall trade documented
+        // on the operator) — the wall/output delta vs the row above IS the
+        // quadratic term the guard removes
+        Dedup.embeddingLshPairs(embCorpus(embPath), "vec_id", "v", dims = 64,
+          maxBucket = 500).select("d1", "d2").count()
+      }
+
+      measure(spark, "dedup_embedding_lsh_bits64", scale) {
+        // the PRIMARY lever: key sizing. 64 bits / 4 bands = 16-bit band
+        // keys (65k buckets) — exact-direction near-dups still collide in
+        // every band while the saturated-key accidental pairs disperse;
+        // this is the documented bits >= bands * log2(N/targetBucket) rule
+        Dedup.embeddingLshPairs(embCorpus(embPath), "vec_id", "v", dims = 64,
+          bits = 64).select("d1", "d2").count()
+      }
+
       measure(spark, "sim_index_ingest_near", scale) {
         // landed = the whole scaled table; batch scales with the shards
         // (novel slice + planted 1.01-scaled near-copies per shard)
