@@ -652,6 +652,39 @@ object OpsQueries {
           |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id""".stripMargin),
       headline = true),
 
+    // the r13 bucket-occupancy guard, hash-checked cross-engine: %11 docs
+    // are salted with TWO extra byte-identical copies, so their band
+    // buckets hold >= 3 members — maxBucket = 2 must drop exactly those
+    // buckets (and any natural >2 bucket) BEFORE the candidate self-join.
+    // The oracle recomputes the census and the kept-bucket join in SQL
+    "dedup_lsh_bucket_guard" -> Q(
+      (s, d) => {
+        val base = textCorpus(s, d)
+        val pile = base.filter(col("id") % 11 === 0 && col("id") < 100000)
+        val salted = base
+          .unionByName(pile.select((col("id") + 300000).as("id"), col("text")))
+          .unionByName(pile.select((col("id") + 400000).as("id"), col("text")))
+        Dedup.lshCandidatePairs(salted, "id", "text", n = 3, numPerms = 16,
+          bands = 4, maxBucket = 2)
+      },
+      Some(textCorpusSql +
+        """, salted AS (
+          |  SELECT id, text FROM corpus
+          |  UNION ALL SELECT id + 300000, text FROM corpus WHERE id % 11 = 0 AND id < 100000
+          |  UNION ALL SELECT id + 400000, text FROM corpus WHERE id % 11 = 0 AND id < 100000),
+          |words AS (SELECT id, string_split(text, ' ') AS w FROM salted),
+          |sh0 AS (SELECT DISTINCT id,
+          |          unnest(list_transform(range(len(w)-2), i -> array_to_string(w[i+1:i+3], ' '))) AS sh
+          |        FROM words),
+          |perms AS (SELECT id, sh, unnest(range(16)) AS p FROM sh0),
+          |mh AS (SELECT id, p, min(md5(concat(p, '|', sh))) AS mv FROM perms GROUP BY 1, 2),
+          |bands AS (SELECT id, p // 4 AS band, md5(string_agg(mv, ',' ORDER BY p)) AS bk
+          |          FROM mh GROUP BY 1, 2),
+          |bsz AS (SELECT band, bk, count(*) AS c FROM bands GROUP BY 1, 2),
+          |kept AS (SELECT b.id, b.band, b.bk FROM bands b JOIN bsz USING (band, bk) WHERE c <= 2)
+          |SELECT DISTINCT a.id AS d1, b.id AS d2
+          |FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id""".stripMargin)),
+
     // LSH candidates verified by signature-estimated Jaccard (fraction of
     // agreeing minhash slots) — near-dup end-to-end without re-reading the
     // texts; estimates are multiples of 1/16, exact doubles on any engine
