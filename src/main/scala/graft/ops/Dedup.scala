@@ -361,13 +361,24 @@ object Dedup {
     * anything. For ingest loops use [[dedupIncrementalNearManaged]],
     * which caches the twice-referenced signature frames and hands back
     * their release.
+    *
+    * `maxBucket` guards the WITHIN-BATCH candidate side exactly as the
+    * batch family's [[minhashEstimatePairs]] guard does ([[candidatePairs]]):
+    * a batch of K near-identical (not byte-identical — those the exact
+    * gate collapses) variants of one page lands all K in one bucket of
+    * every band and the within-batch self-join goes K². The bipartite
+    * (incoming × landed) side is NOT guarded: it is linear in the landed
+    * bucket, not quadratic, and dropping landed buckets would silently
+    * re-admit near-copies of the corpus's densest page — the one failure
+    * mode an ingest gate must not have. 0 (default) = exact LSH semantics.
     */
   def dedupIncrementalNear(incoming: DataFrame, landed: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5): DataFrame =
+      bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 0): DataFrame =
     dedupIncrementalNearImpl(incoming,
       minhashSignatureFrame(landed, idCol, textCol, n, numPerms),
-      idCol, textCol, n, numPerms, bands, threshold, manage = false)._1
+      idCol, textCol, n, numPerms, bands, threshold, manage = false,
+      maxBucket)._1
 
   /** As [[dedupIncrementalNear]] with MANAGED signature caches: both
     * signature frames (each feeds banding AND verification) are persisted,
@@ -379,10 +390,11 @@ object Dedup {
     */
   def dedupIncrementalNearManaged(incoming: DataFrame, landed: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5): (DataFrame, () => Unit) =
+      bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = 0): (DataFrame, () => Unit) =
     dedupIncrementalNearImpl(incoming,
       minhashSignatureFrame(landed, idCol, textCol, n, numPerms),
-      idCol, textCol, n, numPerms, bands, threshold, manage = true)
+      idCol, textCol, n, numPerms, bands, threshold, manage = true, maxBucket)
 
   /** As [[dedupIncrementalNear]] against a PRE-BUILT landed signature frame
     * (id, m0..m{numPerms-1}) — typically [[signatureFrameFromStored]] over
@@ -397,18 +409,18 @@ object Dedup {
     */
   def dedupIncrementalNearPresigned(incoming: DataFrame, landedSig: DataFrame,
       idCol: String, textCol: String, n: Int = 3, numPerms: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5): DataFrame =
+      bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 0): DataFrame =
     dedupIncrementalNearImpl(incoming, landedSig, idCol, textCol, n, numPerms,
-      bands, threshold, manage = false)._1
+      bands, threshold, manage = false, maxBucket)._1
 
   /** [[dedupIncrementalNearPresigned]] with managed caches (the
     * [[dedupIncrementalNearManaged]] contract, for ingest loops). */
   def dedupIncrementalNearPresignedManaged(incoming: DataFrame,
       landedSig: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      numPerms: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): (DataFrame, () => Unit) =
+      numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      maxBucket: Int = 0): (DataFrame, () => Unit) =
     dedupIncrementalNearImpl(incoming, landedSig, idCol, textCol, n, numPerms,
-      bands, threshold, manage = true)
+      bands, threshold, manage = true, maxBucket)
 
   /** Production near-dup preset: 128 permutations / 32 bands (4 rows per
     * band). The 16-perm default's estimator granularity is 1/16 — unusable
@@ -465,22 +477,24 @@ object Dedup {
     */
   private[graft] def dedupIncrementalNearWithSig(incoming: DataFrame,
       landedSig: DataFrame, idCol: String, textCol: String, n: Int,
-      numPerms: Int, bands: Int,
-      threshold: Double): (DataFrame, DataFrame, () => Unit) =
+      numPerms: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 0): (DataFrame, DataFrame, () => Unit) =
     dedupIncrementalNearFull(incoming, landedSig, idCol, textCol, n, numPerms,
-      bands, threshold, manage = true)
+      bands, threshold, manage = true, maxBucket)
 
   private def dedupIncrementalNearImpl(incoming: DataFrame, landedSig: DataFrame,
       idCol: String, textCol: String, n: Int, numPerms: Int,
-      bands: Int, threshold: Double, manage: Boolean): (DataFrame, () => Unit) = {
+      bands: Int, threshold: Double, manage: Boolean,
+      maxBucket: Int = 0): (DataFrame, () => Unit) = {
     val (out, _, release) = dedupIncrementalNearFull(incoming, landedSig,
-      idCol, textCol, n, numPerms, bands, threshold, manage)
+      idCol, textCol, n, numPerms, bands, threshold, manage, maxBucket)
     (out, release)
   }
 
   private def dedupIncrementalNearFull(incoming: DataFrame, landedSig: DataFrame,
       idCol: String, textCol: String, n: Int, numPerms: Int,
-      bands: Int, threshold: Double, manage: Boolean): (DataFrame, DataFrame, () => Unit) = {
+      bands: Int, threshold: Double, manage: Boolean,
+      maxBucket: Int = 0): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
     def cached(df: DataFrame): DataFrame =
       if (manage) df.persist(StorageLevel.MEMORY_AND_DISK) else df
@@ -491,7 +505,7 @@ object Dedup {
     val candLanded = bIn.select(col("id").as("d1"), col("band"), col("bk"))
       .join(bLd.select(col("id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
       .select("d1", "d2").distinct()
-    val candBatch = candidatePairs(bIn) // d1 < d2: d2 is the later arrival
+    val candBatch = candidatePairs(bIn, maxBucket) // d1 < d2: d2 is the later arrival
     val drops = signatureEstimate(candLanded, sIn, sLd, numPerms, threshold)
       .select(col("d1").as(idCol))
       .unionByName(signatureEstimate(candBatch, sIn, sIn, numPerms, threshold)

@@ -88,12 +88,21 @@ object CorpusIngest {
     * stored signatures are only comparable to probe signatures built with
     * the same parameters (`numPerms` drift fails loudly at probe time;
     * `n` drift is undetectable from data).
+    *
+    * `maxBucket` (default 0 = off) bounds the WITHIN-BATCH candidate side
+    * of the near gate: a crawl batch carrying K near-identical (not
+    * byte-identical — the exact gate collapses those) variants of one page
+    * otherwise self-joins K² candidates in its densest LSH bucket. The
+    * bipartite batch-vs-corpus probe is never guarded — dropping landed
+    * buckets would re-admit near-copies of the corpus's densest page
+    * ([[graft.ops.Dedup.dedupIncrementalNear]]'s argument).
     */
   def ingestBatchNear(batch: DataFrame, corpus: Pool, idCol: String,
       textCol: String, topic: String = "corpus",
       n: Int = 3, numPerms: Int = 16, bands: Int = 4,
       threshold: Double = 0.5,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): Long = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+      maxBucket: Int = 0): Long = {
     val cols = batch.columns.toSeq
     val uniq = uniqPerContent(batch, idCol, textCol, cols)
     val empty = corpus.isEmpty
@@ -109,7 +118,8 @@ object CorpusIngest {
     // WithSig: the probe's persisted batch-signature frame is reused by the
     // append's stored-sig join — the batch is shingled exactly ONCE
     val (fresh, sIn, releaseNear) = Dedup.dedupIncrementalNearWithSig(
-      exactFresh, lSig, idCol, textCol, n, numPerms, bands, threshold)
+      exactFresh, lSig, idCol, textCol, n, numPerms, bands, threshold,
+      maxBucket)
     try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
       sigParams = Some((n, numPerms)), sigFrame = Some(sIn))
     finally { releaseNear(); releaseExact() }
@@ -401,9 +411,11 @@ object CorpusIngest {
       checkpoint: String, topic: String = "corpus",
       interval: String = "5 seconds", n: Int = 3, numPerms: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): StreamingQuery = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+      maxBucket: Int = 0): StreamingQuery = {
     val session = new CorpusIngestSession(corpus, idCol, textCol, topic,
-      near = true, n, numPerms, bands, threshold, expectedItems, fpp)
+      near = true, n, numPerms, bands, threshold, expectedItems, fpp,
+      maxBucket = maxBucket)
     docs.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
@@ -449,7 +461,8 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
     topic: String = "corpus", near: Boolean = false, n: Int = 3,
     numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
     expectedItems: Long = 1L << 20, fpp: Double = 0.01,
-    compactEvery: Int = 0, compactMaxRows: Long = 1L << 22) {
+    compactEvery: Int = 0, compactMaxRows: Long = 1L << 22,
+    maxBucket: Int = 0) {
   import CorpusIngest._
 
   private var bloom: Option[BloomFilter] = None
@@ -490,7 +503,8 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
             exactFresh.limit(0), idCol, textCol, n, numPerms)
           else landedSigFrame(corpus, idCol, textCol, n, numPerms)
         val (f, sIn, r) = Dedup.dedupIncrementalNearWithSig(
-          exactFresh, lSig, idCol, textCol, n, numPerms, bands, threshold)
+          exactFresh, lSig, idCol, textCol, n, numPerms, bands, threshold,
+          maxBucket)
         (f, Some(sIn), r)
       }
     val base = nextOff.getOrElse(corpus.nextOffset(topic) max 0L)

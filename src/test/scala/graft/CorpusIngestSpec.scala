@@ -413,6 +413,55 @@ class CorpusIngestSpec extends AnyFunSuite {
     assert(session.ingest(docs(99L -> "legacy doc 3")) == 0)
   }
 
+  test("maxBucket bounds the within-batch near pileup; the bipartite probe stays unguarded") {
+    // NEAR-identical (not byte-identical) pileup: a 6-word cycle repeated
+    // k >= 2 times has the SAME word-3-gram set for every k (the 6 cyclic
+    // trigrams), so the variants carry identical minhash signatures (one
+    // bucket per band, est = 16/16) while their byte content differs —
+    // they sail through the exact gate that collapses literal copies, the
+    // corner the within-batch guard exists for.
+    def cyc(words: String, k: Int): String =
+      Seq.fill(k)(words).mkString(" ")
+    val cycleA = "alpha bravo charlie delta echo foxtrot"
+    val cycleB = "golf hotel india juliet kilo lima"
+    val crowd = (0 until 30).map(i => i.toLong -> cyc(cycleB, 2 + i))
+    val batch = docs(crowd ++ Seq(200L -> cyc(cycleA, 3), 201L -> cyc(cycleA, 4)): _*)
+
+    // unguarded (default 0 = exact LSH): the crowd is one est-1.0 clique —
+    // it collapses to its lowest id; the cycleA pair drops BIPARTITE
+    // against the landed base
+    val plain = Pool.create(spark, Files.createTempDirectory("corpus-mb0").toString)
+    assert(CorpusIngest.ingestBatchNear(
+      docs(1000L -> cyc(cycleA, 2)), plain, "doc_id", "text") == 1)
+    assert(CorpusIngest.ingestBatchNear(batch, plain, "doc_id", "text") == 1)
+    assert(plain.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == Set(1000L, 0L))
+
+    // guarded (maxBucket = 10, via the session ctor): the 30-wide crowd
+    // bucket is dropped BEFORE the within-batch self-join, so all 30
+    // variants land — the cost bound and its documented recall trade —
+    // while the bipartite probe (linear, never guarded) still drops both
+    // cycleA near-copies of the landed corpus
+    val guarded = Pool.create(spark, Files.createTempDirectory("corpus-mb1").toString)
+    val session = new graft.streaming.CorpusIngestSession(
+      guarded, "doc_id", "text", near = true, maxBucket = 10)
+    assert(session.ingest(docs(1000L -> cyc(cycleA, 2))) == 1)
+    assert(session.ingest(batch) == 30)
+    assert(guarded.read().select(col("value.doc_id")).collect()
+      .map(_.getLong(0)).toSet == (0L until 30L).toSet + 1000L)
+
+    // Dedup-level API: same contract through dedupIncrementalNear
+    val landed = docs(1000L -> cyc(cycleA, 2))
+    val keptPlain = graft.ops.Dedup.dedupIncrementalNear(
+      batch, landed, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptPlain == Set(0L))
+    val keptGuarded = graft.ops.Dedup.dedupIncrementalNear(
+      batch, landed, "doc_id", "text", maxBucket = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptGuarded == (0L until 30L).toSet)
+  }
+
   test("streaming end-to-end: micro-batches of files dedup-ingest into the pool") {
     val inDir = Files.createTempDirectory("docs-stream").toString
     val corpus = Pool.create(spark, Files.createTempDirectory("corpus-s").toString)
