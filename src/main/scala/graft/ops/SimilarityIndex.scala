@@ -399,9 +399,20 @@ object SimilarityIndex {
     * the rebuild is re-run — the documented repair for this DERIVED
     * artifact. Readers racing the swap see the operator-scheduled/
     * single-writer contract, as with [[graft.pool.Pool.vacuum]].
+    *
+    * The whole protocol RELIES on rename being all-or-nothing, so it
+    * REFUSES to run on stores where rename degrades to delete+copy
+    * ([[graft.pool.Pool.renameIsAtomicStore]]'s classification): a crash
+    * mid directory-copy there would leave a partially copied aside (or a
+    * partially deleted live dir) that no recovery can tell from a
+    * complete one — a silently truncated index. On such stores, rebuild
+    * to a FRESH path and repoint readers (the index is derived; the
+    * manifest-pointer discipline lives in [[graft.pool.Pool]], which IS
+    * object-store-safe).
     */
   private def swapStagedIndex(spark: SparkSession, path: String,
       staged: String, subdirs: Seq[String]): Unit = {
+    requireAtomicRenameStore(spark, path, "rebuild swap")
     val hfs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     subdirs.foreach { d =>
@@ -435,10 +446,31 @@ object SimilarityIndex {
     subdirs.foreach { d =>
       val live = new org.apache.hadoop.fs.Path(path, d)
       val aside = new org.apache.hadoop.fs.Path(path, s"_old-$d")
-      if (!hfs.exists(live) && hfs.exists(aside))
+      if (!hfs.exists(live) && hfs.exists(aside)) {
+        // an aside is only trustworthy where rename is all-or-nothing —
+        // on a delete+copy store it may be a partial copy of the lost
+        // subdir (even one carrying the generation stamp, copied early),
+        // and restoring it would install a silently truncated table
+        requireAtomicRenameStore(spark, path, s"crash recovery (restore of $aside)")
         require(hfs.rename(aside, live),
           s"index recovery: rename $aside -> $live failed")
+      }
     }
+  }
+
+  /** Refuse the aside-swap protocol on stores whose rename is
+    * delete+copy — see [[swapStagedIndex]]'s contract. */
+  private def requireAtomicRenameStore(spark: SparkSession, path: String,
+      what: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val hfs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    require(graft.pool.Pool.renameIsAtomicStore(hfs, conf),
+      s"index $what at $path requires an atomic-rename store; scheme " +
+        s"'${Option(hfs.getUri.getScheme).getOrElse("file")}' renames are " +
+        "delete+copy, where a crash mid-swap leaves a silently truncated " +
+        "copy no recovery can detect — rebuild to a fresh path and " +
+        "repoint readers, or (for a store with real atomic rename) add " +
+        s"its scheme to ${graft.pool.Pool.AtomicRenameSchemesKey}")
   }
 
   /** Streaming entry for the gated vector ingest: each micro-batch of
@@ -557,6 +589,8 @@ object SimilarityIndex {
         codebookK: Int, seedByHash: Boolean = true,
         roundDigits: Int = 9): IvfPqIndex = {
       recoverAside(spark, path, IvfPqSubdirs) // a prior rebuild's crashed swap
+      // refuse BEFORE the retrain burn, not at the final swap
+      requireAtomicRenameStore(spark, path, "rebuild")
       // deleted-out index (no files -> schema inference fails) or a corpus
       // that no longer carries the ids — refuse clearly either way
       val live =
@@ -646,6 +680,8 @@ object SimilarityIndex {
     def rebuild(k: Int, iters: Int, seedByHash: Boolean = true,
         roundDigits: Int = 9): IvfIndex = {
       recoverAside(spark, path, IvfSubdirs) // a prior rebuild's crashed swap
+      // refuse BEFORE the retrain burn, not at the final swap
+      requireAtomicRenameStore(spark, path, "rebuild")
       // deletes can empty an index; k-means on zero rows (or a schema
       // inference over zero files) would fail obscurely — refuse clearly
       val current =

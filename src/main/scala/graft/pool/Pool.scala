@@ -84,11 +84,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   // metadata swap (posix/HDFS semantics). Everything else — object-store
   // schemes in particular — degrades rename to delete+copy, where a
   // reader racing the swap can observe a MISSING or half-copied target.
-  private val renameIsAtomic = {
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    Pool.AtomicRenameSchemes.contains(scheme) ||
-      hadoopConf.getTrimmedStrings(Pool.AtomicRenameSchemesKey).contains(scheme)
-  }
+  private val renameIsAtomic = Pool.renameIsAtomicStore(fs, hadoopConf)
 
   /** Make `content` visible at `target` such that a reader never observes
     * a half-written file, by the mechanism the STORE actually guarantees:
@@ -541,8 +537,10 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     *   travel across the delete (that is the point) and of disturbing a
     *   reader still draining the pre-delete manifest (the single-writer/
     *   operator-scheduled contract, as with [[vacuum]]). Crash safety: a
-    *   `_PURGE` intent marker listing the affected segments is written
-    *   BEFORE the manifest swap and removed after the reclamation, and
+    *   `_PURGE` intent marker recording the affected segments AND their
+    *   replacements (binding the marker to this purge's own swap) is
+    *   written BEFORE the manifest swap, phase-flipped to `committed`
+    *   right after it, and removed after the reclamation, and
     *   [[Pool.open]]/[[Pool.create]] complete any POST-swap interrupted
     *   purge from it ([[completePurge]]) — compliance does not depend on
     *   an operator remembering to [[vacuum]]. A crash BEFORE the swap
@@ -605,35 +603,64 @@ final class Pool private (val spark: SparkSession, val root: Path) {
         else Some(seg)
       } finally keep.unpersist()
     }
-    // intent BEFORE the swap: a crash in any later step leaves either a
-    // stale marker (swap never happened — repair discards it: every
-    // listed segment is still committed) or a live one (swap happened —
-    // repair finishes the reclamation). Written only in purge mode, so
-    // non-purge deletes keep their time travel untouched.
-    if (purge) writeAtomic(new Path(root, PurgeMarkerFile),
-      affected.toSeq.sorted.mkString("\n"))
+    // intent BEFORE the swap, phase-flipped to `committed` AFTER it: the
+    // marker binds the purge to ITS OWN swap (it records both the
+    // segments to remove AND their replacements), so a repair can only
+    // fire when that exact swap is observable — a stale pre-swap marker
+    // whose listed segments a later compact()/non-purge delete happened
+    // to replace no longer triggers a wrongful reclamation (the
+    // replacements it names were never committed). Crash windows:
+    // pre-swap → intent marker, listed all live, repair refuses (marker
+    // preserved as evidence); between swap and flip → intent marker whose
+    // replacements ARE live and listed are not: repair completes; after
+    // the flip → committed marker, repair completes unconditionally.
+    // Written only in purge mode, so non-purge deletes keep their time
+    // travel untouched.
+    val marker = new Path(root, PurgeMarkerFile)
+    if (purge) writeAtomic(marker,
+      Pool.renderPurgeMarker(affected.toSeq.sorted, newSegs.sorted, committed = false))
     synchronized {
       replaceManifest(committedSegments().filterNot(affected) ++ newSegs)
     }
     if (purge) {
+      writeAtomic(marker,
+        Pool.renderPurgeMarker(affected.toSeq.sorted, newSegs.sorted, committed = true))
       removeSegments(affected)
-      fs.delete(new Path(root, PurgeMarkerFile), false)
+      fs.delete(marker, false)
     }
     deleted
   }
 
   /** Finish a purge that crashed between its manifest swap and its
-    * reclamation: the `_PURGE` marker lists the segments the purge
-    * committed to remove — delete exactly those of them the live
-    * manifest no longer references. When EVERY listed segment is still
-    * committed, nothing is done and the marker is LEFT IN PLACE: that
-    * state is either a live purge's pre-swap window (another opener must
-    * not consume the writer's intent — the race would void the
-    * compliance guarantee if the writer then crashed post-swap) or a
-    * pre-swap crash, where the delete never ran and silently discarding
-    * the only evidence would let an operator believe a takedown applied
-    * when it didn't — [[fsck]] flags the lingering intent; re-running
-    * the delete (which rewrites the marker) or [[vacuum]] retires it.
+    * reclamation. The `_PURGE` marker binds the purge to its OWN swap:
+    * it records the segments to remove, their replacement segments, and
+    * a phase. The repair fires only when the swap is proven —
+    *
+    *  - `committed` phase (the writer flipped it right after its swap):
+    *    complete unconditionally;
+    *  - `intent` phase: complete ONLY when the live manifest shows
+    *    exactly this purge's swap — every replacement committed and
+    *    every listed segment gone (the crash-between-swap-and-flip
+    *    window). A stale pre-swap marker whose listed segments a LATER
+    *    compact()/non-purge delete replaced fails this test (its
+    *    replacements were never committed), so the old segments' dirs
+    *    and their time-travel snapshots — which non-purge operations
+    *    deliberately preserve — survive, and the marker stays as
+    *    evidence that the takedown never applied;
+    *  - an intent marker with NO replacements (a purge that emptied
+    *    every affected group) cannot prove its swap from the manifest:
+    *    it is preserved, the reclamation stays owed, and [[vacuum]] —
+    *    which removes unreferenced dirs regardless — retires it;
+    *  - a legacy/garbled marker never completes (preserved, flagged).
+    *
+    * When the repair refuses, the marker is LEFT IN PLACE: that state is
+    * either a live purge's pre-swap window (another opener must not
+    * consume the writer's intent — the race would void the compliance
+    * guarantee if the writer then crashed post-swap) or a pre-swap
+    * crash, where the delete never ran and silently discarding the only
+    * evidence would let an operator believe a takedown applied when it
+    * didn't — [[fsck]] flags the lingering intent; re-running the delete
+    * (which rewrites the marker) or [[vacuum]] retires it.
     * Failures (e.g. a read-only consumer lacking delete permission) are
     * reported to stderr, never fatal to open: the swapped manifest
     * already hides the rows from every live read, and the reclamation
@@ -645,11 +672,17 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     try {
       val marker = new Path(root, PurgeMarkerFile)
       if (!fs.exists(marker)) return
-      val listed = parseLines(readString(marker)).toSet
       val live = committedSegments().toSet
-      val gone = listed -- live
-      if (gone.nonEmpty) {
-        removeSegments(gone)
+      val proven = Pool.parsePurgeMarker(readString(marker)).filter { m =>
+        m.committed ||
+          (m.replacements.nonEmpty && m.replacements.forall(live) &&
+            m.affected.forall(s => !live(s)))
+      }
+      proven.foreach { m =>
+        // `-- live` is belt-and-braces: a proven marker's affected set is
+        // disjoint from the manifest by construction, and a committed dir
+        // must never be deleted regardless
+        removeSegments(m.affected.toSet -- live)
         fs.delete(marker, false)
       }
     } catch {
@@ -686,7 +719,15 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       if (!fs.exists(counter)) writeAtomic(counter, (version() + 1).toString)
       versions().foreach { v =>
         val f = new Path(vDir, f"v$v%012d")
-        if (parseLines(readString(f)).exists(gone.contains)) fs.delete(f, false)
+        // tolerate a concurrently-pruned snapshot: completePurge runs at
+        // EVERY open, so a second process opening the pool during the
+        // writer's post-swap reclamation window may prune a snapshot
+        // between this loop's listing and its read — the prune's goal is
+        // already met for that file, and failing the writer's deleteWhere
+        // AFTER its commit point over it would be a spurious error
+        try {
+          if (parseLines(readString(f)).exists(gone.contains)) fs.delete(f, false)
+        } catch { case _: java.io.FileNotFoundException => () }
       }
     }
   }
@@ -870,6 +911,42 @@ object Pool {
     * [[Pool.completePurge]] finishes an interrupted purge from it at
     * open time. */
   val PurgeMarkerFile = "_PURGE"
+
+  /** Parsed `_PURGE` marker: the segments the purge removes, the
+    * replacement segments its swap commits, and whether the writer
+    * already flipped the phase to committed (done right after its
+    * manifest swap). The two lists bind the marker to ITS OWN swap —
+    * see [[Pool!.completePurge]]'s decision table. */
+  private[graft] final case class PurgeMarker(affected: Seq[String],
+      replacements: Seq[String], committed: Boolean)
+
+  /** `_PURGE` marker wire format (v2):
+    * {{{
+    * v2 intent|committed
+    * - <affected segment>    (one per line)
+    * + <replacement segment> (one per line)
+    * }}}
+    */
+  private[graft] def renderPurgeMarker(affected: Seq[String],
+      replacements: Seq[String], committed: Boolean): String =
+    ((if (committed) "v2 committed" else "v2 intent") +:
+      (affected.map("- " + _) ++ replacements.map("+ " + _))).mkString("\n")
+
+  /** None for a legacy/garbled marker — which [[Pool!.completePurge]]
+    * then never consumes (preserved as evidence, retired by a re-run
+    * delete or [[Pool!.vacuum]]). */
+  private[graft] def parsePurgeMarker(text: String): Option[PurgeMarker] = {
+    val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    lines.headOption.collect {
+      case "v2 intent" => false
+      case "v2 committed" => true
+    }.map { committed =>
+      PurgeMarker(
+        lines.tail.collect { case l if l.startsWith("- ") => l.drop(2) },
+        lines.tail.collect { case l if l.startsWith("+ ") => l.drop(2) },
+        committed)
+    }
+  }
   /** Schemes whose rename is an atomic metadata swap (posix/HDFS-class,
     * including the cloud filesystems that implement REAL rename: Azure
     * abfs/wasb, MapR, Ozone, Alluxio); every other scheme gets the
@@ -885,6 +962,18 @@ object Pool {
       "abfs", "abfss", "wasb", "wasbs", "maprfs", "o3fs", "ofs", "alluxio")
   /** Additive Hadoop conf key extending [[AtomicRenameSchemes]]. */
   val AtomicRenameSchemesKey = "graft.pool.atomic.rename.schemes"
+
+  /** Whether `fs`'s rename is an atomic metadata swap (the
+    * [[AtomicRenameSchemes]] classification plus the conf extension) —
+    * the property every all-or-nothing directory-swap protocol in the
+    * engine keys off (the pool's manifest strategy here; the similarity
+    * index's rebuild-swap refusal in [[graft.ops.SimilarityIndex]]). */
+  def renameIsAtomicStore(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    AtomicRenameSchemes.contains(scheme) ||
+      conf.getTrimmedStrings(AtomicRenameSchemesKey).contains(scheme)
+  }
   /** Target rows per written segment file (append's file-count sizing) —
     * the balance point between the small-files hazard (a 32-way shuffle
     * write per few-hundred-k-row commit) and serializing the write into one

@@ -838,6 +838,39 @@ class OpsSpec extends AnyFunSuite {
     assert(left == Set("centroids", "assigned"), s"got $left")
   }
 
+  test("index rebuild and aside restore refuse delete+copy-rename stores") {
+    import org.apache.spark.sql.types._
+    val sch = StructType.fromDDL("vec_id bigint, v array<double>")
+    def vecs(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava, sch)
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.objstore.impl", classOf[ObjStoreFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.objstore.impl", classOf[ObjStoreAbstractFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-objstore")
+    val path = s"objstore://$dir"
+    graft.ops.SimilarityIndex.buildIvf(
+      vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0), 3L -> Seq(0.9, 0.1)),
+      "vec_id", "v", k = 2, iters = 2, path = path)
+    val idx = graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v")
+    // build + load + query are object-store-fine; only the IN-PLACE swap
+    // protocol needs all-or-nothing rename
+    assert(idx.topK(vecs(500L -> Seq(1.0, 0.05)), k = 1).collect().nonEmpty)
+    // refused BEFORE the retrain burn, naming the contract and the outs
+    val e = intercept[IllegalArgumentException](idx.rebuild(k = 2, iters = 2))
+    assert(e.getMessage.contains("atomic-rename store"), e.getMessage)
+    assert(java.nio.file.Files.exists(dir.resolve("assigned")), "refusal must not touch the index")
+    // a crash aside on such a store may be a PARTIAL copy (even one
+    // carrying the generation stamp) — restoring it would install a
+    // silently truncated table, so the recovery refuses too
+    java.nio.file.Files.move(dir.resolve("assigned"), dir.resolve("_old-assigned"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.SimilarityIndex.loadIvf(spark, path, "vec_id", "v"))
+    assert(e2.getMessage.contains("atomic-rename store"), e2.getMessage)
+    // the same tree through file:// (real atomic rename) recovers normally
+    val rec = graft.ops.SimilarityIndex.loadIvf(spark, dir.toString, "vec_id", "v")
+    assert(rec.assigned.count() == 3)
+  }
+
   test("text LSH maxBucket drops a degenerate copy bucket, keeps selective pairs") {
     import org.apache.spark.sql.types._
     val sch = StructType.fromDDL("id bigint, text string")

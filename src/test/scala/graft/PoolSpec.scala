@@ -617,12 +617,17 @@ class PoolSpec extends AnyFunSuite {
     val pred = col("value.user_id") % 5 === 0
     // a NON-purge delete produces exactly the crashed-purge disk state:
     // manifest swapped, pre-delete segment dirs still on disk, snapshots
-    // still referencing them — then the intent marker is planted as the
-    // purge would have left it, and reopen must finish the job
+    // still referencing them — then the intent marker is planted as a
+    // purge crashing between its swap and its phase flip would have left
+    // it (intent phase, replacements live, listed gone from the
+    // manifest), and reopen must finish the job
     assert(p.deleteWhere(pred) > 0)
-    val replaced = before.filterNot(p.committedSegments().contains)
-    assert(replaced.nonEmpty)
-    Files.writeString(dir.resolve(Pool.PurgeMarkerFile), replaced.mkString("\n"))
+    val after = p.committedSegments()
+    val replaced = before.filterNot(after.contains)
+    val replacements = after.filterNot(before.contains)
+    assert(replaced.nonEmpty && replacements.nonEmpty)
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile),
+      Pool.renderPurgeMarker(replaced, replacements, committed = false))
     val p2 = Pool.open(spark, dir.toString)
     replaced.foreach(s => assert(!Files.exists(dir.resolve(s)),
       s"pre-delete copy $s survived the purge repair"))
@@ -645,7 +650,8 @@ class PoolSpec extends AnyFunSuite {
     // NOT consume the intent (it may be another writer's LIVE pre-swap
     // window, and silently discarding it would let an operator believe
     // the takedown applied) — fsck carries the evidence instead
-    Files.writeString(dir.resolve(Pool.PurgeMarkerFile), seg)
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile),
+      Pool.renderPurgeMarker(Seq(seg), Seq("delete-cafebabe"), committed = false))
     val p2 = Pool.open(spark, dir.toString)
     assert(Files.exists(dir.resolve(seg)), "live segment must survive a stale intent")
     assert(Files.exists(dir.resolve(Pool.PurgeMarkerFile)),
@@ -655,6 +661,45 @@ class PoolSpec extends AnyFunSuite {
     // a re-run purge (the documented repair) rewrites and then retires it
     assert(p2.deleteWhere(col("value.user_id") % 3 === 0, purge = true) > 0)
     assert(!Files.exists(dir.resolve(Pool.PurgeMarkerFile)))
+    env.unpersist()
+  }
+
+  test("stale purge intent + later compact: repair must not destroy the compacted history") {
+    // THE misfire corner: a purge crashes PRE-swap (its rows all survive),
+    // then a non-purge compact() replaces the listed segments — listed
+    // minus live is now nonempty even though the purge never committed.
+    // The marker's replacement binding must keep the repair from deleting
+    // the old segment dirs and pruning the time-travel snapshots that
+    // non-purge operations deliberately preserve.
+    val dir = Files.createTempDirectory("pool-purgecompact")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    val total = env.count()
+    val listed = p.committedSegments()
+    val vPre = p.version()
+    // pre-swap crash artifact: intent phase, replacements never committed
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile),
+      Pool.renderPurgeMarker(listed, Seq("delete-feedface"), committed = false))
+    p.compact()
+    val p2 = Pool.open(spark, dir.toString)
+    listed.foreach(s => assert(Files.exists(dir.resolve(s)),
+      s"compacted-away $s is time-travel history, not the crashed purge's target"))
+    assert(Files.exists(dir.resolve(Pool.PurgeMarkerFile)),
+      "the unapplied takedown's evidence must survive the reopen")
+    assert(p2.fsck().stalePurgeIntent)
+    assert(p2.readAt(vPre).count() == total,
+      "pre-compact snapshots must stay readable — the purge never committed")
+    // legacy/garbled markers are equally refused (never auto-consumed)
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile), listed.mkString("\n"))
+    val p3 = Pool.open(spark, dir.toString)
+    listed.foreach(s => assert(Files.exists(dir.resolve(s))))
+    assert(Files.exists(dir.resolve(Pool.PurgeMarkerFile)))
+    // vacuum is the documented retirement: unreferenced dirs go, marker too
+    assert(p3.vacuum() == listed.size)
+    assert(!Files.exists(dir.resolve(Pool.PurgeMarkerFile)))
+    assert(p3.read().count() == total)
     env.unpersist()
   }
 
