@@ -193,6 +193,68 @@ object Commands {
   def infoTopics(admin: graft.streaming.TopicAdmin, topics: Seq[String]): Seq[(String, Long, Long)] =
     topics.map { t => val (lo, hi) = admin.watermarks(t); (t, lo, hi) }
 
+  /** `fsck`: render the read-only health report for a pool or a
+    * similarity-index layout at `path` — the CLI face of
+    * [[graft.pool.Pool.fsck]] / [[graft.ops.SimilarityIndex.fsckIndex]],
+    * so the compliance check the purge/takedown story targets is
+    * reachable from the operational surface, not just Scala. The layout
+    * is auto-detected (an index root carries `centroids`/`codebook`/
+    * `encoded` or their crash leftovers; everything else is treated as a
+    * pool, whose report is meaningful even pre-first-commit). Returns
+    * (report lines, clean) — `main` prints the lines and exits 1 when
+    * dirty, the conventional fsck contract.
+    */
+  def fsck(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[String], Boolean) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val names: Set[String] =
+      if (hfs.exists(root))
+        hfs.listStatus(root).toSeq.map(_.getPath.getName).toSet
+      else Set.empty
+    val indexLike = Seq("centroids", "codebook", "encoded").exists(d =>
+      names.contains(d) || names.contains(s"_old-$d")) ||
+      names.exists(_.startsWith("_rebuild-"))
+    if (indexLike) {
+      val r = graft.ops.SimilarityIndex.fsckIndex(spark, path)
+      val lines = Seq(
+        if (r.clean) s"index $path: CLEAN" else s"index $path: DIRTY") ++
+        (if (r.staleStaging.nonEmpty)
+          Seq(s"  stale staging (crashed rebuild; reclaimed at next rebuild): ${r.staleStaging.mkString(", ")}")
+        else Nil) ++
+        (if (r.asides.nonEmpty)
+          Seq(s"  asides (swap crash; load/rebuild restore them): ${r.asides.mkString(", ")}")
+        else Nil) ++
+        (if (r.missingSubdirs.nonEmpty)
+          Seq(s"  missing subdirs (no aside to restore from): ${r.missingSubdirs.mkString(", ")}")
+        else Nil) ++
+        (if (r.mixedGeneration)
+          Seq("  mixed generations: load will refuse; re-run the rebuild to repair")
+        else Nil)
+      (lines, r.clean)
+    } else {
+      val r = Pool.open(spark, path).fsck()
+      val lines = Seq(
+        if (r.clean) s"pool $path: CLEAN" else s"pool $path: DIRTY") ++
+        (if (r.unreferencedDirs.nonEmpty)
+          Seq(s"  unreferenced segment dirs (awaiting vacuum): ${r.unreferencedDirs.mkString(", ")}")
+        else Nil) ++
+        (if (r.missingLiveSegments.nonEmpty)
+          Seq(s"  committed segments MISSING on disk: ${r.missingLiveSegments.mkString(", ")}")
+        else Nil) ++
+        (if (r.stalePurgeIntent)
+          Seq("  stale purge intent: _PURGE present — a takedown never applied or its reclamation is owed (re-run the delete or vacuum)")
+        else Nil) ++
+        (if (r.counterMissing)
+          Seq("  version counter missing (re-asserted at next prune)")
+        else Nil) ++
+        (if (r.brokenSnapshots.nonEmpty)
+          Seq(s"  snapshots referencing deleted segments: ${r.brokenSnapshots.map(v => s"v$v").mkString(", ")}")
+        else Nil)
+      (lines, r.clean)
+    }
+  }
+
   /** `ls`: enumerate registry subjects (cmd/zync/ls/command.go:42-64). */
   def ls(registry: SchemaRegistry): Seq[String] = registry.subjects()
 
@@ -290,6 +352,11 @@ object Commands {
     case "info" :: path :: Nil =>
       val spark = GraftSession.get()
       info(Pool.open(spark, path)).show(truncate = false)
+    case "fsck" :: path :: Nil =>
+      val spark = GraftSession.get()
+      val (lines, clean) = fsck(spark, path)
+      lines.foreach(println)
+      if (!clean) sys.exit(1)
     case "produce" :: poolPath :: file :: topic :: Nil =>
       val spark = GraftSession.get()
       println(produce(spark, Pool.create(spark, poolPath), file, topic))
@@ -345,7 +412,8 @@ object Commands {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: consume <pool> [-f json|zson|zjson|zng] [topic] [offset] | info <pool> |
-           |       produce <pool> <file> <topic> | etl [-zed] <yaml> [poolRoot] |
+           |       fsck <pool|index> | produce <pool> <file> <topic> |
+           |       etl [-zed] <yaml> [poolRoot] |
            |       ls [registryUrl] | from-kafka <pool> <checkpoint> <topics> <schemaId> |
            |       to-kafka <pool> <topic> | version""".stripMargin)
       sys.exit(1)

@@ -146,6 +146,47 @@ class CliConfigSpec extends AnyFunSuite {
     assert(Commands.Version.startsWith("graft "))
   }
 
+  test("fsck verb renders pool and index health reports, detecting the layout") {
+    import scala.jdk.CollectionConverters._
+    // --- pool: clean, then dirtied by compaction leftovers + a stale intent
+    val poolDir = Files.createTempDirectory("cli-fsck-pool")
+    val pool = Pool.create(spark, poolDir.toString)
+    val rows = (0 until 20).map(o =>
+      Row(Row("T", 0L, o.toLong), null, Row(o.toLong), "record")).asJava
+    val env = spark.createDataFrame(rows, StructType.fromDDL(
+      "kafka struct<topic:string,partition:bigint,offset:bigint>, " +
+        "key string, value struct<n:bigint>, _kind string"))
+    pool.append(env.filter(col("kafka.offset") < 10))
+    pool.append(env.filter(col("kafka.offset") >= 10))
+    val (cleanLines, clean) = Commands.fsck(spark, poolDir.toString)
+    assert(clean && cleanLines == Seq(s"pool $poolDir: CLEAN"))
+    val old = pool.committedSegments()
+    pool.compact()
+    Files.writeString(poolDir.resolve(Pool.PurgeMarkerFile),
+      Pool.renderPurgeMarker(old, Seq("delete-0"), committed = false))
+    val (dirtyLines, dirty) = Commands.fsck(spark, poolDir.toString)
+    assert(!dirty && dirtyLines.head == s"pool $poolDir: DIRTY")
+    assert(dirtyLines.exists(l => l.contains("unreferenced") && old.forall(l.contains)))
+    assert(dirtyLines.exists(_.contains("stale purge intent")))
+    Files.delete(poolDir.resolve(Pool.PurgeMarkerFile))
+
+    // --- index: detected by layout, clean, then a crashed-swap state
+    val idxDir = Files.createTempDirectory("cli-fsck-idx")
+    val vecs = spark.createDataFrame(Seq(
+      Row(1L, Seq(1.0, 0.0)), Row(2L, Seq(0.0, 1.0)), Row(3L, Seq(0.9, 0.1))).asJava,
+      StructType.fromDDL("vec_id bigint, v array<double>"))
+    graft.ops.SimilarityIndex.buildIvf(vecs, "vec_id", "v",
+      k = 2, iters = 2, path = idxDir.toString)
+    val (idxClean, ic) = Commands.fsck(spark, idxDir.toString)
+    assert(ic && idxClean == Seq(s"index $idxDir: CLEAN"))
+    Files.move(idxDir.resolve("assigned"), idxDir.resolve("_old-assigned"))
+    Files.createDirectories(idxDir.resolve("_rebuild-dead"))
+    val (idxDirty, id2) = Commands.fsck(spark, idxDir.toString)
+    assert(!id2 && idxDirty.head == s"index $idxDir: DIRTY")
+    assert(idxDirty.exists(_.contains("_old-assigned")))
+    assert(idxDirty.exists(_.contains("_rebuild-dead")))
+  }
+
   test("MiniJson reads only top-level keys: nested objects and string bodies don't match") {
     import graft.codec.MiniJson
     val json = """{"password": "p\"user\": \"evil\"", "nested": {"user": "inner", "id": 99, "flag": true}, "user": "alice", "id": 7, "flag": false}"""
