@@ -209,6 +209,50 @@ object OpsQueries {
     sb.toString
   }
 
+  /** Unrolled DuckDB CTE chain for `rounds` BPE learn rounds (mirrors
+    * TextOps.bpeLearn with minPairCount=2): expects a `v(w, f)` CTE (the
+    * distinct lowercase word-frequency vocabulary) and ends with CTEs
+    * `m1..m$rounds` (each round's merged pair, EMPTY once the best pair
+    * count falls under 2 — the Scala loop's stop) and `s$rounds` (the
+    * final per-word state). State encoding: each word's tokenization is
+    * ONE string with every token WRAPPED in chr(31) (sep||tok||sep,
+    * concatenated), so DuckDB's left-to-right non-overlapping replace()
+    * of sep||a||sep||sep||b||sep with sep||a·b||sep is EXACTLY the learn
+    * rewrite (greedy leftmost, no re-merge into the fresh token), with
+    * the DOUBLED separator keeping matches token-aligned (a pair inside
+    * a longer token never matches) and adjacent occurrences from sharing
+    * a boundary character (["a","b","a","b"] merges to ["ab","ab"], not
+    * ["ab","a","b"]). Argmax tiebreak (count DESC, a, b) matches the
+    * Scala loop; the comparison space is ASCII on this corpus, so
+    * UTF-16-vs-UTF-8 collation cannot diverge (the text_bpe_first_merge
+    * caveat). An argmax-less round leaves the state unchanged, so all
+    * later rounds no-op too — equivalent to the loop's early stop.
+    */
+  private def bpeLearnRoundsSql(rounds: Int): String = {
+    val sep = "chr(31)"
+    val sb = new StringBuilder(
+      s"""s0 AS (SELECT w, f, array_to_string(list_transform(range(1, len(w) + 1),
+         |         i -> $sep || substr(w, CAST(i AS INT), 1) || $sep), '') AS s
+         |       FROM v)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(
+        s"""
+           |,t$r AS (SELECT f, list_filter(string_split(s, $sep), x -> len(x) > 0) AS t
+           |        FROM s${r - 1}),
+           |p$r AS (SELECT t[CAST(i AS INT)] AS a, t[CAST(i AS INT) + 1] AS b, f
+           |        FROM (SELECT t, f, unnest(range(1, len(t))) AS i FROM t$r
+           |              WHERE len(t) >= 2)),
+           |m$r AS (SELECT a, b FROM (SELECT a, b, sum(f) AS cnt FROM p$r
+           |                          GROUP BY a, b HAVING sum(f) >= 2)
+           |        ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$r AS (SELECT x.w, x.f, CASE WHEN m.a IS NULL THEN x.s ELSE
+           |          replace(x.s, $sep || m.a || $sep || $sep || m.b || $sep,
+           |                  $sep || m.a || m.b || $sep) END AS s
+           |        FROM s${r - 1} x LEFT JOIN m$r m ON TRUE)""".stripMargin)
+    }
+    sb.toString
+  }
+
   // DuckDB shingle expansion of corpus → (id, sh) distinct 3-grams
   private val shinglesSql =
     """words AS (SELECT id, string_split(text, ' ') AS w FROM corpus),
@@ -2242,6 +2286,15 @@ object OpsQueries {
     // learn loop is iterative and data-dependent, so there is no SQL oracle
     // (the one deliberate rows-only entry); exactness is pinned by OpsSpec's
     // textbook merge-sequence test instead.
+    // End-to-end BPE: learn 12 merges on the corpus, encode the corpus
+    // with them. The oracle recomputes the LEARN as 12 unrolled SQL
+    // rounds ([[bpeLearnRoundsSql]]) and derives each document's token
+    // count from the final per-word learn STATE (the words' training
+    // tokenization): priority-order encode with a table learned from
+    // this same corpus reproduces the training segmentation — each
+    // merge re-applies in rank order exactly as it did in training
+    // (hash-verified end to end; the r14 upgrade from the former
+    // no-oracle-by-design status).
     "text_bpe_tokens" -> Q(
       (s, d) => {
         val corpus = Tables.load(s, d, "documents").select(col("doc_id"), col("text"))
@@ -2249,16 +2302,46 @@ object OpsQueries {
         TextOps.bpeEncode(corpus, "doc_id", "text", merges)
           .select(col("doc_id"), col("n_bpe_tokens"))
       },
-      None),
+      Some("""WITH w0 AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+             |  FROM documents),
+             |v AS (SELECT w, count(*) AS f FROM w0 WHERE len(w) > 0 GROUP BY w),
+             |""".stripMargin + bpeLearnRoundsSql(12) + """,
+             |wc AS (SELECT w, len(list_filter(string_split(s, chr(31)),
+             |         x -> len(x) > 0)) AS n FROM s12),
+             |dw AS (SELECT doc_id, unnest(list_filter(
+             |         regexp_split_to_array(lower(text), '\s+'),
+             |         x -> len(x) > 0)) AS w FROM documents),
+             |dn AS (SELECT doc_id, sum(n) AS n FROM dw JOIN wc USING (w) GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(dn.n, 0) AS BIGINT) AS n_bpe_tokens
+             |FROM documents d LEFT JOIN dn USING (doc_id)""".stripMargin)),
+
+    // the learn LOOP's merge table at small N, oracled round by round —
+    // each SQL round is one pair count + the (count DESC, a, b) argmax +
+    // one greedy rewrite, the same state machine the Scala loop runs
+    "text_bpe_learn" -> Q(
+      (s, d) => {
+        val merges = TextOps.bpeLearn(
+          Tables.load(s, d, "documents").select(col("text")), "text", numMerges = 3)
+        import s.implicits._
+        merges.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+          .toDF("merge_rank", "a", "b")
+      },
+      Some("""WITH w0 AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+             |  FROM documents),
+             |v AS (SELECT w, count(*) AS f FROM w0 WHERE len(w) > 0 GROUP BY w),
+             |""".stripMargin + bpeLearnRoundsSql(3) + """
+             |SELECT CAST(0 AS BIGINT) AS merge_rank, a, b FROM m1
+             |UNION ALL SELECT CAST(1 AS BIGINT), a, b FROM m2
+             |UNION ALL SELECT CAST(2 AS BIGINT), a, b FROM m3""".stripMargin)),
 
     // BPE encode against a FIXED literal merge table (th < er < in by
     // rank). The pairs are single characters and their merged tokens never
     // appear in another table pair, so the greedy lowest-rank-first loop
     // reduces EXACTLY to sequential leftmost-nonoverlapping replacement in
     // rank order (later merges can destroy but never create single-char
-    // adjacencies) — which gives the UDF encode path a hash-checked oracle.
-    // The iterative learn loop itself stays spec-pinned (OpsSpec's textbook
-    // merge sequence) plus text_bpe_first_merge below.
+    // adjacencies) — which gives the UDF encode path a hash-checked oracle
+    // INDEPENDENT of any learned table (text_bpe_tokens' oracle covers the
+    // learned-table path; OpsSpec pins the textbook merge sequence).
     "text_bpe_encode_fixed" -> Q(
       (s, d) => TextOps.bpeEncode(
         Tables.load(s, d, "documents").select(col("doc_id"), col("text")),

@@ -48,6 +48,18 @@ import scala.jdk.CollectionConverters._
   * reference carries the same single-writer requirement (README.md:141-152
   * ordering guarantees assume a single loader); multi-writer pools belong to
   * an ACID table format, not this protocol. Any number of readers is safe.
+  * The contract is ENFORCED by a writer-epoch fence (`_EPOCH`): an instance
+  * claims a fresh epoch token at its first manifest commit and re-reads the
+  * file (one small-object read) before every later swap — when another
+  * writer has claimed since, the commit refuses LOUDLY before touching the
+  * manifest instead of silently last-writer-wins dropping a commit. The
+  * newest claimant owns the pool (serial writer handoff — a new session
+  * opening the pool and taking over — stays a non-event; the fenced OLD
+  * instance stays fenced, since its cached offsets/sketches may be stale).
+  * Two claims racing within one commit window remain the store's
+  * last-writer-wins (there is no portable CAS on object stores) — the
+  * fence bounds a violation to at most that one window instead of letting
+  * it persist silently forever.
   *
   * Scale design: each committed segment is written sorted by
   * (kafka.topic, kafka.offset) via repartitionByRange + sortWithinPartitions,
@@ -337,7 +349,44 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   private def commit(seg: String): Unit =
     synchronized { replaceManifest(committedSegments() :+ seg) }
 
+  // Writer-fencing token this instance claimed — set at its first manifest
+  // commit, checked before every later one (class-header "Concurrency").
+  private var writerToken: Option[String] = None
+
+  private def epochPath = new Path(root, WriterEpochFile)
+
+  private def readEpochToken(): Option[String] =
+    try {
+      if (fs.exists(epochPath)) Some(readString(epochPath).trim).filter(_.nonEmpty)
+      else None
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Enforce the single-writer contract at the commit point: claim a fresh
+    * epoch token on this instance's first commit; on every later one,
+    * re-read the epoch file (one small-object read) and REFUSE the swap if
+    * another writer claimed since. The token carries a nonce alongside the
+    * monotonic epoch number so two simultaneous claims can never alias.
+    */
+  private def fenceWriter(): Unit = writerToken match {
+    case None =>
+      val epoch = readEpochToken()
+        .flatMap(t => scala.util.Try(t.takeWhile(_ != '-').toLong).toOption)
+        .getOrElse(0L) + 1
+      val token = s"$epoch-${java.util.UUID.randomUUID().toString.take(8)}"
+      writeAtomic(epochPath, token)
+      writerToken = Some(token)
+    case Some(mine) =>
+      val cur = readEpochToken()
+      if (!cur.contains(mine))
+        throw new IllegalStateException(
+          s"pool $root: writer fenced — another writer claimed the pool " +
+            s"(epoch ${cur.getOrElse("<absent>")}, ours $mine). The newest " +
+            "claimant owns the pool; this instance's commits are refused " +
+            "from here on (its cached state may be stale) — reopen to take over.")
+  }
+
   private def replaceManifest(lines: Seq[String]): Unit = synchronized {
+    fenceWriter()
     writeAtomic(manifestPath, lines.mkString("\n"))
     // record the committed state as an immutable numbered snapshot AFTER
     // the rename: history can at worst lack a crash-interrupted latest
@@ -911,6 +960,10 @@ object Pool {
     * [[Pool.completePurge]] finishes an interrupted purge from it at
     * open time. */
   val PurgeMarkerFile = "_PURGE"
+  /** Writer-epoch fence file at the pool root — see the class header's
+    * "Concurrency" paragraph. A file (not a dir), so vacuum's and fsck's
+    * directory sweeps never see it. */
+  val WriterEpochFile = "_EPOCH"
 
   /** Parsed `_PURGE` marker: the segments the purge removes, the
     * replacement segments its swap commits, and whether the writer

@@ -580,7 +580,7 @@ class PoolSpec extends AnyFunSuite {
     p.append(env.filter(col("kafka.offset") < 600))
     p.append(env.filter(col("kafka.offset") >= 600))
     assert(p.deleteWhere(col("value.user_id") % 5 === 0, purge = true) > 0)
-    val meta = "^(MANIFEST|NEXT|_PURGE|v\\d{12})$".r
+    val meta = "^(MANIFEST|NEXT|_PURGE|_EPOCH|v\\d{12})$".r
     val hit = ObjStoreFileSystem.renamedTo.asScala
       .filter(n => meta.findFirstIn(n).isDefined)
     assert(hit.isEmpty,
@@ -603,6 +603,30 @@ class PoolSpec extends AnyFunSuite {
       "read-repair must serve the latest snapshot, not an empty pool")
     assert(!p.isEmpty)
     assert(p.read().count() == total)
+    env.unpersist()
+  }
+
+  test("writer-epoch fence: a superseded writer's commit refuses loudly") {
+    val dir = Files.createTempDirectory("pool-fence")
+    val p1 = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p1.append(env.filter(col("kafka.offset") < 600)) // p1 claims the epoch
+    // serial writer handoff is a non-event: a NEW instance claims over p1
+    val p2 = Pool.open(spark, dir.toString)
+    p2.append(env.filter(col("kafka.offset") >= 600))
+    assert(p2.deleteWhere(col("value.user_id") % 5 === 0) > 0)
+    // p1 is now fenced: its commit refuses BEFORE touching the manifest —
+    // the silent last-writer-wins lost-update this fence exists to stop
+    val before = p2.committedSegments()
+    val e = intercept[IllegalStateException](
+      p1.append(env.filter(col("value.user_id") % 5 === 0)))
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(p2.committedSegments() == before,
+      "a fenced commit must not move the manifest")
+    // sticky: the stale instance's cached state cannot be trusted again
+    intercept[IllegalStateException](p1.append(env.limit(5)))
+    // readers are never fenced (open claims nothing)
+    assert(Pool.open(spark, dir.toString).read().count() == p2.read().count())
     env.unpersist()
   }
 
