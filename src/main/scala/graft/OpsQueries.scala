@@ -409,6 +409,64 @@ object OpsQueries {
              |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN
              |  (SELECT d1 FROM agL UNION SELECT d2 FROM agI)""".stripMargin)),
 
+    // the r14 incremental bucket guard, hash-checked cross-engine: the
+    // incoming batch (%3 docs) is salted with two extra copies of every
+    // %11 member, so their WITHIN-BATCH band buckets hold >= 3 — with
+    // maxBucket = 2 the guard must drop exactly those buckets (and any
+    // natural >2 incoming bucket) BEFORE the in-batch self-join, while
+    // the BIPARTITE probe against the landed rest stays unguarded (its
+    // drops are identical with or without the knob). The oracle rebuilds
+    // the census over the incoming banded keys only, the kept-bucket
+    // in-batch join, and the unguarded bipartite side.
+    "dedup_incremental_bucket_guard" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val incoming = docs.filter(col("id") % 3 === 0)
+        val pile = incoming.filter(col("id") % 11 === 0 && col("id") < 100000)
+        val salted = incoming
+          .unionByName(pile.select((col("id") + 300000).as("id"), col("text")))
+          .unionByName(pile.select((col("id") + 600000).as("id"), col("text")))
+        Dedup.dedupIncrementalNear(salted, docs.filter(col("id") % 3 =!= 0),
+          "id", "text", n = 3, numPerms = 16, bands = 4, threshold = 0.5,
+          maxBucket = 2)
+          .select(col("id").as("doc_id"), md5(col("text")).as("fp"))
+      },
+      Some("""WITH base AS (SELECT doc_id AS id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS inc, text FROM documents),
+             |salted AS (
+             |  SELECT id, inc, text FROM base
+             |  UNION ALL SELECT id + 300000, 1, text FROM base
+             |    WHERE inc = 1 AND id % 11 = 0 AND id < 100000
+             |  UNION ALL SELECT id + 600000, 1, text FROM base
+             |    WHERE inc = 1 AND id % 11 = 0 AND id < 100000),
+             |t AS (SELECT id, inc, string_split(text, ' ') AS w FROM salted),
+             |g AS (SELECT id, inc, unnest(list_transform(range(len(w)-2),
+             |        i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM t),
+             |perms AS (SELECT id, inc, sh, unnest(range(16)) AS p FROM g),
+             |mh AS (SELECT id, inc, p, min(md5(concat(p, '|', sh))) AS mv
+             |       FROM perms GROUP BY 1, 2, 3),
+             |bnd AS (SELECT id, inc, p // 4 AS band,
+             |               md5(string_agg(mv, ',' ORDER BY p)) AS bk
+             |        FROM mh GROUP BY 1, 2, 3),
+             |candL AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bnd a JOIN bnd b
+             |          ON a.band = b.band AND a.bk = b.bk AND a.inc = 1 AND b.inc = 0),
+             |bszI AS (SELECT band, bk, count(*) AS c FROM bnd WHERE inc = 1 GROUP BY 1, 2),
+             |keptI AS (SELECT b.id, b.band, b.bk FROM bnd b
+             |          JOIN bszI USING (band, bk) WHERE b.inc = 1 AND c <= 2),
+             |candI AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM keptI a JOIN keptI b
+             |          ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+             |agL AS (SELECT c.d1, c.d2 FROM candL c
+             |        JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |          AND y.p = x.p AND y.mv = x.mv
+             |        GROUP BY 1, 2 HAVING count(*) >= 8),
+             |agI AS (SELECT c.d1, c.d2 FROM candI c
+             |        JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |          AND y.p = x.p AND y.mv = x.mv
+             |        GROUP BY 1, 2 HAVING count(*) >= 8)
+             |SELECT s.id AS doc_id, md5(s.text) AS fp FROM salted s
+             |WHERE s.inc = 1 AND s.id NOT IN
+             |  (SELECT d1 FROM agL UNION SELECT d2 FROM agI)""".stripMargin)),
+
     // near-dup SEARCH (the reporting twin of the incremental drop path):
     // which landed docs does each query doc match at est >= 0.5? Queries
     // are planted near-copies (' extra words appended') and verbatim
