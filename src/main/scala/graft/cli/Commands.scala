@@ -233,7 +233,13 @@ object Commands {
         else Nil)
       (lines, r.clean)
     } else {
-      val r = Pool.open(spark, path).fsck()
+      // openNoRepair, deliberately: a health CHECK must not mutate the
+      // store — Pool.open would complete a proven interrupted purge
+      // (deleting dirs, pruning snapshots, consuming the marker) before
+      // the report rendered, making the dirty state unreportable. The
+      // report says what is OWED; a subsequent normal (writer) open
+      // performs it.
+      val r = Pool.openNoRepair(spark, path).fsck()
       val lines = Seq(
         if (r.clean) s"pool $path: CLEAN" else s"pool $path: DIRTY") ++
         (if (r.unreferencedDirs.nonEmpty)
@@ -242,8 +248,10 @@ object Commands {
         (if (r.missingLiveSegments.nonEmpty)
           Seq(s"  committed segments MISSING on disk: ${r.missingLiveSegments.mkString(", ")}")
         else Nil) ++
-        (if (r.stalePurgeIntent)
-          Seq("  stale purge intent: _PURGE present — a takedown never applied or its reclamation is owed (re-run the delete or vacuum)")
+        (if (r.purgeReclamationOwed)
+          Seq("  purge reclamation OWED: _PURGE proves its swap committed — rows are gone from every live read; a writer open (or vacuum) reclaims the pre-delete dirs")
+        else if (r.stalePurgeIntent)
+          Seq("  stale purge intent: _PURGE present but its swap never committed — the takedown never applied (re-run the delete or vacuum)")
         else Nil) ++
         (if (r.counterMissing)
           Seq("  version counter missing (re-asserted at next prune)")

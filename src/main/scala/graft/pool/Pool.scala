@@ -56,10 +56,13 @@ import scala.jdk.CollectionConverters._
   * newest claimant owns the pool (serial writer handoff — a new session
   * opening the pool and taking over — stays a non-event; the fenced OLD
   * instance stays fenced, since its cached offsets/sketches may be stale).
-  * Two claims racing within one commit window remain the store's
-  * last-writer-wins (there is no portable CAS on object stores) — the
-  * fence bounds a violation to at most that one window instead of letting
-  * it persist silently forever.
+  * On atomic-rename stores (posix/HDFS class) the claim itself is a real
+  * CAS — create-exclusive of a per-epoch `_EPOCH.<n>` file — so even two
+  * claims racing within ONE window resolve to a single winner (the loser
+  * refuses at claim time, before touching anything). Object stores have
+  * no portable CAS: there the claim stays a last-writer-wins `_EPOCH`
+  * write and the fence bounds a double-claim violation to at most that
+  * one commit window instead of letting it persist silently forever.
   *
   * Scale design: each committed segment is written sorted by
   * (kafka.topic, kafka.offset) via repartitionByRange + sortWithinPartitions,
@@ -268,6 +271,19 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       : (Option[DataFrame], Option[DataFrame]) = {
     val segs = committedSegments()
     require(segs.nonEmpty, s"pool $root is empty")
+    readSegmentsPartitionedBySchema(segs, p)
+  }
+
+  /** [[readPartitionedBySchema]] restricted to a SUBSET of the committed
+    * segments — the catch-up scan a side index runs over exactly the
+    * commits it has not covered yet, never re-listing the rest.
+    */
+  def readSegmentsPartitionedBySchema(segs: Seq[String],
+      p: org.apache.spark.sql.types.StructType => Boolean)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val committed = committedSegments().toSet
+    require(segs.nonEmpty && segs.forall(committed),
+      s"segments not committed: ${segs.filterNot(committed)}")
     val (yes, no) = segs.partition(s => p(segmentSchema(s)))
     def rd(g: Seq[String]): Option[DataFrame] =
       if (g.isEmpty) None
@@ -299,9 +315,12 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     *   (Etl.run's compile counts it anyway) — skips the sizing count job.
     *   Such callers should hand over a plan whose expensive subtrees are
     *   cached, since a multi-file write's range sampler executes it twice.
+    * @return the committed segment's name — the handle side structures
+    *   (e.g. [[graft.ops.SignatureIndex]]) record to track exactly which
+    *   pool commits they cover.
     */
   def append(batch: DataFrame, presorted: Boolean = false,
-      knownRows: Option[Long] = None): Unit = {
+      knownRows: Option[Long] = None): String = {
     require(hasKafkaOffset(batch), ErrBadPoolKey)
     val seg = f"seg-${committedSegments().size + 1}%06d-${System.nanoTime()}%x"
     val segDir = segPath(seg)
@@ -339,6 +358,7 @@ final class Pool private (val spark: SparkSession, val root: Path) {
         }
       sorted.write.mode(SaveMode.ErrorIfExists).parquet(segDir.toString)
       commit(seg)
+      seg
     } finally if (mustCache) batch.unpersist()
   }
 
@@ -354,6 +374,8 @@ final class Pool private (val spark: SparkSession, val root: Path) {
   private var writerToken: Option[String] = None
 
   private def epochPath = new Path(root, WriterEpochFile)
+  private def epochClaimPath(e: Long): Path =
+    new Path(root, s"$WriterEpochFile.$e")
 
   private def readEpochToken(): Option[String] =
     try {
@@ -361,28 +383,122 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       else None
     } catch { case _: java.io.FileNotFoundException => None }
 
+  private def parseEpoch(token: String): Long =
+    scala.util.Try(token.takeWhile(_ != '-').toLong).getOrElse(0L)
+
+  /** The pool's current (highest) writer claim as (epoch, token), merged
+    * from BOTH claim sources: the per-epoch claim files `_EPOCH.<n>` (the
+    * CAS path on atomic-rename stores — the file's presence IS the claim,
+    * so a claimant that crashed between create and content write still
+    * counts, with an empty token no checker can match) and the legacy
+    * single `_EPOCH` file (object-store fallback path and pre-CAS pools).
+    * Highest epoch wins; a per-epoch file beats the legacy mirror at the
+    * same number (it is the CAS-authoritative source).
+    */
+  private def currentClaim(): Option[(Long, String)] = {
+    val perFile =
+      try fs.listStatus(root).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(WriterEpochFile + "."))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.drop(WriterEpochFile.length + 1).toLong).toOption)
+        .sorted.lastOption
+        .map(e => (e, scala.util.Try(readString(epochClaimPath(e)).trim).getOrElse("")))
+      catch { case _: java.io.FileNotFoundException => None }
+    val legacy = readEpochToken().map(t => (parseEpoch(t), t))
+    (perFile, legacy) match {
+      case (Some(p), Some(l)) => Some(if (l._1 > p._1) l else p)
+      case (p, l)             => p.orElse(l)
+    }
+  }
+
   /** Enforce the single-writer contract at the commit point: claim a fresh
-    * epoch token on this instance's first commit; on every later one,
-    * re-read the epoch file (one small-object read) and REFUSE the swap if
+    * epoch on this instance's first commit; on every later one, re-read the
+    * current claim (one small listing + read) and REFUSE the swap if
     * another writer claimed since. The token carries a nonce alongside the
-    * monotonic epoch number so two simultaneous claims can never alias.
+    * monotonic epoch number so two claims can never alias.
+    *
+    * The CLAIM itself is a real CAS wherever the store allows one: on
+    * atomic-rename stores (posix/HDFS class — [[Pool.renameIsAtomicStore]])
+    * epoch N+1 is claimed by CREATE-EXCLUSIVE of `_EPOCH.<N+1>`
+    * (`fs.create(overwrite = false)`, atomic there), so two instances
+    * claiming the same epoch within one window race to ONE winner — the
+    * loser's commit refuses before touching anything, closing the
+    * same-window double-claim race the class header used to document as
+    * unavoidable. Object stores (no portable CAS) keep the last-writer-wins
+    * single-file claim with the window bounded to one commit, as before.
+    * A raced-out loser may reopen/retry and will then claim a FRESH epoch
+    * over the winner — the serial-handoff semantics; the fence refuses
+    * silent lost updates, it does not elect a leader.
     */
   private def fenceWriter(): Unit = writerToken match {
     case None =>
-      val epoch = readEpochToken()
-        .flatMap(t => scala.util.Try(t.takeWhile(_ != '-').toLong).toOption)
-        .getOrElse(0L) + 1
-      val token = s"$epoch-${java.util.UUID.randomUUID().toString.take(8)}"
-      writeAtomic(epochPath, token)
-      writerToken = Some(token)
+      claimEpochAt(currentClaim().map(_._1).getOrElse(0L) + 1)
     case Some(mine) =>
-      val cur = readEpochToken()
-      if (!cur.contains(mine))
+      val cur = currentClaim()
+      if (!cur.exists(_._2 == mine))
         throw new IllegalStateException(
           s"pool $root: writer fenced — another writer claimed the pool " +
-            s"(epoch ${cur.getOrElse("<absent>")}, ours $mine). The newest " +
+            s"(epoch ${cur.map(_._2).getOrElse("<absent>")}, ours $mine). The newest " +
             "claimant owns the pool; this instance's commits are refused " +
             "from here on (its cached state may be stale) — reopen to take over.")
+  }
+
+  /** Claim writer epoch `target` for this instance — create-exclusive CAS
+    * on atomic-rename stores, last-writer-wins `_EPOCH` write elsewhere.
+    * Throws (fenced, nothing touched) when the CAS loses the race.
+    * Package-private seam: the spec drives the exact same-window collision
+    * deterministically (two instances, same target) that a thread race
+    * cannot reproduce reliably.
+    */
+  private[graft] def claimEpochAt(target: Long): Unit = synchronized {
+    val token = s"$target-${java.util.UUID.randomUUID().toString.take(8)}"
+    if (renameIsAtomic) {
+      val claim = epochClaimPath(target)
+      def lost() = new IllegalStateException(
+        s"pool $root: writer fenced at claim — another writer won " +
+          s"epoch $target in the same window (create-exclusive lost). " +
+          "Reopen to claim a fresh epoch and take over.")
+      if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+        // Hadoop's RawLocalFileSystem.create(overwrite = false) is
+        // check-then-act, not a CAS — go to the kernel's O_EXCL, which is
+        // the real atomic create on posix
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(claim.toUri.getPath),
+          token.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => throw lost() }
+      } else {
+        // HDFS-class stores: create(overwrite = false) is a namespace-atomic
+        // RPC — the exclusive create IS the CAS
+        val out =
+          try fs.create(claim, false)
+          catch {
+            case e: java.io.IOException =>
+              // a losing CAS may surface as FileAlreadyExistsException or a
+              // store-specific IOException — re-check existence so a genuine
+              // IO fault is not misreported as a lost race
+              if (fs.exists(claim)) throw lost() else throw e
+          }
+        try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      // housekeeping, never correctness: retire superseded claim files and
+      // keep the legacy single-file mirror readable for operators/old
+      // readers. Best-effort — currentClaim() takes the max across both
+      // sources, so a crash anywhere here leaves only redundant history.
+      try {
+        fs.listStatus(root).toSeq
+          .filter(st => st.isFile &&
+            st.getPath.getName.startsWith(WriterEpochFile + "."))
+          .filter(st => scala.util.Try(
+            st.getPath.getName.drop(WriterEpochFile.length + 1).toLong)
+            .toOption.exists(_ < target))
+          .foreach(st => fs.delete(st.getPath, false))
+        writeAtomic(epochPath, token)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    } else writeAtomic(epochPath, token)
+    writerToken = Some(token)
   }
 
   private def replaceManifest(lines: Seq[String]): Unit = synchronized {
@@ -666,8 +782,16 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     // Written only in purge mode, so non-purge deletes keep their time
     // travel untouched.
     val marker = new Path(root, PurgeMarkerFile)
-    if (purge) writeAtomic(marker,
-      Pool.renderPurgeMarker(affected.toSeq.sorted, newSegs.sorted, committed = false))
+    // fence BEFORE the intent write, not just inside the swap: a superseded
+    // writer must touch NOTHING — least of all the live owner's in-flight
+    // intent evidence, which this write would clobber before the commit
+    // refused (a fresh instance claims here, which is correct: a purge IS
+    // a write, and the claim is what replaceManifest would do anyway)
+    if (purge) synchronized {
+      fenceWriter()
+      writeAtomic(marker,
+        Pool.renderPurgeMarker(affected.toSeq.sorted, newSegs.sorted, committed = false))
+    }
     synchronized {
       replaceManifest(committedSegments().filterNot(affected) ++ newSegs)
     }
@@ -722,11 +846,8 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       val marker = new Path(root, PurgeMarkerFile)
       if (!fs.exists(marker)) return
       val live = committedSegments().toSet
-      val proven = Pool.parsePurgeMarker(readString(marker)).filter { m =>
-        m.committed ||
-          (m.replacements.nonEmpty && m.replacements.forall(live) &&
-            m.affected.forall(s => !live(s)))
-      }
+      val proven = Pool.parsePurgeMarker(readString(marker))
+        .filter(purgeSwapProven(_, live))
       proven.foreach { m =>
         // `-- live` is belt-and-braces: a proven marker's affected set is
         // disjoint from the manifest by construction, and a committed dir
@@ -739,6 +860,16 @@ final class Pool private (val spark: SparkSession, val root: Path) {
         System.err.println(s"pool $root: completing an interrupted purge " +
           s"failed (reclamation still owed; fsck() flags it): $e")
     }
+
+  /** Whether a `_PURGE` marker's swap is PROVEN against the live manifest —
+    * the single decision [[completePurge]] repairs on and [[fsck]] reports
+    * as "reclamation owed" (vs a pre-swap intent, whose delete never ran).
+    * One definition so the repair and the report cannot disagree.
+    */
+  private def purgeSwapProven(m: Pool.PurgeMarker, live: Set[String]): Boolean =
+    m.committed ||
+      (m.replacements.nonEmpty && m.replacements.forall(live) &&
+        m.affected.forall(s => !live(s)))
 
   /** Delete the given segment directories from disk, prune the snapshot
     * versions that reference any of them, and evict their metadata cache
@@ -810,10 +941,23 @@ final class Pool private (val spark: SparkSession, val root: Path) {
       .filter(_ != VersionsDir)
     val broken = versions().filter(v =>
       snapshotSegments(v).exists(s => !fs.exists(segPath(s))))
+    val marker = new Path(root, PurgeMarkerFile)
+    val markerPresent = fs.exists(marker)
+    // distinguish the two marker states the repair's decision table
+    // distinguishes: a PROVEN swap (the purge committed; only its disk
+    // reclamation is owed — a normal writer open performs it) vs a
+    // pre-swap intent (the delete never ran; evidence, not owed work).
+    // Witnessable only through a NON-repairing open ([[Pool.openNoRepair]])
+    // — a normal open's completePurge consumes the owed state first.
+    val owed = markerPresent &&
+      (try Pool.parsePurgeMarker(readString(marker))
+        .exists(purgeSwapProven(_, live.toSet))
+      catch { case _: java.io.FileNotFoundException => false })
     PoolFsck(
       unreferencedDirs = dirs.filterNot(live.toSet).sorted,
       missingLiveSegments = live.filter(s => !fs.exists(segPath(s))),
-      stalePurgeIntent = fs.exists(new Path(root, PurgeMarkerFile)),
+      stalePurgeIntent = markerPresent,
+      purgeReclamationOwed = owed,
       counterMissing = fs.exists(new Path(root, VersionsDir)) &&
         !fs.exists(new Path(new Path(root, VersionsDir), VersionCounterFile)),
       brokenSnapshots = broken)
@@ -938,9 +1082,15 @@ final class Pool private (val spark: SparkSession, val root: Path) {
     }
 }
 
-/** [[Pool.fsck]]'s report — see the method doc for field semantics. */
+/** [[Pool.fsck]]'s report — see the method doc for field semantics.
+  * `purgeReclamationOwed` refines `stalePurgeIntent`: true when the marker
+  * proves its swap committed (the rows are already gone from every live
+  * read; only the disk reclamation is owed — a normal writer open performs
+  * it), false for a pre-swap intent (the delete never applied — evidence
+  * to act on, not owed work). */
 final case class PoolFsck(unreferencedDirs: Seq[String],
     missingLiveSegments: Seq[String], stalePurgeIntent: Boolean,
+    purgeReclamationOwed: Boolean,
     counterMissing: Boolean, brokenSnapshots: Seq[Long]) {
   def clean: Boolean = unreferencedDirs.isEmpty &&
     missingLiveSegments.isEmpty && !stalePurgeIntent &&
@@ -961,8 +1111,11 @@ object Pool {
     * open time. */
   val PurgeMarkerFile = "_PURGE"
   /** Writer-epoch fence file at the pool root — see the class header's
-    * "Concurrency" paragraph. A file (not a dir), so vacuum's and fsck's
-    * directory sweeps never see it. */
+    * "Concurrency" paragraph. On atomic-rename stores each claim is a
+    * create-exclusive per-epoch file `_EPOCH.<n>` (the CAS), with this
+    * single file kept as a best-effort mirror; on object stores the
+    * single file IS the (last-writer-wins) claim. Files (not dirs), so
+    * vacuum's and fsck's directory sweeps never see them. */
   val WriterEpochFile = "_EPOCH"
 
   /** Parsed `_PURGE` marker: the segments the purge removes, the
@@ -1062,5 +1215,23 @@ object Pool {
     val pool = new Pool(spark, p)
     pool.completePurge()
     pool
+  }
+
+  /** Open WITHOUT the open-time purge repair — the OBSERVATION path.
+    * [[open]]/[[create]] deliberately run [[Pool!.completePurge]] so a
+    * crashed purge needs no human in the loop; but that makes a normal
+    * open unusable for a health CHECK: it would complete a proven
+    * interrupted purge (deleting segment dirs, pruning snapshots,
+    * consuming the marker) before the report renders, and the
+    * between-swap-and-flip dirty state would be unwitnessable by
+    * construction. `fsck`-type callers route here ([[Pool!.fsck]] reports
+    * "reclamation owed" instead of performing it); everything that
+    * WRITES should keep using [[open]].
+    */
+  def openNoRepair(spark: SparkSession, path: String): Pool = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p) && fs.getFileStatus(p).isDirectory, s"no pool at $path")
+    new Pool(spark, p)
   }
 }

@@ -630,6 +630,123 @@ class PoolSpec extends AnyFunSuite {
     env.unpersist()
   }
 
+  test("writer-epoch CAS: two same-window claims on file:// resolve to one winner") {
+    val dir = Files.createTempDirectory("pool-cas")
+    val a = Pool.create(spark, dir.toString)
+    val b = Pool.open(spark, dir.toString)
+    val env = envelopes().persist()
+    // the race window is read-current-then-create: both instances computed
+    // target epoch 1 from the same (empty) state; a wins the exclusive
+    // create, b's claim of the SAME epoch must refuse — deterministically
+    // reproduced through the claim seam rather than a flaky thread race
+    a.claimEpochAt(1L)
+    val e = intercept[IllegalStateException](b.claimEpochAt(1L))
+    assert(e.getMessage.contains("fenced at claim"), e.getMessage)
+    // the winner's commit path works; the loser touched nothing
+    a.append(env.filter(col("kafka.offset") < 600))
+    assert(Files.exists(dir.resolve(s"${Pool.WriterEpochFile}.1")))
+    // the loser holds no token, so a retry claims a FRESH epoch over the
+    // winner (serial-handoff semantics: newest claimant owns the pool)
+    b.append(env.filter(col("kafka.offset") >= 600))
+    assert(Files.exists(dir.resolve(s"${Pool.WriterEpochFile}.2")))
+    assert(!Files.exists(dir.resolve(s"${Pool.WriterEpochFile}.1")),
+      "superseded claim files are pruned at the next claim")
+    val before = b.committedSegments()
+    intercept[IllegalStateException](a.append(env.limit(5)))
+    assert(b.committedSegments() == before,
+      "the fenced ex-winner must not move the manifest")
+    // a true same-window thread race also yields exactly one winner: the
+    // kernel's O_EXCL decides, whatever the interleaving
+    val c1 = Pool.open(spark, dir.toString)
+    val c2 = Pool.open(spark, dir.toString)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val ts = Seq(c1, c2).map { p =>
+      new Thread(() => {
+        barrier.await()
+        try { p.claimEpochAt(3L); results.add(true) }
+        catch { case _: IllegalStateException => results.add(false) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(results.asScala.toSeq.sorted == Seq(false, true),
+      s"exactly one of two simultaneous epoch-3 claims may win: ${results.asScala}")
+    env.unpersist()
+  }
+
+  test("a fenced writer's purge touches nothing — not even the intent marker") {
+    val dir = Files.createTempDirectory("pool-fencepurge")
+    val a = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    a.append(env) // a claims the epoch
+    val b = Pool.open(spark, dir.toString)
+    b.append(env.limit(5))
+    val total = b.read().count()
+    // b is now the claimant; a's purge must refuse BEFORE writing the
+    // _PURGE intent — clobbering the live owner's in-flight intent
+    // evidence is exactly what the pre-marker fence exists to stop
+    val e = intercept[IllegalStateException](
+      a.deleteWhere(col("value.user_id") % 5 === 0, purge = true))
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    assert(!Files.exists(dir.resolve(Pool.PurgeMarkerFile)),
+      "a fenced purge must not write the intent marker")
+    assert(b.read().count() == total, "no rows may have been deleted")
+    env.unpersist()
+  }
+
+  test("openNoRepair + fsck witness a crashed purge; a normal open still repairs") {
+    val dir = Files.createTempDirectory("pool-fsckro")
+    val p = Pool.create(spark, dir.toString)
+    val env = envelopes().persist()
+    p.append(env.filter(col("kafka.offset") < 600))
+    p.append(env.filter(col("kafka.offset") >= 600))
+    val before = p.committedSegments()
+    val pred = col("value.user_id") % 5 === 0
+    // reconstruct the crash-between-swap-and-flip window exactly as the
+    // completePurge spec does: non-purge delete = swapped manifest with
+    // pre-delete dirs still on disk, then the intent marker as the purge
+    // would have left it (replacements live, listed gone)
+    assert(p.deleteWhere(pred) > 0)
+    val after = p.committedSegments()
+    val replaced = before.filterNot(after.contains)
+    val replacements = after.filterNot(before.contains)
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile),
+      Pool.renderPurgeMarker(replaced, replacements, committed = false))
+    // the OBSERVATION path: openNoRepair must not run completePurge —
+    // the dirty state is witnessable and the report says what is OWED
+    val ro = Pool.openNoRepair(spark, dir.toString)
+    val f = ro.fsck()
+    assert(!f.clean && f.stalePurgeIntent && f.purgeReclamationOwed,
+      s"a proven-swap marker is owed reclamation: $f")
+    assert(Files.exists(dir.resolve(Pool.PurgeMarkerFile)),
+      "fsck must not consume the marker")
+    replaced.foreach(s => assert(Files.exists(dir.resolve(s)),
+      "fsck must not reclaim the pre-delete dirs"))
+    // the CLI verb routes through the same non-repairing open
+    val (lines, clean) = graft.cli.Commands.fsck(spark, dir.toString)
+    assert(!clean && lines.exists(_.contains("reclamation OWED")), lines.mkString("\n"))
+    assert(Files.exists(dir.resolve(Pool.PurgeMarkerFile)) &&
+      replaced.forall(s => Files.exists(dir.resolve(s))),
+      "the CLI health check must not mutate the store")
+    // a PRE-swap intent reads as evidence, not owed work
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile),
+      Pool.renderPurgeMarker(after, Seq("delete-cafebabe"), committed = false))
+    val f2 = Pool.openNoRepair(spark, dir.toString).fsck()
+    assert(f2.stalePurgeIntent && !f2.purgeReclamationOwed,
+      s"an unproven swap is not owed reclamation: $f2")
+    val (lines2, _) = graft.cli.Commands.fsck(spark, dir.toString)
+    assert(lines2.exists(_.contains("never applied")), lines2.mkString("\n"))
+    // restore the owed state: a subsequent NORMAL open performs the repair
+    Files.writeString(dir.resolve(Pool.PurgeMarkerFile),
+      Pool.renderPurgeMarker(replaced, replacements, committed = false))
+    val repaired = Pool.open(spark, dir.toString)
+    assert(!Files.exists(dir.resolve(Pool.PurgeMarkerFile)))
+    replaced.foreach(s => assert(!Files.exists(dir.resolve(s)),
+      "the writer open owes and performs the reclamation"))
+    assert(repaired.read().filter(pred).count() == 0)
+    env.unpersist()
+  }
+
   test("interrupted purge (crash after the swap) is completed at open time") {
     val dir = Files.createTempDirectory("pool-purgecrash")
     val p = Pool.create(spark, dir.toString)
