@@ -159,6 +159,12 @@ object Bench {
       // disk-level caching
       val blockInMemory =
         java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.storage.BlockId]()
+      // seed from CURRENT storage status: a block persisted before this
+      // listener attaches would otherwise have its first genuine
+      // memory→disk-only fall uncounted (r14 ADVICE)
+      try org.apache.spark.sql.graft.GraftColumnsBridge.inMemoryRddBlocks(spark)
+        .foreach(blockInMemory.add)
+      catch { case scala.util.control.NonFatal(_) => () }
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (t.taskMetrics != null) {
@@ -268,23 +274,30 @@ object Bench {
         reclaim(name)
         val clean = cleanTimes()
         val med = if (clean.length >= 2) medianOf(clean) else medianOf(times)
+        // CONTAMINATED: every retry (base + adaptive + steal extras) still
+        // carried steal, so the reported median measured the HOST — the r14
+        // driver round had exactly this (ingest_pool_near median 21.5 over
+        // 7 stolen runs, min at the 8.3 clean floor). Self-describe the
+        // state so a reader reaches for queries_min instead of mistaking
+        // host weather for a regression (r14 verdict task 5).
+        val contaminated = clean.length < 2
         // the UNFILTERED median ships alongside (ADVICE r12: steal is
         // partly proportional to the guest's own demand, so a filter
         // keyed on steal count alone could bias the headline — reporting
         // both makes the filter's effect auditable per query)
-        (name, med, times.head, times, diags.toSeq, medianOf(times))
+        (name, med, times.head, times, diags.toSeq, medianOf(times), contaminated)
       }
 
       // Locale.ROOT: the f"" interpolator uses the default JVM locale, which
       // can render decimal commas and break the driver's JSON parse.
       def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       def num2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      val qs = results.map { case (k, med, _, _, _, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
-      val qmins = results.map { case (k, _, min, _, _, _) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
+      val qs = results.map { case (k, med, _, _, _, _, _) => jstr(k) + ":" + num(med) }.mkString("{", ",", "}")
+      val qmins = results.map { case (k, _, min, _, _, _, _) => jstr(k) + ":" + num(min) }.mkString("{", ",", "}")
       // full per-run arrays (sidecar only): the in-suite spread SHAPE is
       // the diagnostic for contention-band adjudication — a median alone
       // cannot distinguish "one cold outlier" from "bimodal repeats"
-      val qruns = results.map { case (k, _, _, ts, _, _) =>
+      val qruns = results.map { case (k, _, _, ts, _, _, _) =>
         jstr(k) + ":[" + ts.map(num2).mkString(",") + "]" }.mkString("{", ",", "}")
       // per-run mechanism counters, IN EXECUTION ORDER (not sorted like
       // queries_runs): [wall_s, gc_ms, task_run_ms, task_cpu_ms,
@@ -293,15 +306,20 @@ object Bench {
       // (steal at 100 Hz USER_HZ: 100 jiffies = 1 stolen vCPU-second;
       // spill/evict/jit/codecache discriminate the no-steal
       // cpu-inflation mechanisms; codecache is a level, the rest deltas)
-      val qdiag = results.map { case (k, _, _, _, ds, _) =>
+      val qdiag = results.map { case (k, _, _, _, ds, _, _) =>
         jstr(k) + ":[" + ds.map { case (w, gc, run, cpu, st, sp, ev, jit, cc) =>
           s"[${num2(w)},$gc,$run,$cpu,$st,$sp,$ev,$jit,$cc]" }.mkString(",") + "]"
       }.mkString("{", ",", "}")
       // unfiltered medians (per query + sum): the steal filter's effect
       // must be auditable, not implicit in the headline
-      val qmedRaw = results.map { case (k, _, _, _, _, mr) =>
+      val qmedRaw = results.map { case (k, _, _, _, _, mr, _) =>
         jstr(k) + ":" + num(mr) }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+      // queries whose EVERY retry carried steal: their median measured the
+      // host, not the engine — readers should take queries_min for them
+      // (the clean-contention floor, which is never filtered)
+      val contaminatedNames = results.collect { case (k, _, _, _, _, _, true) => k }
+      val qcontam = contaminatedNames.map(jstr).mkString("[", ",", "]")
       val total = results.map(_._2).sum
       val totalMin = results.map(_._3).sum
       val totalRaw = results.map(_._6).sum
@@ -315,17 +333,20 @@ object Bench {
       // "adaptive": high-spread queries get 2 extra runs beyond the base N.
       val lineBudget = 1800
       val esShort = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}")
-      val bySlowest = results.sortBy { case (_, med, _, _, _, _) => -med }
+      val bySlowest = results.sortBy { case (_, med, _, _, _, _, _) => -med }
       def lineFor(keep: Int): String = {
         val kept = bySlowest.take(keep).sortBy(_._1)
-        val q = kept.map { case (k, med, _, _, _, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
+        val q = kept.map { case (k, med, _, _, _, _, _) => jstr(k) + ":" + num2(med) }.mkString("{", ",", "}")
         val omitted = if (keep < results.size) s""","q_omitted":${results.size - keep}""" else ""
-        s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$q,"errors":$esShort$omitted,"sf":${jstr(sfDir)}}"""
+        // contaminated medians self-describe even on the budgeted line —
+        // usually empty, so it costs ~20 chars on clean hosts
+        val contam = if (contaminatedNames.isEmpty) "" else s""","contaminated":$qcontam"""
+        s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$q,"errors":$esShort$omitted$contam,"sf":${jstr(sfDir)}}"""
       }
       val line = (results.size to 1 by -1).iterator.map(lineFor)
         .find(_.length <= lineBudget)
         .getOrElse(lineFor(0))
-      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive-steal-filtered","queries":$qs,"queries_min":$qmins,"queries_median_raw":$qmedRaw,"queries_runs":$qruns,"queries_diag":$qdiag,"total_min":${num(totalMin)},"total_median_raw":${num(totalRaw)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      val detail = s"""{"metric":"total","value":${num(total)},"unit":"sec","stat":"median-of-$runs-adaptive-steal-filtered","queries":$qs,"queries_min":$qmins,"queries_median_raw":$qmedRaw,"queries_runs":$qruns,"queries_diag":$qdiag,"queries_contaminated":$qcontam,"total_min":${num(totalMin)},"total_median_raw":${num(totalRaw)},"errors":$es,"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
         (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => toErr.println(s"bench_detail.json write failed: $e") }

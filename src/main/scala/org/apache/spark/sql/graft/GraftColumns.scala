@@ -50,6 +50,18 @@ object GraftColumnsBridge {
     */
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** RDD blocks currently MEMORY-resident across executors (block-manager
+    * master, driver metadata). Seeds the bench's evict-transition tracker
+    * at listener registration: a block persisted BEFORE the listener
+    * attached would otherwise have its first genuine memory→disk-only fall
+    * uncounted — the r14-ADVICE blind spot. Probe-only.
+    */
+  def inMemoryRddBlocks(spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.storage.BlockId] =
+    org.apache.spark.SparkEnv.get.blockManager.master.getStorageStatus.toSeq
+      .flatMap(_.rddBlocks.collect {
+        case (id, st) if st.storageLevel.useMemory && st.memSize > 0 => id
+      })
 }
 
 object ConfluentHeaderError {

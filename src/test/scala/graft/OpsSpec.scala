@@ -1518,6 +1518,50 @@ class OpsSpec extends AnyFunSuite {
       keptApprox.forall(_ >= 74L), s"approx gate kept $keptApprox")
   }
 
+  test("qualityGateApprox is within the sketch's documented rank error of the exact gate") {
+    // the curate_quality_gate_approx oracle row is rows-only by design
+    // (approx_percentile is not bit-portable across engines) — this is its
+    // QUANTIFIED backstop: on the real corpus, the approx kept set differs
+    // from the oracled exact twin by at most the sketch's rank error
+    // (n/accuracy rows) plus one score TIE GROUP at the approx threshold
+    // (the gate keeps >= threshold, so a whole tie group moves together
+    // when the sketch lands inside it; the exact gate's interpolated
+    // quantile_cont threshold can split the same group)
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .select(col("doc_id"), col("n_chars").cast("double").as("score"))
+      .persist()
+    val n = docs.count()
+    val accuracy = 10000
+    val rankErr = math.ceil(n.toDouble / accuracy).toLong
+    val exact = Curate.qualityGate(docs, col("score"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approxKept = Curate.qualityGateApprox(docs, col("score"), 0.3, accuracy)
+      .select(col("doc_id"), col("score")).collect()
+    val approx = approxKept.map(_.getLong(0)).toSet
+    // the approx threshold IS the minimum kept score (it is a corpus
+    // element, so it keeps itself); its tie group bounds the split
+    val thrA = approxKept.map(_.getDouble(1)).min
+    val tieGroup = docs.filter(col("score") === thrA).count()
+    val diff = (exact -- approx) ++ (approx -- exact)
+    assert(diff.size <= rankErr + tieGroup,
+      s"approx gate drifted past its error budget: |diff|=${diff.size}, " +
+        s"rank error=$rankErr, tie group at $thrA=$tieGroup (n=$n)")
+    // structural half: the gates disagree ONLY inside the threshold gap —
+    // every differing row's score lies between the two kept minima
+    if (diff.nonEmpty) {
+      val minKeptE = Tables.load(spark, TestSpark.sf, "documents")
+        .filter(col("doc_id").isin(exact.toSeq: _*))
+        .agg(min(col("n_chars").cast("double"))).collect()(0).getDouble(0)
+      val lo = math.min(minKeptE, thrA)
+      val hi = math.max(minKeptE, thrA)
+      val diffScores = docs.filter(col("doc_id").isin(diff.toSeq: _*))
+        .select("score").collect().map(_.getDouble(0))
+      assert(diffScores.forall(s => s >= lo && s < hi),
+        s"a differing row sits outside the threshold gap [$lo, $hi)")
+    }
+    docs.unpersist()
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
