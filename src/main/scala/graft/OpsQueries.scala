@@ -227,6 +227,19 @@ object OpsQueries {
     * UTF-16-vs-UTF-8 collation cannot diverge (the text_bpe_first_merge
     * caveat). An argmax-less round leaves the state unchanged, so all
     * later rounds no-op too — equivalent to the loop's early stop.
+    *
+    * TWO MORE ORACLE-VALIDITY BOUNDS (r14 ADVICE), both comfortably
+    * satisfied by the test corpus and asserted where cheap:
+    *  - VOCAB CAP: this SQL learns over the FULL distinct vocabulary while
+    *    [[graft.ops.TextOps.bpeLearn]] caps at `maxVocab` = 2^20 by
+    *    frequency — on a corpus whose distinct lowercase word count
+    *    exceeds 2^20 the two sides diverge even when the engine is
+    *    correct (the sfX documents tables are ~10^3-10^5 words; the
+    *    text_bpe_learn query asserts the margin at run time);
+    *  - SEPARATOR-FREE TEXT: the chr(31) state encoding requires that no
+    *    corpus word CONTAINS chr(31) (US unit-separator) — a word carrying
+    *    it would split into phantom tokens on the SQL side only. True for
+    *    the test corpus by construction (space-tokenized printable text).
     */
   private def bpeLearnRoundsSql(rounds: Int): String = {
     val sep = "chr(31)"
@@ -381,6 +394,55 @@ object OpsQueries {
           docs.filter(col("id") % 3 === 0), docs.filter(col("id") % 3 =!= 0),
           "id", "text", n = 3, numPerms = 16, bands = 4, threshold = 0.5)
           .select(col("id").as("doc_id"), md5(col("text")).as("fp"))
+      },
+      Some("""WITH t AS (SELECT doc_id AS id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS inc,
+             |                 string_split(text, ' ') AS w FROM documents),
+             |g AS (SELECT id, inc, unnest(list_transform(range(len(w)-2),
+             |        i -> array_to_string(w[i+1:i+3], ' '))) AS sh FROM t),
+             |perms AS (SELECT id, inc, sh, unnest(range(16)) AS p FROM g),
+             |mh AS (SELECT id, inc, p, min(md5(concat(p, '|', sh))) AS mv
+             |       FROM perms GROUP BY 1, 2, 3),
+             |bnd AS (SELECT id, inc, p // 4 AS band,
+             |               md5(string_agg(mv, ',' ORDER BY p)) AS bk
+             |        FROM mh GROUP BY 1, 2, 3),
+             |candL AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bnd a JOIN bnd b
+             |          ON a.band = b.band AND a.bk = b.bk AND a.inc = 1 AND b.inc = 0),
+             |candI AS (SELECT DISTINCT a.id AS d1, b.id AS d2 FROM bnd a JOIN bnd b
+             |          ON a.band = b.band AND a.bk = b.bk AND a.inc = 1 AND b.inc = 1
+             |          AND a.id < b.id),
+             |agL AS (SELECT c.d1, c.d2 FROM candL c
+             |        JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |          AND y.p = x.p AND y.mv = x.mv
+             |        GROUP BY 1, 2 HAVING count(*) >= 8),
+             |agI AS (SELECT c.d1, c.d2 FROM candI c
+             |        JOIN mh x ON x.id = c.d1 JOIN mh y ON y.id = c.d2
+             |          AND y.p = x.p AND y.mv = x.mv
+             |        GROUP BY 1, 2 HAVING count(*) >= 8)
+             |SELECT d.doc_id, md5(d.text) AS fp FROM documents d
+             |WHERE d.doc_id % 3 = 0 AND d.doc_id NOT IN
+             |  (SELECT d1 FROM agL UNION SELECT d2 FROM agI)""".stripMargin)),
+
+    // the r15 PARTITION-PRUNED incremental probe: same semantics as
+    // dedup_incremental_near (identical oracle), but the landed side is a
+    // persisted SignatureIndex — half rebuilt into the partitioned base,
+    // half appended as a delta, so BOTH probe paths (pruned base
+    // subdirectories + delta union) are under the hash check. Kept-set
+    // equality to the scanning path is the index's whole contract.
+    "dedup_incremental_indexed" -> Q(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val landed = docs.filter(col("id") % 3 =!= 0)
+        val idx = graft.ops.SignatureIndex.create(s,
+          TempDirs.create("graft-sigidx-") + "/idx", n = 3, numPerms = 16,
+          bands = 4, idTypeDdl = "BIGINT")
+        idx.rebuild(Dedup.minhashSignatureFrame(
+          landed.filter(col("id") % 2 === 0), "id", "text", 3, 16), Seq.empty)
+        idx.appendDelta(Dedup.minhashSignatureFrame(
+          landed.filter(col("id") % 2 =!= 0), "id", "text", 3, 16), Seq.empty)
+        val (kept, _, _) = Dedup.dedupIncrementalNearIndexed(
+          docs.filter(col("id") % 3 === 0), idx, "id", "text",
+          threshold = 0.5, manage = false)
+        kept.select(col("id").as("doc_id"), md5(col("text")).as("fp"))
       },
       Some("""WITH t AS (SELECT doc_id AS id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS inc,
              |                 string_split(text, ' ') AS w FROM documents),
@@ -2378,8 +2440,21 @@ object OpsQueries {
     // one greedy rewrite, the same state machine the Scala loop runs
     "text_bpe_learn" -> Q(
       (s, d) => {
-        val merges = TextOps.bpeLearn(
-          Tables.load(s, d, "documents").select(col("text")), "text", numMerges = 3)
+        val corpus = Tables.load(s, d, "documents").select(col("text"))
+        // oracle-validity guard (r14 ADVICE, bpeLearnRoundsSql's bounds):
+        // the SQL twin learns over the FULL vocabulary and encodes state
+        // with chr(31) — assert this corpus sits inside both assumptions
+        // rather than silently hash-mismatching past them
+        val vocabProbe = corpus
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .agg(countDistinct(col("w")).as("n"),
+            max(col("w").contains("\u001f")).as("hasSep"))
+          .collect()(0)
+        require(vocabProbe.getLong(0) <= (1 << 20) && !vocabProbe.getBoolean(1),
+          s"BPE oracle assumptions violated: vocab=${vocabProbe.getLong(0)} " +
+            s"(cap 2^20), chr(31)-in-text=${vocabProbe.getBoolean(1)}")
+        val merges = TextOps.bpeLearn(corpus, "text", numMerges = 3)
         import s.implicits._
         merges.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
           .toDF("merge_rank", "a", "b")

@@ -295,8 +295,10 @@ object Dedup {
         (0 until numPerms).map(p => element_at(checked, p + 1).as(s"m$p")): _*)
   }
 
-  /** Banded bucket keys of a signature frame: (id, band, bk). */
-  private def bandKeys(sig: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+  /** Banded bucket keys of a signature frame: (id, band, bk). Shared with
+    * [[SignatureIndex]] (its persisted key tables must be byte-identical to
+    * the probe's construction). */
+  private[graft] def bandKeys(sig: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     val rows = numPerms / bands
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -481,6 +483,69 @@ object Dedup {
       maxBucket: Int = 0): (DataFrame, DataFrame, () => Unit) =
     dedupIncrementalNearFull(incoming, landedSig, idCol, textCol, n, numPerms,
       bands, threshold, manage = true, maxBucket)
+
+  /** The incremental near-dup probe against a PERSISTED
+    * [[SignatureIndex]] — result-identical to
+    * [[dedupIncrementalNearPresigned]] over the same landed rows (the
+    * index stores exactly the banded keys and wide signatures that path
+    * derives), but the landed side is PARTITION-PRUNED instead of scanned:
+    *
+    *  1. the batch's band keys yield its distinct (band, pfx) pairs — a
+    *     driver collect bounded by `bands * 16^pfxLen` (partition keyspace,
+    *     never data) — and the landed KEY read opens only those partitions;
+    *  2. the bipartite candidates' distinct id-prefixes (same bound) prune
+    *     the landed SIGNATURE read for verification.
+    *
+    * Per-batch landed cost drops from O(landed signatures) scanned +
+    * band-shuffled every batch to O(batch buckets x bucket size) — flat in
+    * corpus size at fixed batch size, the last O(corpus)-per-batch term in
+    * the ingest loop (SCALING.md signature-index pin). The within-batch
+    * side (and its `maxBucket` guard) is unchanged.
+    *
+    * Returns (kept rows, the persisted incoming signature frame for the
+    * caller's append reuse, release thunk) — the
+    * [[dedupIncrementalNearWithSig]] contract.
+    */
+  private[graft] def dedupIncrementalNearIndexed(incoming: DataFrame,
+      index: SignatureIndex, idCol: String, textCol: String,
+      threshold: Double, maxBucket: Int = 0,
+      manage: Boolean = true): (DataFrame, DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    val numPerms = index.numPerms; val bands = index.bands
+    def cached(df: DataFrame): DataFrame =
+      if (manage) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+    val sIn = cached(minhashSignatureFrame(incoming, idCol, textCol, index.n, numPerms))
+    val bIn = cached(bandKeys(sIn, numPerms, bands)) // prefixes + probe join + in-batch pairs
+    // the two driver collects below are PARTITION-KEYSPACE-bounded (each
+    // <= bands * 16^pfxLen distinct rows — metadata, never data) — they
+    // are what turns the landed read into explicit pruned subdirectories
+    val prefixes = bIn
+      .select(col("band"), substring(col("bk"), 1, index.pfxLen).as("pfx"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    val candLanded = cached(
+      bIn.select(col("id").as("d1"), col("band"), col("bk"))
+        .join(index.prunedKeys(prefixes)
+          .select(col("id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
+        .select("d1", "d2").distinct()) // idp collect + verify join
+    val idps = candLanded
+      .select(SignatureIndex.idPrefix(col("d2"), index.pfxLen).as("idp"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val drops = signatureEstimate(candLanded, sIn, index.prunedSigs(idps),
+        numPerms, threshold)
+      .select(col("d1").as(idCol))
+      .unionByName(signatureEstimate(candidatePairs(bIn, maxBucket), sIn, sIn,
+          numPerms, threshold)
+        .select(col("d2").as(idCol)))
+      .distinct()
+    val out = incoming.join(drops, Seq(idCol), "left_anti")
+    (out, sIn, () => {
+      if (manage) {
+        candLanded.unpersist(false); bIn.unpersist(false); sIn.unpersist(false)
+      }
+      ()
+    })
+  }
 
   private def dedupIncrementalNearImpl(incoming: DataFrame, landedSig: DataFrame,
       idCol: String, textCol: String, n: Int, numPerms: Int,

@@ -221,8 +221,15 @@ object CorpusIngest {
     * excluded, matching [[Dedup.minhashSignatureFrame]]'s row set.
     */
   private[streaming] def landedSigFrame(corpus: Pool, idCol: String,
-      textCol: String, n: Int, numPerms: Int): DataFrame = {
-    val (withSig, rest) = corpus.readPartitionedBySchema(_.fieldNames.contains("sig"))
+      textCol: String, n: Int, numPerms: Int,
+      only: Option[Seq[String]] = None): DataFrame = {
+    val (withSig, rest) = only match {
+      case Some(segs) =>
+        // the signature-index catch-up scan: cover exactly the listed
+        // commits, never re-reading the segments the index already holds
+        corpus.readSegmentsPartitionedBySchema(segs, _.fieldNames.contains("sig"))
+      case None => corpus.readPartitionedBySchema(_.fieldNames.contains("sig"))
+    }
     // null sig inside a sig-bearing segment = un-backfilled raw compaction
     // of a mixed-era pool (the landedFps guard's argument) — fail fast
     val stored = withSig.map(env => Dedup.signatureFrameFromStored(
@@ -333,7 +340,8 @@ object CorpusIngest {
       sigParams: Option[(Int, Int)],
       onSurvivors: DataFrame => Unit = _ => (),
       knownBase: Option[Long] = None,
-      sigFrame: Option[DataFrame] = None): Long = {
+      sigFrame: Option[DataFrame] = None,
+      onAppended: (DataFrame, String) => Unit = (_, _) => ()): Long = {
     val sorted = fresh
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(col(idCol))
@@ -377,7 +385,11 @@ object CorpusIngest {
               .select(envCols :+
                 coalesce(col("_sig"), array().cast("array<string>")).as("sig"): _*)
         }
-        corpus.append(env, knownRows = Some(appended))
+        val seg = corpus.append(env, knownRows = Some(appended))
+        // AFTER the pool commit (the index must never cover rows the pool
+        // refused), with the survivors still persisted — the session's
+        // signature-index delta hook
+        onAppended(sorted, seg)
       }
       appended
     } finally sorted.unpersist()
@@ -412,10 +424,10 @@ object CorpusIngest {
       interval: String = "5 seconds", n: Int = 3, numPerms: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
       expectedItems: Long = 1L << 20, fpp: Double = 0.01,
-      maxBucket: Int = 0): StreamingQuery = {
+      maxBucket: Int = 0, sigIndexPath: Option[String] = None): StreamingQuery = {
     val session = new CorpusIngestSession(corpus, idCol, textCol, topic,
       near = true, n, numPerms, bands, threshold, expectedItems, fpp,
-      maxBucket = maxBucket)
+      maxBucket = maxBucket, sigIndexPath = sigIndexPath)
     docs.writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .option("checkpointLocation", checkpoint)
@@ -462,12 +474,47 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
     numPerms: Int = 16, bands: Int = 4, threshold: Double = 0.5,
     expectedItems: Long = 1L << 20, fpp: Double = 0.01,
     compactEvery: Int = 0, compactMaxRows: Long = 1L << 22,
-    maxBucket: Int = 0) {
+    maxBucket: Int = 0,
+    sigIndexPath: Option[String] = None, indexFoldEvery: Int = 16) {
   import CorpusIngest._
 
   private var bloom: Option[BloomFilter] = None
   private var nextOff: Option[Long] = None
   private var appendsSinceCompact = 0
+  private var sigIdx: Option[graft.ops.SignatureIndex] = None
+
+  /** The landed-signature index, opened-or-created lazily and RECONCILED
+    * with the pool before first use: pool segments the index has not
+    * covered yet (a previous session's appends, a foreign CorpusIngest
+    * writer) are caught up with one narrow scan OF THOSE SEGMENTS ONLY;
+    * covered-but-gone segments (a takedown / out-of-band rewrite changed
+    * history) force a full REBUILD — a stale landed signature would
+    * wrongfully drop new documents that match deleted content, the one
+    * failure mode an ingest gate must not have. The session's own leveled
+    * compaction is content-preserving and merely remaps the covered list.
+    */
+  private def indexFor(batch: DataFrame): graft.ops.SignatureIndex =
+    sigIdx.getOrElse {
+      val idTypeDdl = batch.schema(batch.schema.fieldIndex(idCol)).dataType.sql
+      val idx = graft.ops.SignatureIndex.openChecked(corpus.spark,
+        sigIndexPath.get, n, numPerms, bands, idTypeDdl)
+      val committed = corpus.committedSegments()
+      val covered = idx.coveredSegments
+      val removed = covered.filterNot(committed.toSet)
+      val missing = committed.filterNot(covered.toSet)
+      if (removed.nonEmpty)
+        idx.rebuild(
+          if (committed.isEmpty)
+            Dedup.minhashSignatureFrame(batch.limit(0), idCol, textCol, n, numPerms)
+          else landedSigFrame(corpus, idCol, textCol, n, numPerms),
+          committed)
+      else if (missing.nonEmpty)
+        idx.appendDelta(
+          landedSigFrame(corpus, idCol, textCol, n, numPerms, Some(missing)),
+          missing)
+      sigIdx = Some(idx)
+      idx
+    }
 
   /** The retained filter — seeded lazily: empty for a new pool, else one
     * narrow scan of the landed fp column (the ONLY corpus-sized sketch
@@ -497,15 +544,24 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
         landedFps(corpus, textCol), "_fp", uniq, textCol, bf)
     val (fresh, sigReuse, releaseNear) =
       if (!near) (exactFresh, None, () => ())
-      else {
-        val lSig =
-          if (empty) Dedup.minhashSignatureFrame(
-            exactFresh.limit(0), idCol, textCol, n, numPerms)
-          else landedSigFrame(corpus, idCol, textCol, n, numPerms)
-        val (f, sIn, r) = Dedup.dedupIncrementalNearWithSig(
-          exactFresh, lSig, idCol, textCol, n, numPerms, bands, threshold,
-          maxBucket)
-        (f, Some(sIn), r)
+      else sigIndexPath match {
+        case Some(_) =>
+          // the partition-pruned probe: landed cost is O(batch buckets),
+          // not a full landed-signature scan — an empty index (fresh pool)
+          // degenerates to the within-batch pass, exactly the empty branch
+          // below
+          val (f, sIn, r) = Dedup.dedupIncrementalNearIndexed(
+            exactFresh, indexFor(batch), idCol, textCol, threshold, maxBucket)
+          (f, Some(sIn), r)
+        case None =>
+          val lSig =
+            if (empty) Dedup.minhashSignatureFrame(
+              exactFresh.limit(0), idCol, textCol, n, numPerms)
+            else landedSigFrame(corpus, idCol, textCol, n, numPerms)
+          val (f, sIn, r) = Dedup.dedupIncrementalNearWithSig(
+            exactFresh, lSig, idCol, textCol, n, numPerms, bands, threshold,
+            maxBucket)
+          (f, Some(sIn), r)
       }
     val base = nextOff.getOrElse(corpus.nextOffset(topic) max 0L)
     val appended =
@@ -513,7 +569,18 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
         sigParams = if (near) Some((n, numPerms)) else None,
         onSurvivors = s => bf.mergeInPlace(
           s.select(md5(col(textCol)).as("_fp")).stat.bloomFilter("_fp", expectedItems, fpp)),
-        knownBase = Some(base), sigFrame = sigReuse)
+        knownBase = Some(base), sigFrame = sigReuse,
+        onAppended = (survivors, seg) => sigIdx.foreach { idx =>
+          // delta = the probe's own persisted signature frame (a pre-gate
+          // superset — the batch is never re-shingled) narrowed to the
+          // rows the pool just committed; written AFTER the pool commit,
+          // so the index can lag the pool (caught up at next seed) but
+          // never lead it
+          idx.appendDelta(
+            sigReuse.get.join(survivors.select(col(idCol).as("id")),
+              Seq("id"), "left_semi"),
+            Seq(seg))
+        })
       finally { releaseNear(); releaseExact() }
     nextOff = Some(base + appended)
     if (compactEvery > 0 && appended > 0) {
@@ -524,8 +591,15 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
         CorpusIngest.compactSmallPool(corpus, idCol, textCol,
           if (near) Some((n, numPerms)) else None, compactMaxRows)
         appendsSinceCompact = 0
+        // the fold is content-preserving (same rows, new segment names):
+        // the index rows still describe the pool exactly — remap, don't
+        // rebuild
+        sigIdx.foreach(_.remapCovered(corpus.committedSegments()))
       }
     }
+    // LSM cadence for the index itself: fold deltas into a fresh pruned
+    // base before their count can make the probe's delta term material
+    sigIdx.foreach(idx => if (idx.deltaCount >= indexFoldEvery) idx.fold())
     appended
   }
 }
