@@ -55,11 +55,16 @@ object IncrementalNearScale {
       .repartition(spark.sparkContext.defaultParallelism)
 
     // fixed incoming batch: near-dups of copy-0 docs (one appended token —
-    // most bands still collide) + novel docs (copy salt no landed copy has)
-    val nearIn = base.filter(col("doc_id") % 10 === 0)
+    // most bands still collide) + novel docs (copy salt no landed copy has).
+    // MICRO-BATCH sized (~0.4% of the base docs): the indexed probe's
+    // read-bytes bound is (batch keys x bucket size), so the batch must be
+    // small against the partition count for the pruning to be visible —
+    // exactly the continuous-ingest regime the index exists for (a batch
+    // comparable to the whole corpus should read most of it)
+    val nearIn = base.filter(col("doc_id") % 500 === 0)
       .select((col("doc_id") + 900000000L).as("id"),
         expr("concat(array_join(transform(split(text, ' '), w -> concat(w, '_0')), ' '), ' extra_0')").as("text"))
-    val novelIn = base.filter(col("doc_id") % 10 === 5)
+    val novelIn = base.filter(col("doc_id") % 500 === 5)
       .select((col("doc_id") + 910000000L).as("id"),
         expr("array_join(transform(split(text, ' '), w -> concat(w, '_x')), ' ')").as("text"))
     val incoming = nearIn.unionByName(novelIn)
