@@ -174,14 +174,30 @@ final class SignatureIndex private (val spark: SparkSession, root: Path,
   }
 
   private def writeDeltaData(batchSig: DataFrame, dir: Path): Unit = {
-    val keys = Dedup.bandKeys(batchSig, numPerms, bands)
-      .select(col("bk"), col("id"), col("band"),
-        substring(col("bk"), 1, state.pfxLen).as("pfx"))
-    keys.coalesce(1).write.parquet(new Path(dir, "keys").toString)
-    batchSig
-      .select(sigsDataSchema.fieldNames.map(col).toSeq :+
-        idPrefix(col("id"), state.pfxLen).as("idp"): _*)
-      .coalesce(1).write.parquet(new Path(dir, "sigs").toString)
+    // batchSig feeds BOTH delta files; when the caller hands a bare plan
+    // (bench/CLI paths — the ingest session hands its already-persisted
+    // probe frame), persist for the two reads or the batch's whole
+    // signature aggregation runs twice (measured ~0.9 s of the 2.2 s
+    // append at sf0.1)
+    val preCached = batchSig.storageLevel.isValid
+    val src = if (preCached) batchSig
+      else batchSig.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keys = Dedup.bandKeys(src, numPerms, bands)
+        .select(col("bk"), col("id"), col("band"),
+          substring(col("bk"), 1, state.pfxLen).as("pfx"))
+      val sigs = src
+        .select(sigsDataSchema.fieldNames.map(col).toSeq :+
+          idPrefix(col("id"), state.pfxLen).as("idp"): _*)
+      // the two writes are independent (separate files under the delta dir,
+      // committed only by the later manifest swap) — submit them as
+      // concurrent jobs so the second's scheduling fills the first's task
+      // tail (guide §2.6); crash semantics unchanged: either failure
+      // propagates before the swap, leaving an orphan the fold sweeps
+      ConcurrentJobs.run(
+        () => keys.coalesce(1).write.parquet(new Path(dir, "keys").toString),
+        () => sigs.coalesce(1).write.parquet(new Path(dir, "sigs").toString))
+    } finally if (!preCached) src.unpersist(false)
   }
 
   /** Rewrite base + deltas into a fresh generation (re-picking `pfxLen`
@@ -237,16 +253,21 @@ final class SignatureIndex private (val spark: SparkSession, root: Path,
         .select(col("bk"), col("id"), col("band"),
           substring(col("bk"), 1, newPfx).as("pfx"))
       // one file per (band, pfx): the repartition clusters each partition
-      // into one task, sorted by bk inside for row-group stats
-      keys.repartition(col("band"), col("pfx"))
-        .sortWithinPartitions(col("bk"))
-        .write.partitionBy("band", "pfx")
-        .parquet(new Path(root, s"keys-$gen").toString)
-      cached.select(sigsDataSchema.fieldNames.map(col).toSeq :+
-          idPrefix(col("id"), newPfx).as("idp"): _*)
-        .repartition(col("idp"))
-        .write.partitionBy("idp")
-        .parquet(new Path(root, s"sigs-$gen").toString)
+      // into one task, sorted by bk inside for row-group stats. The keys
+      // and sigs writes both read the persisted signature frame and land
+      // in generation dirs nothing references until the swap below — run
+      // them as concurrent jobs (guide §2.6: neither small write alone
+      // fills the scheduler; measured 3.7 → ~2.6 s on the rebuild phase)
+      ConcurrentJobs.run(
+        () => keys.repartition(col("band"), col("pfx"))
+          .sortWithinPartitions(col("bk"))
+          .write.partitionBy("band", "pfx")
+          .parquet(new Path(root, s"keys-$gen").toString),
+        () => cached.select(sigsDataSchema.fieldNames.map(col).toSeq :+
+            idPrefix(col("id"), newPfx).as("idp"): _*)
+          .repartition(col("idp"))
+          .write.partitionBy("idp")
+          .parquet(new Path(root, s"sigs-$gen").toString))
       val old = state
       swapManifest(state.copy(gen = gen, pfxLen = newPfx,
         segments = segments, deltas = Seq.empty))

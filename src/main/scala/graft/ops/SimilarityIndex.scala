@@ -45,10 +45,16 @@ object SimilarityIndex {
     val cents = centroids.select(col(idCol), col(vecCol))
       .localCheckpoint(true) // K rows; consumed twice (write + assignment)
     try {
-      cents.write.mode("overwrite").parquet(s"$path/centroids")
-      Similarity.ivfAssign(corpus, cents, idCol, vecCol)
-        .write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(s"$path/assigned")
+      // the two writes are independent (nothing reads either until the
+      // stamps below / the caller's swap) — overlap them so the tiny
+      // centroid write's job rides the assignment write's task tail
+      // (guide §2.6); crash states are the same set as the sequential
+      // form's (missing dir or missing stamp, both detected at load)
+      ConcurrentJobs.run(
+        () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
+        () => Similarity.ivfAssign(corpus, cents, idCol, vecCol)
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$path/assigned"))
       stampGeneration(corpus.sparkSession, path, IvfSubdirs)
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
   }
@@ -215,14 +221,19 @@ object SimilarityIndex {
     val cents = centroids.select(col(idCol), col(vecCol))
       .localCheckpoint(true) // K rows; consumed twice (write + assignment)
     try {
-      cents.write.mode("overwrite").parquet(s"$path/centroids")
-      codebook.write.mode("overwrite").parquet(s"$path/codebook")
-      Similarity.pqEncode(
-          Similarity.ivfAssign(corpus, cents, idCol, vecCol),
-          codebook, idCol, vecCol)
-        .select(col(idCol), col("centroid_id"), col("codes"))
-        .write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(s"$path/encoded")
+      // three independent writes (cents/codebook are checkpointed leaves;
+      // the encode reads the FRAMES, never the written files; nothing
+      // reads any dir until the stamps / the caller's swap) — overlap
+      // them (guide §2.6), same crash-state set as the sequential form
+      ConcurrentJobs.run(
+        () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
+        () => codebook.write.mode("overwrite").parquet(s"$path/codebook"),
+        () => Similarity.pqEncode(
+            Similarity.ivfAssign(corpus, cents, idCol, vecCol),
+            codebook, idCol, vecCol)
+          .select(col(idCol), col("centroid_id"), col("codes"))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$path/encoded"))
       stampGeneration(corpus.sparkSession, path, IvfPqSubdirs)
     } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
   }

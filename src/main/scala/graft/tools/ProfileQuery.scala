@@ -36,8 +36,10 @@ object ProfileQuery {
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val desc = Option(j.properties.getProperty("spark.job.description")).getOrElse("?")
-        starts.put(j.jobId, (System.nanoTime(), desc.take(70)))
+        val desc = Option(j.properties.getProperty("spark.job.description"))
+          .orElse(Option(j.properties.getProperty("callSite.short")))
+          .getOrElse("?")
+        starts.put(j.jobId, (System.nanoTime(), desc.take(90)))
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         Option(starts.remove(j.jobId)).foreach { case (t0, desc) =>
