@@ -32,6 +32,21 @@ object OpsQueries {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  // The same under-split-source discipline as textCorpus, for queries that
+  // consume the documents table directly: the test-SF parquet arrives as
+  // ONE split, so a CPU-heavy map side (shingle explode + 16-128 md5 mins
+  // per shingle) would otherwise serialize onto 1-3 cores — precisely what
+  // a 1000-executor cluster never does (SCALING.md pin). The shuffle moves
+  // only the tiny doc table; every downstream result is
+  // partitioning-independent.
+  private def docsPar(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  // NOT repartitioned like docsPar (r15 A/B, pinned negative): the vector
+  // rows are small enough at bench SF that the added exchange costs more
+  // than the map-side parallelism buys on every sub-second sim row
+  // (0.11→0.22 s on clean runs); embCorpus repartitions where the salted
+  // union makes the compute heavy enough to pay
   private def embBase(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings").select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -389,7 +404,7 @@ object OpsQueries {
     // so the candidate sets are structurally equal.
     "dedup_incremental_near" -> Q(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val docs = docsPar(s, d).select(col("doc_id").as("id"), col("text"))
         Dedup.dedupIncrementalNear(
           docs.filter(col("id") % 3 === 0), docs.filter(col("id") % 3 =!= 0),
           "id", "text", n = 3, numPerms = 16, bands = 4, threshold = 0.5)
@@ -430,7 +445,7 @@ object OpsQueries {
     // equality to the scanning path is the index's whole contract.
     "dedup_incremental_indexed" -> Q(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val docs = docsPar(s, d).select(col("doc_id").as("id"), col("text"))
         val landed = docs.filter(col("id") % 3 =!= 0)
         val idx = graft.ops.SignatureIndex.create(s,
           TempDirs.create("graft-sigidx-") + "/idx", n = 3, numPerms = 16,
@@ -482,7 +497,7 @@ object OpsQueries {
     // in-batch join, and the unguarded bipartite side.
     "dedup_incremental_bucket_guard" -> Q(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val docs = docsPar(s, d).select(col("doc_id").as("id"), col("text"))
         val incoming = docs.filter(col("id") % 3 === 0)
         val pile = incoming.filter(col("id") % 11 === 0 && col("id") < 100000)
         val salted = incoming
@@ -536,7 +551,7 @@ object OpsQueries {
     // candidates + slot-agreement estimate, est = agree/16.0 exact doubles
     "dedup_near_query" -> Q(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val docs = docsPar(s, d).select(col("doc_id").as("id"), col("text"))
         val queries = docs.filter(col("id") % 9 === 0)
           .select((col("id") + 700000).as("id"),
             concat(col("text"), lit(" extra words appended")).as("text"))
@@ -578,6 +593,10 @@ object OpsQueries {
     // the independently-recomputed banded-probe match set. The pool here
     // is a LEGACY one (plain Pool.append, no stored sig column) so the
     // probe's text-derivation fallback is what gets exercised.
+    // NOT docsPar: the heavy side here is the probe over the POOL's text,
+    // not the input batch — repartitioning the input only inflates the
+    // appended segment to one file per partition (small-files hazard) and
+    // measured +0.2 s (r15 A/B), so the single-split append stays
     "dedup_takedown_pool" -> Q(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
@@ -632,7 +651,7 @@ object OpsQueries {
     // the 0.8 literal compares identically in both engines.
     "dedup_incremental_near_prod" -> Q(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents").select(col("doc_id").as("id"), col("text"))
+        val docs = docsPar(s, d).select(col("doc_id").as("id"), col("text"))
         val landed = docs.filter(col("id") % 10 === 1 || col("id") % 10 === 2)
         val incoming = docs.filter(col("id") % 10 === 0)
           .unionByName(landed.filter(col("id") % 20 === 1)
@@ -698,7 +717,7 @@ object OpsQueries {
     // corpus pool; survivors are lowest-id per text, offsets contiguous
     "dedup_ingest_pool" -> Q(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val docs = docsPar(s, d).select("doc_id", "text")
         val corpus = graft.pool.Pool.create(s, TempDirs.create("graft-ingest-"))
         graft.streaming.CorpusIngest.ingestBatch(
           docs.filter(col("doc_id") % 2 === 0), corpus, "doc_id", "text")
@@ -733,7 +752,7 @@ object OpsQueries {
     // against an independent derivation, stored signatures included.
     "dedup_ingest_pool_near" -> Q(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val docs = docsPar(s, d).select("doc_id", "text")
         val corpus = graft.pool.Pool.create(s, TempDirs.create("graft-ingest-near-"))
         val sess = new graft.streaming.CorpusIngestSession(
           corpus, "doc_id", "text", near = true)
@@ -3119,7 +3138,7 @@ object OpsQueries {
     // pins their composition.
     "curate_pipeline_near" -> Q(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents").filter(col("n_chars") >= 100)
+        val docs = docsPar(s, d).filter(col("n_chars") >= 100)
         val keepIds = docs.groupBy(md5(col("text")).as("fp"))
           .agg(min(col("doc_id")).as("doc_id"))
         val uniq = docs.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
