@@ -497,7 +497,11 @@ object OpsQueries {
     // in-batch join, and the unguarded bipartite side.
     "dedup_incremental_bucket_guard" -> Q(
       (s, d) => {
+        // persisted for the same exchange-reuse-hardening reason as
+        // dedup_incremental_near_prod: this plan references the doc
+        // subtree 81× (salted union legs × signature references)
         val docs = docsPar(s, d).select(col("doc_id").as("id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val incoming = docs.filter(col("id") % 3 === 0)
         val pile = incoming.filter(col("id") % 11 === 0 && col("id") < 100000)
         val salted = incoming
@@ -651,7 +655,14 @@ object OpsQueries {
     // the 0.8 literal compares identically in both engines.
     "dedup_incremental_near_prod" -> Q(
       (s, d) => {
+        // PERSISTED, not just repartitioned (r16): this query's plan
+        // references the doc subtree 30× (one per signature reference) and
+        // the r15 form relied on AQE ReuseExchange collapsing 30 identical
+        // round-robin exchanges at runtime — fragile (VERDICT what's-wrong
+        // #3). The cache makes the one-materialization guarantee
+        // structural; the leaked persist is reclaimed by the harnesses.
         val docs = docsPar(s, d).select(col("doc_id").as("id"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val landed = docs.filter(col("id") % 10 === 1 || col("id") % 10 === 2)
         val incoming = docs.filter(col("id") % 10 === 0)
           .unionByName(landed.filter(col("id") % 20 === 1)
@@ -2908,11 +2919,17 @@ object OpsQueries {
     // decimal margins/gradients; label = the src0-4 "seed" sources
     "curate_classifier_score" -> Q(
       (s, d) => {
+        // FUSED train+score (r15's bit-equality-proven experiment, shipped
+        // r16): the persisted (id,y,bucket,c) frame feeds the GD epochs AND
+        // the scoring margin, so the corpus token stream is read once
+        // (§1.2) instead of twice. The leaked persist is reclaimed by the
+        // bench/Verify harnesses, like etl_incremental's.
         val docs = Tables.load(s, d, "documents")
-        val w = Curate.trainTextClassifier(docs, "doc_id",
-          col("source").isin("src0", "src1", "src2", "src3", "src4"),
-          "text", epochs = 2, rate = 1.0)
-        Curate.scoreTextClassifier(docs, "doc_id", "text", w)
+        val db = Curate.classifierBucketCounts(docs, "doc_id",
+          col("source").isin("src0", "src1", "src2", "src3", "src4"), "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w = Curate.trainOnBucketCounts(db, epochs = 2, rate = 1.0)
+        Curate.scoreFromBucketCounts(db, w, "doc_id")
       },
       Some(classifierScoreSql)),
 
@@ -2921,11 +2938,12 @@ object OpsQueries {
     "curate_classifier_gate" -> Q(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val w = Curate.trainTextClassifier(docs, "doc_id",
-          col("source").isin("src0", "src1", "src2", "src3", "src4"),
-          "text", epochs = 2, rate = 1.0)
+        val db = Curate.classifierBucketCounts(docs, "doc_id",
+          col("source").isin("src0", "src1", "src2", "src3", "src4"), "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w = Curate.trainOnBucketCounts(db, epochs = 2, rate = 1.0)
         Curate.qualityGate(
-          Curate.scoreTextClassifier(docs, "doc_id", "text", w),
+          Curate.scoreFromBucketCounts(db, w, "doc_id"),
           col("score"), keepFraction = 0.25)
       },
       Some(s"""WITH scored AS ($classifierScoreSql),

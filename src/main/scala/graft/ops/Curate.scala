@@ -495,56 +495,103 @@ object Curate {
     * decimals each epoch, counts × weights summed associatively), the
     * kmeans/DSIR reproducibility pattern.
     *
-    * Epoch rounds are `localCheckpoint`ed and the superseded round
-    * released (the connected-components lesson: per-round plans reference
-    * the previous weights twice, and a persist would re-analyze an
-    * exponentially growing tree). Output: (bucket, w) — feed to
-    * [[scoreTextClassifier]].
+    * Epoch rounds carry the weight vector DRIVER-side between epochs
+    * (collected LocalRelations — constant-size plans, the same reason the
+    * former form checkpointed; see [[trainOnBucketCounts]]). Output:
+    * (bucket, w) — feed to [[scoreTextClassifier]], or score from the
+    * shared bucket-count frame via [[scoreFromBucketCounts]].
     */
   def trainTextClassifier(df: DataFrame, idCol: String, labelCol: Column,
       textCol: String, epochs: Int = 2, rate: Double = 1.0): DataFrame = {
-    require(epochs >= 1, s"trainTextClassifier: epochs must be >= 1, got $epochs")
-    // null labels coerce to 0.0 (the oracle's CASE WHEN ... ELSE 0.0
-    // semantics) — a null y would otherwise vanish from the gradient sum
-    // while still counting toward the learning-rate divisor
-    val db = bucketedTokens(
+    val db = classifierBucketCounts(df, idCol, labelCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the returned weights are a driver-local frame (trainOnBucketCounts
+    // collects per epoch), fully materialized — releasing db here can
+    // never force a recompute
+    try trainOnBucketCounts(db, epochs, rate)
+    finally db.unpersist(blocking = false)
+  }
+
+  /** The classifier's shared (id, y, bucket, c) bucket-count frame — built
+    * once, consumed by every training epoch AND (fused pipelines) the
+    * scoring pass, so the corpus token stream is read exactly once
+    * (guide §1.2). Callers that train and score should persist it and run
+    * [[trainOnBucketCounts]] + [[scoreFromBucketCounts]] over the same
+    * frame. Null labels coerce to 0.0 (the oracle's CASE WHEN ... ELSE 0.0
+    * semantics) — a null y would otherwise vanish from the gradient sum
+    * while still counting toward the learning-rate divisor.
+    */
+  def classifierBucketCounts(df: DataFrame, idCol: String, labelCol: Column,
+      textCol: String): DataFrame =
+    bucketedTokens(
         df.select(col(idCol).as("id"),
           coalesce(labelCol.cast("double"), lit(0.0)).as("y"), col(textCol)),
         Seq(col("id"), col("y")), textCol)
       .groupBy("id", "y", "bucket").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val n = broadcast(db.select(countDistinct("id").as("n")))
-      val zeroW = lit(0).cast("decimal(18,12)")
-      var w = db.select(col("bucket")).distinct()
-        .withColumn("w", zeroW).localCheckpoint(true)
-      for (_ <- 1 to epochs) {
-        val margins = db.join(broadcast(w), Seq("bucket"), "left")
-          .groupBy("id", "y")
-          .agg(sum(col("c").cast("decimal(10,0)") * coalesce(col("w"), zeroW))
-            .as("m"))
-          .withColumn("md", col("m").cast("double"))
-          // rational fast sigmoid: no libm anywhere in the loop
-          .withColumn("p", lit(0.5) + col("md") / (lit(2.0) * (lit(1.0) + abs(col("md")))))
-        val grad = db.join(margins.select("id", "p"), Seq("id"))
-          .groupBy("bucket")
-          // |p−y| < 1, so DECIMAL(13,12) holds it exactly and the product
-          // with the count stays inside 38 digits of precision (a wider
-          // operand would hit Spark's 38-digit cap and silently round)
-          .agg(sum(round(col("p") - col("y"), 12).cast("decimal(13,12)")
-            * col("c").cast("decimal(10,0)")).as("g"))
-        val next = w.join(grad, Seq("bucket"), "left")
-          .crossJoin(n)
-          .select(col("bucket"),
-            round(col("w").cast("double")
-              - lit(rate) * coalesce(col("g").cast("double"), lit(0.0)) / col("n"), 12)
-              .cast("decimal(18,12)").as("w"))
-          .localCheckpoint(true)
-        org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(w)
-        w = next
-      }
-      w
-    } finally db.unpersist(blocking = false)
+
+  /** The GD epoch loop over a (typically persisted)
+    * [[classifierBucketCounts]] frame. The ≤4096-row weight vector rides
+    * DRIVER-side between epochs (collected into a LocalRelation — the
+    * kmeans discipline): per epoch exactly ONE job (the margin + gradient
+    * + update aggregation, collected), where the former checkpointed form
+    * paid the checkpoint job plus a broadcast-build and a doc-count job
+    * per epoch. Values are bit-identical (decimals round-trip as objects;
+    * the learning-rate divisor n is exact in a double at any real corpus
+    * count). Output: (bucket, w).
+    */
+  def trainOnBucketCounts(db: DataFrame, epochs: Int = 2,
+      rate: Double = 1.0): DataFrame = {
+    require(epochs >= 1, s"trainOnBucketCounts: epochs must be >= 1, got $epochs")
+    val spark = db.sparkSession
+    def localW(frame: DataFrame): DataFrame = spark.createDataFrame(
+      java.util.Arrays.asList(frame.collect(): _*), frame.schema)
+    val zeroW = lit(0).cast("decimal(18,12)")
+    // the learning-rate divisor, once, driver-side (was re-broadcast —
+    // i.e. re-aggregated — every epoch)
+    val n = db.select(countDistinct("id")).collect()(0).getLong(0)
+    var w = localW(db.select(col("bucket")).distinct().withColumn("w", zeroW))
+    for (_ <- 1 to epochs) {
+      val margins = db.join(broadcast(w), Seq("bucket"), "left")
+        .groupBy("id", "y")
+        .agg(sum(col("c").cast("decimal(10,0)") * coalesce(col("w"), zeroW))
+          .as("m"))
+        .withColumn("md", col("m").cast("double"))
+        // rational fast sigmoid: no libm anywhere in the loop
+        .withColumn("p", lit(0.5) + col("md") / (lit(2.0) * (lit(1.0) + abs(col("md")))))
+      val grad = db.join(margins.select("id", "p"), Seq("id"))
+        .groupBy("bucket")
+        // |p−y| < 1, so DECIMAL(13,12) holds it exactly and the product
+        // with the count stays inside 38 digits of precision (a wider
+        // operand would hit Spark's 38-digit cap and silently round)
+        .agg(sum(round(col("p") - col("y"), 12).cast("decimal(13,12)")
+          * col("c").cast("decimal(10,0)")).as("g"))
+      w = localW(w.join(grad, Seq("bucket"), "left")
+        .select(col("bucket"),
+          round(col("w").cast("double")
+            - lit(rate) * coalesce(col("g").cast("double"), lit(0.0)) / lit(n.toDouble), 12)
+            .cast("decimal(18,12)").as("w")))
+    }
+    w
+  }
+
+  /** Score from an ALREADY-BUILT [[classifierBucketCounts]] frame — the
+    * fused train+score form: the margin needs only (id, bucket, c), which
+    * the training frame already holds, so a pipeline that trains and
+    * scores the same corpus skips the second token explode entirely.
+    * Bit-identical to [[scoreTextClassifier]] over the same documents
+    * (same (id, bucket, c) multiset, exact-decimal associative margin).
+    * Output: (idCol, score).
+    */
+  def scoreFromBucketCounts(db: DataFrame, weights: DataFrame,
+      idCol: String): DataFrame = {
+    val zeroW = lit(0).cast("decimal(18,12)")
+    db.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(sum(col("c").cast("decimal(10,0)") * coalesce(col("w"), zeroW)).as("m"))
+      .withColumn("md", col("m").cast("double"))
+      .select(col("id").as(idCol),
+        round(lit(0.5) + col("md") / (lit(2.0) * (lit(1.0) + abs(col("md")))), 4)
+          .as("score"))
   }
 
   /** Score documents with [[trainTextClassifier]] weights: the fast-sigmoid

@@ -839,9 +839,17 @@ object Dedup {
     // the winnowed stream feeds four subtrees (df counts, sizes, both join
     // sides) UNPERSISTED: AQE's ReuseExchange collapses them at runtime, and
     // a persist here measures SLOWER (SCALING.md r10 winnow-reuse pin: the
-    // cache materialization costs more than the re-collapsed compute)
+    // cache materialization costs more than the re-collapsed compute).
+    // The SELECTED fingerprints (md5 hex — the selection hash is the
+    // oracle contract) are narrowed to 64-bit keys right after the
+    // explode ([[shKey]], the jaccardPairs discipline): everything
+    // downstream only groups/joins/counts them, never reads them back, so
+    // an 8-byte long replaces a 32-char string in every exchange of the
+    // inverted index — same §2.3 narrower-types move, same collision
+    // argument (a collision merges two fingerprints' postings; ~S²/2⁶⁵).
     val fps = graft.ops.TextOps.winnowFingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), explode(col("fps")).as("fp"))
+      .select(col(idCol).as("id"), explode(col("fps")).as("_fp"))
+      .select(col("id"), shKey(col("_fp")).as("fp"))
     val rareKeys = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     val rare = fps.join(rareKeys, Seq("fp"), "left_semi")
@@ -886,10 +894,15 @@ object Dedup {
   def winnowContainment(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int = 3, w: Int = 4, maxDf: Int = Int.MaxValue,
       minShared: Int = 1): DataFrame = {
+    // fingerprints narrowed to 64-bit keys after selection (the
+    // winnowCandidatePairs note): the corpus↔query match is pure key
+    // equality, and the corpus-side stream is the big one at scale
     val cfp = graft.ops.TextOps.winnowFingerprints(corpus, idCol, textCol, k, w)
-      .select(col(idCol).as("did"), explode(col("fps")).as("fp"))
+      .select(col(idCol).as("did"), explode(col("fps")).as("_fp"))
+      .select(col("did"), shKey(col("_fp")).as("fp"))
     val qf = graft.ops.TextOps.winnowFingerprints(queries, idCol, textCol, k, w)
-    val qfp = qf.select(col(idCol).as("qid"), explode(col("fps")).as("fp"))
+    val qfp = qf.select(col(idCol).as("qid"), explode(col("fps")).as("_fp"))
+      .select(col("qid"), shKey(col("_fp")).as("fp"))
     val qsizes = qf.select(col(idCol).as("qid"), size(col("fps")).as("qsz"))
     val capped =
       if (maxDf == Int.MaxValue) cfp

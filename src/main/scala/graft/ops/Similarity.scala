@@ -335,15 +335,32 @@ object Similarity {
     * representations; ~1e-16 probability per mean, absent on the test
     * data, diagnosable as a single-round centroid diff if ever hit).
     */
+  /** Rebuild a DataFrame from COLLECTED rows as a LocalRelation — the
+    * driver-side carrier for metadata-scale model state between Lloyd
+    * rounds (K centroid rows, m×k codebook rows). Values round-trip as
+    * JVM objects (doubles exact, never rendered), so the frame is
+    * bit-identical to the plan it was collected from; downstream centroid
+    * collects ([[assignCollected]], [[booksOneRow]]) then short-circuit
+    * on the local plan instead of scheduling a job, and no checkpoint
+    * blocks need managing. Per round this replaces localCheckpoint (one
+    * job) + the next round's collect (another job) with ONE collect —
+    * the §2.6/§1.2 job-count cut for the iterative trainers.
+    */
+  private def localFrame(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[Row], schema: StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private def collectLocal(df: DataFrame): DataFrame =
+    localFrame(df.sparkSession, df.collect(), df.schema)
+
   private def kmeansSeeds(pts: DataFrame, k: Int, seedByHash: Boolean): DataFrame = {
     val seedOrder =
       if (seedByHash) Seq(md5(col("_pid").cast("string")), col("_pid"))
       else Seq(col("_pid"))
-    pts.orderBy(seedOrder: _*).limit(k)
+    collectLocal(pts.orderBy(seedOrder: _*).limit(k)
       .select(col("_pid").as("centroid_id"),
         // seeds are raw input vectors — exact on every engine, never rounded
-        transform(col("_pv"), x => x.cast("double")).as("cv"))
-      .localCheckpoint(true)
+        transform(col("_pv"), x => x.cast("double")).as("cv")))
   }
 
   private def lloydRound(pts: DataFrame, cents: DataFrame,
@@ -352,15 +369,14 @@ object Similarity {
       if (roundDigits >= 0) transform(c, x => round(x, roundDigits)) else c
     val assigned = ivfAssign(pts, cents.select(col("centroid_id").as("_pid"),
       col("cv").as("_pv")), "_pid", "_pv")
-    assigned
+    collectLocal(assigned
       .select(col("centroid_id"), posexplode(col("_pv")))
       .groupBy("centroid_id", "pos")
       .agg((sum(col("col").cast("double").cast("decimal(30,15)")).cast("double") /
         count(lit(1))).as("m"))
       .groupBy("centroid_id")
       .agg(maybeRound(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m"))).as("cv"))
-      .localCheckpoint(true)
+        s => s.getField("m"))).as("cv")))
   }
 
   def kmeans(corpus: DataFrame, idCol: String, vecCol: String,
@@ -368,14 +384,11 @@ object Similarity {
       roundDigits: Int = -1): DataFrame = {
     val pts = corpus.select(col(idCol).as("_pid"), col(vecCol).as("_pv"))
     var cents = kmeansSeeds(pts, k, seedByHash)
-    for (_ <- 1 to iters) {
-      val prev = cents
+    // rounds carry the K centroids DRIVER-side (collectLocal): one job per
+    // round (the mean aggregation), no checkpoint blocks, and the next
+    // round's centroid collect short-circuits on the local plan
+    for (_ <- 1 to iters)
       cents = lloydRound(pts, cents, roundDigits)
-      // checkpointed rounds release through the RDD (Dataset.unpersist
-      // is a no-op on checkpoints); K-row frames, but loops should not
-      // rely on the ContextCleaner for bounded storage
-      org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(prev)
-    }
     cents.select(col("centroid_id"), col("cv").as(vecCol))
   }
 
@@ -398,15 +411,22 @@ object Similarity {
     var converged = false
     while (rounds < maxIters && !converged) {
       val next = lloydRound(pts, cents, roundDigits)
-      val shiftRow = cents.select(col("centroid_id"), col("cv").as("_old"))
-        .join(next, Seq("centroid_id"))
-        .select(sqrt(aggregate(zip_with(col("_old"), col("cv"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), _ + _)).as("d"))
-        .agg(max(col("d"))).collect()(0)
-      org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
+      // both rounds are DRIVER-side local frames (collectLocal) — the
+      // shift check is a K-row Scala fold, no join job. Same arithmetic
+      // as the former plan: per centroid a left-to-right Σ(a−b)² fold
+      // then sqrt (the `aggregate` HOF's order), max across centroids.
+      val newByCid = next.collect().map(r => r.get(0) -> r.getSeq[Double](1)).toMap
+      val shifts = cents.collect().flatMap { r =>
+        newByCid.get(r.get(0)).map { nv =>
+          val ov = r.getSeq[Double](1)
+          math.sqrt(ov.indices.foldLeft(0.0) { (acc, i) =>
+            val d = ov(i) - nv(i); acc + d * d
+          })
+        }
+      }
       cents = next
       rounds += 1
-      converged = !shiftRow.isNullAt(0) && shiftRow.getDouble(0) <= tol
+      converged = shifts.nonEmpty && shifts.max <= tol
     }
     (cents.select(col("centroid_id"), col("cv").as(vecCol)), rounds)
   }
@@ -480,14 +500,30 @@ object Similarity {
   private[ops] def probeCells(store: DataFrame, queries: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       nprobe: Int): (DataFrame, DataFrame) = {
+    val (aq, pruned, _) = probeCellsCounted(store, queries, centroids,
+      idCol, vecCol, nprobe)
+    (aq, pruned)
+  }
+
+  /** As [[probeCells]], additionally returning the per-cell batch-side row
+    * counts from the SAME eager pass (one map-side-combined groupBy collect
+    * instead of a bare distinct — the distinct cell set is its key set).
+    * [[SimilarityIndex.IvfIndex.ingestNear]]'s quadratic-corner guard reads
+    * the counts without a second job over the batch.
+    */
+  private[ops] def probeCellsCounted(store: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      nprobe: Int): (DataFrame, DataFrame, Map[Any, Long]) = {
     val cents = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val cidType = store.schema("centroid_id").dataType
     val aq = assignCollected(queries, cents.collect().toSeq, cents.schema,
         vecCol, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("centroid_id").cast(cidType).as("centroid_id"))
-    val probed = aq.select("centroid_id").distinct().collect().map(_.get(0))
-    (aq, store.filter(col("centroid_id").isin(probed.toSeq: _*)))
+    val counts = aq.groupBy("centroid_id").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val probed = counts.keys.toSeq
+    (aq, store.filter(col("centroid_id").isin(probed: _*)), counts)
   }
 
   /** As [[ivfTopK]] with neighbor metadata (see [[rankTopKMeta]]): the
@@ -614,8 +650,11 @@ object Similarity {
     if (iters == 0)
       require(pts0.filter(size(col("_pv")) =!= dim).limit(1).count() == 0,
         s"pqTrain: vector length differs from the corpus dimensionality $dim")
+    // rounds carry the m×k codebook DRIVER-side (collectLocal, the kmeans
+    // discipline): one job per round, [[booksOneRow]]'s collect then
+    // short-circuits on the local plan
     for (_ <- 1 to iters)
-      books = pqLloydRound(pts, books, m, roundDigits)
+      books = collectLocal(pqLloydRound(pts, books, m, roundDigits))
     books.select(col("sub"), col("centroid_id"), col("cv").as(vecCol))
   }
 
@@ -636,7 +675,6 @@ object Similarity {
       .groupBy("sub", "centroid_id")
       .agg(maybeRound(transform(array_sort(collect_list(struct(col("_within"), col("_m")))),
         s => s.getField("_m"))).as("cv"))
-      .localCheckpoint(true)
   }
 
   /** Encode a corpus against a trained codebook: every row keeps its columns

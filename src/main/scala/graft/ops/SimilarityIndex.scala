@@ -38,12 +38,26 @@ object SimilarityIndex {
     buildIvfFromCentroids(corpus, cents, idCol, vecCol, path)
   }
 
+  /** Pin a small model frame (centroids, codebook) as a deterministic
+    * multi-consumer leaf: already-local plans (the driver-side Lloyd
+    * loop's output, a collected sample) are leaves by construction — a
+    * checkpoint job would buy nothing — everything else localCheckpoints
+    * eagerly (K/m×k rows, metadata-scale). Release via
+    * [[org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint]],
+    * a no-op for the local case.
+    */
+  private def pinned(df: DataFrame): DataFrame =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
+      case _ => df.localCheckpoint(true)
+    }
+
   /** Persist an index under GIVEN centroids (k rows, (idCol, vecCol)) —
     * pre-trained, sampled, or external. */
   def buildIvfFromCentroids(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, path: String): Unit = {
-    val cents = centroids.select(col(idCol), col(vecCol))
-      .localCheckpoint(true) // K rows; consumed twice (write + assignment)
+    val cents = pinned(centroids.select(col(idCol), col(vecCol)))
+      // K rows; consumed twice (write + assignment)
     try {
       // the two writes are independent (nothing reads either until the
       // stamps below / the caller's swap) — overlap them so the tiny
@@ -218,24 +232,31 @@ object SimilarityIndex {
   def buildIvfPqFromModels(corpus: DataFrame, centroids: DataFrame,
       codebook: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
-    val cents = centroids.select(col(idCol), col(vecCol))
-      .localCheckpoint(true) // K rows; consumed twice (write + assignment)
+    val cents = pinned(centroids.select(col(idCol), col(vecCol)))
+    // m×k rows; consumed twice (codebook write + encode) — pinned so a
+    // caller-supplied NON-DETERMINISTIC codebook plan (e.g. built from a
+    // sample) cannot evaluate differently per consumer and silently write
+    // one codebook while encoding against another (r15 ADVICE)
+    val book = pinned(codebook)
     try {
-      // three independent writes (cents/codebook are checkpointed leaves;
-      // the encode reads the FRAMES, never the written files; nothing
-      // reads any dir until the stamps / the caller's swap) — overlap
-      // them (guide §2.6), same crash-state set as the sequential form
+      // three independent writes (cents/codebook are pinned leaves; the
+      // encode reads the FRAMES, never the written files; nothing reads
+      // any dir until the stamps / the caller's swap) — overlap them
+      // (guide §2.6), same crash-state set as the sequential form
       ConcurrentJobs.run(
         () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
-        () => codebook.write.mode("overwrite").parquet(s"$path/codebook"),
+        () => book.write.mode("overwrite").parquet(s"$path/codebook"),
         () => Similarity.pqEncode(
             Similarity.ivfAssign(corpus, cents, idCol, vecCol),
-            codebook, idCol, vecCol)
+            book, idCol, vecCol)
           .select(col(idCol), col("centroid_id"), col("codes"))
           .write.mode("overwrite").partitionBy("centroid_id")
           .parquet(s"$path/encoded"))
       stampGeneration(corpus.sparkSession, path, IvfPqSubdirs)
-    } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
+    } finally {
+      org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(cents)
+      org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(book)
+    }
   }
 
   /** Train both models in-engine ([[Similarity.kmeans]] cells +
@@ -245,11 +266,19 @@ object SimilarityIndex {
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, m: Int, codebookK: Int, path: String,
       seedByHash: Boolean = true, roundDigits: Int = 9): Unit = {
-    val cents = Similarity.kmeans(corpus, idCol, vecCol, k, iters,
-        seedByHash, roundDigits)
-      .select(col("centroid_id").as(idCol), col(vecCol))
-    val book = Similarity.pqTrain(corpus, idCol, vecCol, m, codebookK,
-      iters, seedByHash, roundDigits)
+    // the two trainers are INDEPENDENT (each reads only `corpus`; nothing
+    // consumes either model until buildIvfPqFromModels below) and each is
+    // a serial loop of small jobs that never fills the scheduler — overlap
+    // them (guide §2.6); each trains exactly what the sequential form did.
+    // Await-all publication (ConcurrentJobs) makes the writes visible here.
+    var cents: DataFrame = null
+    var book: DataFrame = null
+    ConcurrentJobs.run(
+      () => cents = Similarity.kmeans(corpus, idCol, vecCol, k, iters,
+          seedByHash, roundDigits)
+        .select(col("centroid_id").as(idCol), col(vecCol)),
+      () => book = Similarity.pqTrain(corpus, idCol, vecCol, m, codebookK,
+        iters, seedByHash, roundDigits))
     buildIvfPqFromModels(corpus, cents, book, idCol, vecCol, path)
   }
 
@@ -293,14 +322,24 @@ object SimilarityIndex {
       val dirName = udf((s: String) =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
           .getPartitionPathString("centroid_id", if (s == null) "" else s))
+      // one narrow pass serves THREE consumers that used to be two jobs:
+      // per affected cell, the matched count (delete accounting), the
+      // cell's TOTAL rows (total == matched ⇔ the cell empties — the
+      // former post-write `live` distinct-collect over the survivors),
+      // and the rendered partition dir. The left join + filter keeps the
+      // scan the same broadcast-probed (id, centroid_id) projection.
       val byCell = table.select(col(idCol), col("centroid_id"))
-        .join(broadcast(idList), Seq(idCol))
+        .join(broadcast(idList.withColumn("_hit", lit(1))), Seq(idCol), "left")
         .groupBy(col("centroid_id"), dirName(col("centroid_id").cast("string")).as("_cdir"))
-        .count().collect()
+        .agg(count(lit(1)).as("_total"), count(col("_hit")).as("_matched"))
+        .filter(col("_matched") > 0)
+        .collect()
       if (byCell.isEmpty) return 0L
       val cells = byCell.map(_.get(0)).toSeq
       val cellDirs = byCell.map(r => r.get(0) -> r.getString(1)).toMap
-      val deleted = byCell.map(_.getLong(2)).sum
+      val deleted = byCell.map(_.getLong(3)).sum
+      val emptied = byCell.filter(r => r.getLong(2) == r.getLong(3))
+        .map(_.get(0)).toSet
       // sever lineage from tablePath before the overwrite (Spark refuses
       // to overwrite a path its plan reads); materialized size is the
       // surviving rows of the affected cells — exactly the data being
@@ -318,12 +357,11 @@ object SimilarityIndex {
         // dynamic overwrite leaves its old files — drop the dir explicitly
         // (through the path's Hadoop FileSystem: on an object store a
         // local-FS delete would silently leave the files and the deleted
-        // vectors would KEEP being retrieved)
-        val live = survivors.select(col("centroid_id")).distinct()
-          .collect().map(_.get(0)).toSet
+        // vectors would KEEP being retrieved). Which cells emptied fell
+        // out of pass 1 (total == matched) — no post-write collect needed.
         val hfs = new org.apache.hadoop.fs.Path(tablePath)
           .getFileSystem(table.sparkSession.sessionState.newHadoopConf())
-        cells.filterNot(live).foreach { c =>
+        cells.filter(emptied).foreach { c =>
           val dir = new org.apache.hadoop.fs.Path(tablePath, cellDirs(c))
           // the cell HAD rows (it matched ids), so its dir must exist —
           // absence means the rendered name diverged from the writer's,
@@ -604,9 +642,14 @@ object SimilarityIndex {
       requireAtomicRenameStore(spark, path, "rebuild")
       // deleted-out index (no files -> schema inference fails) or a corpus
       // that no longer carries the ids — refuse clearly either way
+      // MATERIALIZED once (localCheckpoint): the retrain input feeds both
+      // trainers' Lloyd rounds AND the final encode — ~2·iters+2 executions
+      // of the corpus×index semi-join otherwise (§1.2/§3.3 truncate-the-
+      // plan); the eager checkpoint job replaces the former isEmpty probe.
       val live =
         try {
           val l = corpus.join(encoded.select(col(idCol)), Seq(idCol), "left_semi")
+            .localCheckpoint(true)
           require(!l.isEmpty, "empty")
           l
         } catch {
@@ -616,12 +659,14 @@ object SimilarityIndex {
               s"rebuild: no corpus rows match the index at $path — nothing " +
                 "to re-train on (deleted-out index, or the wrong corpus)", e)
         }
-      dropStaleStaging(spark, path)
-      val staged = s"$path/_rebuild-${System.nanoTime().toHexString}"
-      buildIvfPq(live, idCol, vecCol, k, iters, m, codebookK, staged,
-        seedByHash, roundDigits)
-      swapStagedIndex(spark, path, staged,
-        Seq("centroids", "codebook", "encoded"))
+      try {
+        dropStaleStaging(spark, path)
+        val staged = s"$path/_rebuild-${System.nanoTime().toHexString}"
+        buildIvfPq(live, idCol, vecCol, k, iters, m, codebookK, staged,
+          seedByHash, roundDigits)
+        swapStagedIndex(spark, path, staged,
+          Seq("centroids", "codebook", "encoded"))
+      } finally org.apache.spark.sql.graft.GraftColumnsBridge.releaseCheckpoint(live)
       new IvfPqIndex(spark, path, idCol, vecCol)
     }
   }
@@ -779,18 +824,21 @@ object SimilarityIndex {
 
     private def ingestNearUniq(vectors: DataFrame, threshold: Double,
         nprobe: Int, maxBatchPerCell: Int): Long = {
-      val (aq, pruned) = Similarity.probeCells(assigned, vectors,
-        centroids.select(col(idCol), col(vecCol)), idCol, vecCol, nprobe)
+      // the per-cell counts fall out of the probe's own eager cell pass
+      // (probeCellsCounted) — the former separate max-count job is fused
+      val (aq, pruned, cellCounts) = Similarity.probeCellsCounted(assigned,
+        vectors, centroids.select(col(idCol), col(vecCol)), idCol, vecCol,
+        nprobe)
       // the quadratic-corner guard (see ingestNear doc): fail before the
       // per-cell self-join below can melt on a single-cell batch
-      val worst = aq.groupBy(col("centroid_id")).count()
-        .agg(max(col("count"))).collect()(0)
-      if (!worst.isNullAt(0))
-        require(worst.getLong(0) <= maxBatchPerCell,
-          s"ingestNear: ${worst.getLong(0)} batch vectors probe one cell " +
+      if (cellCounts.nonEmpty) {
+        val worst = cellCounts.values.max
+        require(worst <= maxBatchPerCell,
+          s"ingestNear: $worst batch vectors probe one cell " +
             s"(> maxBatchPerCell = $maxBatchPerCell); the in-batch gate is " +
             "quadratic per cell — split the batch, or raise maxBatchPerCell " +
             "deliberately")
+      }
       val landedHits = aq
         .join(pruned.select(col(vecCol).as("cv"), col("centroid_id")),
           Seq("centroid_id"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.util.sketch.BloomFilter
 import graft.etl.Offsets
-import graft.ops.Dedup
+import graft.ops.{ConcurrentJobs, Dedup}
 import graft.pool.{Envelope, Pool}
 
 /** Continuous training-data dedup ingest — the streaming composition of the
@@ -332,8 +332,13 @@ object CorpusIngest {
     * Every envelope carries the content fingerprint `fp`; near-path
     * envelopes (`sigParams = Some((n, numPerms))`) also carry the stored
     * minhash signature `sig` — both map-only projections over the batch.
-    * `onSurvivors` runs against the persisted survivor frame before the
-    * write (the [[CorpusIngestSession]] Bloom-merge hook).
+    * `onSurvivors` runs against the persisted survivor frame CONCURRENTLY
+    * with the pool write (guide §2.6 — both only read the `sorted` cache,
+    * and the hook's product is consumed no earlier than the next batch):
+    * the [[CorpusIngestSession]] Bloom-merge hook, whose failure handling
+    * must therefore not assume the append was skipped — the session
+    * invalidates its retained filter on a failed merge so the
+    * bloom-superset-of-landed invariant re-seeds from the pool.
     */
   private[streaming] def appendSorted(fresh: DataFrame, corpus: Pool,
       idCol: String, textCol: String, topic: String, cols: Seq[String],
@@ -349,7 +354,6 @@ object CorpusIngest {
     try {
       val appended = sorted.count()
       if (appended > 0) {
-        onSurvivors(sorted)
         val base = knownBase.getOrElse(corpus.nextOffset(topic) max 0L)
         val envCols = Seq(
           struct(lit(topic).as("topic"), lit(0L).as("partition"),
@@ -385,7 +389,14 @@ object CorpusIngest {
               .select(envCols :+
                 coalesce(col("_sig"), array().cast("array<string>")).as("sig"): _*)
         }
-        val seg = corpus.append(env, knownRows = Some(appended))
+        // the survivor hook (Bloom build over the `sorted` cache) and the
+        // pool append (range-sample + write of `env`, also reading the
+        // cache) are independent actions — overlap them (§2.6). Await-all
+        // publication (ConcurrentJobs) makes `seg` visible below.
+        var seg: String = null
+        ConcurrentJobs.run(
+          () => onSurvivors(sorted),
+          () => seg = corpus.append(env, knownRows = Some(appended)))
         // AFTER the pool commit (the index must never cover rows the pool
         // refused), with the survivors still persisted — the session's
         // signature-index delta hook
@@ -567,8 +578,15 @@ final class CorpusIngestSession(corpus: Pool, idCol: String, textCol: String,
     val appended =
       try appendSorted(fresh, corpus, idCol, textCol, topic, cols,
         sigParams = if (near) Some((n, numPerms)) else None,
-        onSurvivors = s => bf.mergeInPlace(
-          s.select(md5(col(textCol)).as("_fp")).stat.bloomFilter("_fp", expectedItems, fpp)),
+        // the merge runs CONCURRENTLY with the pool append (appendSorted):
+        // a failed merge can no longer assume the append was skipped, so
+        // the retained filter is INVALIDATED on failure — the next batch
+        // re-seeds from the pool, restoring the superset-of-landed
+        // invariant whether or not the append committed
+        onSurvivors = s =>
+          try bf.mergeInPlace(
+            s.select(md5(col(textCol)).as("_fp")).stat.bloomFilter("_fp", expectedItems, fpp))
+          catch { case t: Throwable => bloom = None; throw t },
         knownBase = Some(base), sigFrame = sigReuse,
         onAppended = (survivors, seg) => sigIdx.foreach { idx =>
           // delta = the probe's own persisted signature frame (a pre-gate

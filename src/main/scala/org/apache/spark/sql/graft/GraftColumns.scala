@@ -62,6 +62,24 @@ object GraftColumnsBridge {
       .flatMap(_.rddBlocks.collect {
         case (id, st) if st.storageLevel.useMemory && st.memSize > 0 => id
       })
+
+  /** SNAPSHOT of the calling thread's Spark local properties (job group,
+    * job description, scheduler pool — the thread-local context every
+    * submitted job is attributed to). `getLocalProperties` is
+    * `private[spark]`, hence this bridge. Cloned: the live Properties
+    * object is mutated by later `setJobDescription` calls on the caller.
+    */
+  def cloneLocalProperties(sc: org.apache.spark.SparkContext): java.util.Properties =
+    sc.getLocalProperties.clone().asInstanceOf[java.util.Properties]
+
+  /** Install `props` as THIS thread's Spark local properties — the worker-
+    * thread half of caller-context propagation (see
+    * [[graft.ops.ConcurrentJobs]]): jobs the thread submits are then
+    * attributed (and cancellable) exactly as the caller's own would be.
+    */
+  def setLocalProperties(sc: org.apache.spark.SparkContext,
+      props: java.util.Properties): Unit =
+    sc.setLocalProperties(props)
 }
 
 object ConfluentHeaderError {
